@@ -1,0 +1,11 @@
+"""Pure-Python JSON-LD 1.1 kernel (zero Spark imports).
+
+The single-node oracle for tests and the engine behind the Arrow-UDF
+generic-document path. See SURVEY.md §7 step 1.
+"""
+
+from .api import (  # noqa: F401
+    ContextResolver, JsonLdError, compact, expand, flatten, from_rdf, merge,
+    parse_nquads, serialize_nquads, to_rdf,
+)
+from .util import IdentifierIssuer  # noqa: F401

@@ -1,0 +1,182 @@
+"""Single-node JSON-LD API — same entry points as the reference
+(ref lib/jsonld.js:122 compact, :268 expand, :369 flatten, :425 frame,
+:563 normalize [out of scope], :614 fromRDF, :670 toRDF, :766 merge).
+
+This facade is the pure-Python oracle the Spark pipeline is tested
+against, and the engine the generic-document Arrow UDF path calls.
+"""
+
+from __future__ import annotations
+
+import copy
+
+from .context import ContextResolver, initial_context, process_context
+from .expand import expand as _expand
+from .nodemap import (
+    create_merged_node_map, create_node_map, flatten as _flatten,
+    merge_node_maps, relabel_blank_nodes,
+)
+from .rdf import (
+    from_rdf as _from_rdf, parse_nquads, serialize_nquads, to_rdf as _to_rdf,
+)
+from .compact import compact as _compact, compact_iri
+from .util import IdentifierIssuer, JsonLdError
+
+
+def _options_with_defaults(options):
+    options = dict(options or {})
+    options.setdefault("base", None)
+    options.setdefault("processingMode", "json-ld-1.1")
+    options.setdefault("compactArrays", True)
+    return options
+
+
+def expand(doc, options=None):
+    """jsonld.expand (ref lib/jsonld.js:268-354). `doc` is a parsed JSON
+    value (no URL fetching — this sandbox engine is network-free; remote
+    contexts resolve through options['contextResolver'])."""
+    options = _options_with_defaults(options)
+    active_ctx = initial_context(options)
+    doc = copy.deepcopy(doc)
+
+    expand_context = options.get("expandContext")
+    if expand_context is not None:
+        ec = copy.deepcopy(expand_context)
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        active_ctx = process_context(active_ctx, ec, options)
+
+    expanded = _expand(active_ctx, doc, None, options)
+
+    # post-processing (ref lib/jsonld.js:338-351)
+    if isinstance(expanded, dict) and "@graph" in expanded and \
+            len(expanded) == 1:
+        expanded = expanded["@graph"]
+    elif expanded is None:
+        expanded = []
+    if not isinstance(expanded, list):
+        expanded = [expanded]
+    return expanded
+
+
+def compact(doc, ctx, options=None):
+    """jsonld.compact (ref lib/jsonld.js:122-248)."""
+    options = _options_with_defaults(options)
+    if ctx is None:
+        raise JsonLdError("The compaction context must not be null.",
+                          "invalid local context")
+    if options.get("skipExpansion"):
+        expanded = doc
+    else:
+        expanded = expand(doc, options)
+
+    ctx_value = ctx
+    if isinstance(ctx_value, dict) and "@context" in ctx_value:
+        ctx_value = ctx_value["@context"]
+    active_ctx = initial_context(options)
+    active_ctx = process_context(active_ctx, ctx_value, options)
+
+    if options.get("framing"):
+        options = dict(options)
+        options.setdefault("graph", True)
+
+    compacted = _compact(active_ctx, None, expanded, options)
+
+    # cleanup (ref lib/jsonld.js:186-245)
+    graph_alias = compact_iri(active_ctx, "@graph", vocab=True)
+    if options.get("compactArrays", True) and \
+            not options.get("graph") and isinstance(compacted, list):
+        if len(compacted) == 1:
+            compacted = compacted[0]
+        elif len(compacted) == 0:
+            compacted = {}
+    elif options.get("graph") and isinstance(compacted, dict):
+        compacted = [compacted]
+
+    if isinstance(compacted, list):
+        compacted = {graph_alias: compacted}
+
+    if isinstance(ctx, dict) and "@context" in ctx:
+        ctx = ctx["@context"]
+    has_context = ctx is not None and ctx != {} and ctx != [] and \
+        not (isinstance(ctx, dict) and len(ctx) == 0)
+    if has_context and isinstance(compacted, dict):
+        ordered = {"@context": ctx}
+        ordered.update(compacted)
+        compacted = ordered
+    return compacted
+
+
+def flatten(doc, ctx=None, options=None):
+    """jsonld.flatten (ref lib/jsonld.js:369-405, lib/flatten.js:24-38)."""
+    options = _options_with_defaults(options)
+    expanded = expand(doc, options)
+    flattened = _flatten(expanded)
+    if ctx is None:
+        return flattened
+    opts = dict(options)
+    opts["graph"] = True
+    opts["skipExpansion"] = True
+    return compact(flattened, ctx, opts)
+
+
+def to_rdf(doc, options=None):
+    """jsonld.toRDF (ref lib/jsonld.js:670-708). Returns quad tuples; pass
+    options['format']='application/n-quads' for the N-Quads string."""
+    options = _options_with_defaults(options)
+    if options.get("skipExpansion"):
+        expanded = doc
+    else:
+        expanded = expand(doc, options)
+    dataset = _to_rdf(expanded, options)
+    if options.get("format") == "application/n-quads":
+        return serialize_nquads(dataset)
+    return dataset
+
+
+def from_rdf(dataset, options=None):
+    """jsonld.fromRDF (ref lib/jsonld.js:614-662). `dataset` may be an
+    N-Quads string or a list of quad tuples."""
+    options = _options_with_defaults(options)
+    if isinstance(dataset, str):
+        dataset = parse_nquads(dataset)
+    return _from_rdf(dataset, options)
+
+
+def merge(docs, ctx=None, options=None):
+    """jsonld.merge (ref lib/jsonld.js:766-856): expand each doc, relabel
+    bnodes per-doc with an `_:b{i}-` prefixed issuer, build one shared node
+    map, flatten, optionally compact."""
+    options = _options_with_defaults(options)
+    if not isinstance(docs, list):
+        raise JsonLdError("Could not merge, 'docs' must be an array.",
+                          "invalid input")
+    expanded_docs = [expand(d, options) for d in docs]
+
+    graphs = {"@default": {}}
+    issuer = IdentifierIssuer("_:b")
+    merge_nodes = options.get("mergeNodes", True)
+    for i, expanded in enumerate(expanded_docs):
+        doc_issuer = issuer if len(expanded_docs) == 1 else \
+            IdentifierIssuer(f"_:b{i}-")
+        create_node_map(expanded, graphs, "@default", doc_issuer)
+
+    default_graph = merge_node_maps(graphs)
+    flattened = []
+    for key in sorted(default_graph.keys()):
+        node = default_graph[key]
+        if not (len(node) == 1 and "@id" in node):
+            flattened.append(node)
+    if ctx is None:
+        return flattened
+    opts = dict(options)
+    opts["graph"] = True
+    opts["skipExpansion"] = True
+    return compact(flattened, ctx, opts)
+
+
+__all__ = [
+    "expand", "compact", "flatten", "to_rdf", "from_rdf", "merge",
+    "ContextResolver", "parse_nquads", "serialize_nquads",
+    "relabel_blank_nodes", "create_merged_node_map", "JsonLdError",
+]

@@ -1,0 +1,678 @@
+"""Compaction — JSON-LD 1.1 API §6, from scratch.
+
+Behavioral reference: lib/compact.js:58-672 (compact), :688-957
+(compactIri incl. inverse-context term selection and shortest-least CURIE
+via the fast trie), :970-1087 (compactValue), :1101-1161 (_selectTerm).
+
+Spark role (SURVEY.md §2.7): compaction is a document-local rewrite run
+inside Arrow UDFs after the node-map merge when compacted per-document
+JSON-LD output is requested; it is not on the triple-emission path.
+"""
+
+from __future__ import annotations
+
+from .context import (
+    expand_iri, get_context_value, get_inverse_context, process_context,
+)
+from .util import (
+    JsonLdError, is_keyword, is_absolute_iri, add_value, is_value, is_list,
+    is_graph, is_simple_graph, is_subject, is_subject_reference,
+    remove_base, parse_iri,
+)
+
+
+def compact(active_ctx, active_property, element, options=None):
+    """Compaction Algorithm (ref lib/compact.js:58-672)."""
+    options = options or {}
+    compact_arrays = options.get("compactArrays", True)
+
+    if isinstance(element, list):
+        rval = []
+        for item in element:
+            compacted = compact(active_ctx, active_property, item, options)
+            if compacted is not None:
+                rval.append(compacted)
+        if compact_arrays and len(rval) == 1:
+            container = get_context_value(active_ctx, active_property,
+                                          "@container") or []
+            if not container:
+                return rval[0]
+        return rval
+
+    if not isinstance(element, dict):
+        return element
+
+    # element is an object
+    if options.get("link") is not None and "@id" in element and \
+            element["@id"] in options["link"]:
+        for linked in options["link"][element["@id"]]:
+            if linked["expanded"] is element:
+                return linked["compacted"]
+
+    if is_value(element) or is_subject_reference(element):
+        rval = compact_value(active_ctx, active_property, element, options)
+        return rval
+
+    inside_reverse = active_property == "@reverse"
+    rval = {}
+
+    # revert type-scoped context for new node objects
+    if active_ctx.get("previousContext") is not None:
+        if not is_value(element) and not is_subject_reference(element):
+            ctx = active_ctx
+            while ctx.get("previousContext") is not None:
+                ctx = ctx["previousContext"]
+            active_ctx = ctx
+
+    # property-scoped context
+    property_scoped_ctx = get_context_value(active_ctx, active_property,
+                                            "@context")
+    if property_scoped_ctx is not None:
+        active_ctx = process_context(active_ctx, property_scoped_ctx,
+                                     options, override_protected=True)
+
+    # type-scoped contexts, applied for sorted compacted types
+    if "@type" in element:
+        types = element["@type"]
+        types = types if isinstance(types, list) else [types]
+        compacted_types = sorted(
+            compact_iri(active_ctx, t, vocab=True) for t in types
+            if isinstance(t, str))
+        for ctype in compacted_types:
+            ctx = get_context_value(active_ctx, ctype, "@context")
+            if ctx is not None:
+                active_ctx = process_context(active_ctx, ctx, options,
+                                             propagate=False)
+
+    if options.get("link") is not None and "@id" in element:
+        options["link"].setdefault(element["@id"], []).append(
+            {"expanded": element, "compacted": rval})
+
+    for expanded_property in sorted(element.keys()):
+        expanded_value = element[expanded_property]
+
+        if expanded_property in ("@id",):
+            if isinstance(expanded_value, str):
+                compacted_value = compact_iri(active_ctx, expanded_value,
+                                              base=options.get("base"))
+            else:
+                compacted_value = [compact_iri(active_ctx, v,
+                                               base=options.get("base"))
+                                   for v in expanded_value]
+            alias = compact_iri(active_ctx, "@id", vocab=True)
+            rval[alias] = compacted_value
+            continue
+
+        if expanded_property == "@type":
+            if isinstance(expanded_value, str):
+                compacted_value = compact_iri(active_ctx, expanded_value,
+                                              vocab=True)
+            else:
+                compacted_value = [compact_iri(active_ctx, t, vocab=True)
+                                   for t in expanded_value]
+                if len(compacted_value) == 1 and compact_arrays:
+                    container = get_context_value(active_ctx, "@type",
+                                                  "@container") or []
+                    if "@set" not in container:
+                        compacted_value = compacted_value[0]
+            alias = compact_iri(active_ctx, "@type", vocab=True)
+            as_array = not compact_arrays or (
+                isinstance(compacted_value, list) and
+                len(compacted_value) == 0)
+            add_value(rval, alias, compacted_value,
+                      property_is_array=as_array)
+            continue
+
+        if expanded_property == "@reverse":
+            compacted_value = compact(active_ctx, "@reverse", expanded_value,
+                                      options)
+            # move reverse-mapped properties up (ref lib/compact.js:283-309)
+            for prop in list(compacted_value.keys()):
+                mapping = active_ctx["mappings"].get(prop)
+                if mapping and mapping.get("reverse"):
+                    container = get_context_value(active_ctx, prop,
+                                                  "@container") or []
+                    use_array = "@set" in container or not compact_arrays
+                    add_value(rval, prop, compacted_value[prop],
+                              property_is_array=use_array)
+                    del compacted_value[prop]
+            if compacted_value:
+                alias = compact_iri(active_ctx, "@reverse", vocab=True)
+                add_value(rval, alias, compacted_value)
+            continue
+
+        if expanded_property == "@preserve":
+            compacted_value = compact(active_ctx, active_property,
+                                      expanded_value, options)
+            if not (isinstance(compacted_value, list) and
+                    len(compacted_value) == 0):
+                add_value(rval, expanded_property, compacted_value)
+            continue
+
+        if expanded_property == "@index":
+            container = get_context_value(active_ctx, active_property,
+                                          "@container") or []
+            if "@index" in container:
+                continue  # drop @index covered by the container
+            alias = compact_iri(active_ctx, "@index", vocab=True)
+            add_value(rval, alias, expanded_value)
+            continue
+
+        if expanded_property in ("@value", "@language", "@direction",
+                                 "@included", "@explicit", "@default",
+                                 "@embed", "@requireAll", "@omitDefault"):
+            alias = compact_iri(active_ctx, expanded_property, vocab=True)
+            if expanded_property == "@included":
+                expanded_value = compact(active_ctx, active_property,
+                                         expanded_value, options)
+                if not isinstance(expanded_value, list):
+                    expanded_value = [expanded_value]
+            add_value(rval, alias, expanded_value)
+            continue
+
+        # @graph on a node object (named graph contents)
+        if expanded_property == "@graph" and not is_graph(element):
+            compacted_value = compact(active_ctx, active_property,
+                                      expanded_value, options)
+            alias = compact_iri(active_ctx, "@graph", vocab=True)
+            add_value(rval, alias, compacted_value)
+            continue
+
+        # empty array → preserve with property-as-array
+        if isinstance(expanded_value, list) and len(expanded_value) == 0:
+            item_active_property = compact_iri(
+                active_ctx, expanded_property, value=expanded_value,
+                vocab=True, reverse=inside_reverse)
+            nest_result, nest_prop = _nest_target(
+                active_ctx, rval, item_active_property, options)
+            add_value(nest_result, item_active_property, expanded_value,
+                      property_is_array=True)
+            continue
+
+        for expanded_item in (expanded_value if
+                              isinstance(expanded_value, list)
+                              else [expanded_value]):
+            item_active_property = compact_iri(
+                active_ctx, expanded_property, value=expanded_item,
+                vocab=True, reverse=inside_reverse)
+            nest_result, _ = _nest_target(active_ctx, rval,
+                                          item_active_property, options)
+            container = get_context_value(active_ctx, item_active_property,
+                                          "@container") or []
+
+            is_graph_item = is_graph(expanded_item)
+            inner = expanded_item
+            if is_list(expanded_item):
+                inner = expanded_item["@list"]
+            elif is_graph_item:
+                inner = expanded_item["@graph"]
+
+            compacted_item = compact(active_ctx, item_active_property,
+                                     inner, options)
+
+            if is_list(expanded_item):
+                if not isinstance(compacted_item, list):
+                    compacted_item = [compacted_item]
+                if "@list" not in container:
+                    alias = compact_iri(active_ctx, "@list", vocab=True)
+                    wrapped = {alias: compacted_item}
+                    if "@index" in expanded_item:
+                        idx_alias = compact_iri(active_ctx, "@index",
+                                                vocab=True)
+                        wrapped[idx_alias] = expanded_item["@index"]
+                    compacted_item = wrapped
+                    add_value(nest_result, item_active_property,
+                              compacted_item, property_is_array=True)
+                else:
+                    add_value(nest_result, item_active_property,
+                              compacted_item, value_is_array=True)
+                continue
+
+            if is_graph_item:
+                compacted_item = _compact_graph_item(
+                    active_ctx, nest_result, item_active_property,
+                    expanded_item, compacted_item, container,
+                    compact_arrays, options)
+                continue
+
+            # language/index/id/type map reconstruction
+            # (ref lib/compact.js:552-649)
+            map_key = None
+            if "@language" in container:
+                if is_value(compacted_item) or is_value(expanded_item):
+                    compacted_item = expanded_item.get("@value")
+                map_key = expanded_item.get("@language", "@none")
+            elif "@index" in container:
+                index_key = get_context_value(active_ctx,
+                                              item_active_property,
+                                              "@index") or "@index"
+                if index_key == "@index":
+                    map_key = expanded_item.get("@index", "@none")
+                else:
+                    prop_iri = expand_iri(active_ctx, index_key, vocab=True)
+                    vals = expanded_item.get(prop_iri) or []
+                    if vals:
+                        first = vals[0] if isinstance(vals, list) else vals
+                        map_key = first.get("@value") if is_value(first) \
+                            else compact_iri(active_ctx, first.get("@id"),
+                                             vocab=True)
+                        if isinstance(compacted_item, dict):
+                            ck = compact_iri(active_ctx, prop_iri,
+                                             vocab=True)
+                            remaining = compacted_item.get(ck)
+                            if isinstance(remaining, list) and \
+                                    len(remaining) > 1:
+                                compacted_item[ck] = remaining[1:]
+                            elif ck in compacted_item:
+                                del compacted_item[ck]
+                    else:
+                        map_key = "@none"
+            elif "@id" in container:
+                id_alias = compact_iri(active_ctx, "@id", vocab=True)
+                if isinstance(compacted_item, dict):
+                    map_key = compacted_item.pop(id_alias, "@none")
+                    if isinstance(map_key, str) and not map_key.startswith(
+                            "@"):
+                        map_key = compact_iri(active_ctx,
+                                              expanded_item.get("@id",
+                                                                "@none"),
+                                              base=options.get("base"))
+                else:
+                    map_key = "@none"
+            elif "@type" in container:
+                type_alias = compact_iri(active_ctx, "@type", vocab=True)
+                if isinstance(compacted_item, dict):
+                    types = compacted_item.pop(type_alias, [])
+                    types = types if isinstance(types, list) else [types]
+                    map_key = types.pop(0) if types else "@none"
+                    if types:
+                        add_value(compacted_item, type_alias,
+                                  types if len(types) > 1 else types[0])
+                    # re-compact single-@id remains
+                    if len(compacted_item) == 1 and "@id" in expanded_item:
+                        recompacted = compact(
+                            active_ctx, item_active_property,
+                            {"@id": expanded_item["@id"]}, options)
+                        compacted_item = recompacted
+                else:
+                    map_key = "@none"
+
+            if map_key is not None:
+                map_object = nest_result.setdefault(item_active_property, {})
+                if isinstance(map_key, list):
+                    map_key = map_key[0] if map_key else "@none"
+                as_array = "@set" in container or not compact_arrays
+                add_value(map_object, map_key, compacted_item,
+                          property_is_array=as_array)
+            else:
+                as_array = not compact_arrays or "@set" in container or \
+                    "@list" in container or \
+                    item_active_property in ("@graph", "@list")
+                add_value(nest_result, item_active_property, compacted_item,
+                          property_is_array=as_array)
+
+    return rval
+
+
+def _compact_graph_item(active_ctx, nest_result, item_active_property,
+                        expanded_item, compacted_item, container,
+                        compact_arrays, options):
+    """@graph container cases (ref lib/compact.js:476-551)."""
+    if not isinstance(compacted_item, list):
+        compacted_item = [compacted_item]
+    graph_alias = compact_iri(active_ctx, "@graph", vocab=True)
+
+    if "@graph" in container and (
+            is_simple_graph(expanded_item) or "@id" not in expanded_item):
+        if "@index" in container and not is_simple_graph(expanded_item):
+            map_object = nest_result.setdefault(item_active_property, {})
+            key = expanded_item.get("@index", "@none")
+            inner = compacted_item if len(compacted_item) != 1 or \
+                not compact_arrays else compacted_item[0]
+            add_value(map_object, key, inner,
+                      property_is_array="@set" in container)
+        elif "@id" in container and not is_simple_graph(expanded_item):
+            map_object = nest_result.setdefault(item_active_property, {})
+            key = compact_iri(active_ctx, expanded_item.get("@id", "@none"),
+                              base=options.get("base")) \
+                if "@id" in expanded_item else "@none"
+            inner = compacted_item if len(compacted_item) != 1 or \
+                not compact_arrays else compacted_item[0]
+            add_value(map_object, key, inner,
+                      property_is_array="@set" in container)
+        else:
+            inner = compacted_item if len(compacted_item) != 1 or \
+                not compact_arrays else compacted_item[0]
+            add_value(nest_result, item_active_property, inner,
+                      property_is_array="@set" in container or
+                      not compact_arrays)
+        return compacted_item
+
+    # no @graph container: wrap explicitly
+    wrapped = {graph_alias: compacted_item if len(compacted_item) != 1 or
+               not compact_arrays else compacted_item[0]}
+    if "@id" in expanded_item:
+        id_alias = compact_iri(active_ctx, "@id", vocab=True)
+        wrapped[id_alias] = compact_iri(active_ctx, expanded_item["@id"],
+                                        base=options.get("base"))
+    if "@index" in expanded_item:
+        idx_alias = compact_iri(active_ctx, "@index", vocab=True)
+        wrapped[idx_alias] = expanded_item["@index"]
+    add_value(nest_result, item_active_property, wrapped,
+              property_is_array=not compact_arrays or "@set" in container)
+    return wrapped
+
+
+def _nest_target(active_ctx, rval, item_active_property, options):
+    """@nest routing (ref lib/compact.js:379-417)."""
+    nest_prop = get_context_value(active_ctx, item_active_property, "@nest")
+    if nest_prop is None:
+        return rval, None
+    if nest_prop != "@nest" and \
+            expand_iri(active_ctx, nest_prop, vocab=True) != "@nest":
+        raise JsonLdError("nested property must have @nest value.",
+                          "invalid @nest value")
+    nest_result = rval.setdefault(nest_prop, {})
+    return nest_result, nest_prop
+
+
+def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
+                base=None):
+    """IRI Compaction (ref lib/compact.js:688-957)."""
+    if iri is None:
+        return iri
+    if is_keyword(iri):
+        # keyword alias
+        inverse = get_inverse_context(active_ctx)
+        entry = inverse.get(iri)
+        if entry:
+            term = entry.get("@none", {}).get("@type", {}).get("@none")
+            if term:
+                return term
+        return iri
+
+    if vocab:
+        inverse = get_inverse_context(active_ctx)
+        if iri in inverse:
+            default_language = active_ctx.get("@language") or "@none"
+            containers = []
+            if isinstance(value, dict) and "@index" in value and \
+                    not is_graph(value):
+                containers.append("@index")
+                containers.append("@index@set")
+            type_or_language = "@language"
+            type_or_language_value = "@null"
+
+            if reverse:
+                type_or_language = "@type"
+                type_or_language_value = "@reverse"
+                containers.append("@set")
+            elif isinstance(value, dict) and is_list(value):
+                if "@index" not in value:
+                    containers.append("@list")
+                lst = value["@list"]
+                if lst:
+                    common_language = None
+                    common_type = None
+                    first = True
+                    for item in lst:
+                        item_language, item_type = "@none", "@none"
+                        if is_value(item):
+                            if "@direction" in item:
+                                item_language = \
+                                    f"{item.get('@language', '')}_" \
+                                    f"{item['@direction']}".lstrip()
+                                if not item.get("@language"):
+                                    item_language = \
+                                        f"_{item['@direction']}"
+                            elif "@language" in item:
+                                item_language = item["@language"]
+                            elif "@type" in item:
+                                item_type = item["@type"]
+                            else:
+                                item_language = "@null"
+                        else:
+                            item_type = "@id"
+                        if first:
+                            common_language = item_language
+                            common_type = item_type
+                            first = False
+                        else:
+                            if common_language != item_language:
+                                common_language = "@none"
+                            if common_type != item_type:
+                                common_type = "@none"
+                        if common_language == "@none" and \
+                                common_type == "@none":
+                            break
+                    common_language = common_language or "@none"
+                    common_type = common_type or "@none"
+                    if common_type != "@none":
+                        type_or_language = "@type"
+                        type_or_language_value = common_type
+                    else:
+                        type_or_language_value = common_language
+                else:
+                    type_or_language_value = "@any"
+            elif isinstance(value, dict) and is_graph(value):
+                if "@index" in value:
+                    containers.extend(["@graph@index", "@graph@index@set"])
+                if "@id" in value:
+                    containers.extend(["@graph@id", "@graph@id@set"])
+                containers.extend(["@graph", "@graph@set", "@set"])
+                if "@index" not in value:
+                    containers.extend(["@graph@index", "@graph@index@set"])
+                if "@id" not in value:
+                    containers.extend(["@graph@id", "@graph@id@set"])
+                containers.extend(["@index", "@index@set"])
+                type_or_language = "@type"
+                type_or_language_value = "@id"
+            elif isinstance(value, dict) and is_value(value):
+                if "@language" in value and "@index" not in value:
+                    containers.extend(["@language", "@language@set"])
+                    lang = value["@language"]
+                    if "@direction" in value:
+                        type_or_language_value = \
+                            f"{lang}_{value['@direction']}"
+                    else:
+                        type_or_language_value = lang
+                elif "@direction" in value and "@index" not in value:
+                    type_or_language_value = f"_{value['@direction']}"
+                elif "@type" in value:
+                    type_or_language = "@type"
+                    type_or_language_value = value["@type"]
+            else:
+                type_or_language = "@type"
+                type_or_language_value = "@id"
+                containers.append("@id")
+                containers.append("@id@set")
+                containers.append("@type")
+                containers.append("@type@set")
+                containers.append("@set")
+            if not (isinstance(value, dict) and is_graph(value)) and \
+                    not reverse and not (isinstance(value, dict) and
+                                         is_list(value)):
+                containers.append("@set")
+            containers.append("@none")
+            # index-less maps can hold index-less values
+            if isinstance(value, dict) and "@index" not in value:
+                containers.extend(["@index", "@index@set"])
+            if isinstance(value, dict) and is_value(value) and \
+                    len(value) == 1:
+                containers.extend(["@language", "@language@set"])
+
+            term = _select_term(active_ctx, iri, value, containers,
+                                type_or_language, type_or_language_value)
+            if term is not None:
+                return term
+
+        # @vocab suffix (ref lib/compact.js:874-886)
+        vocab_iri = active_ctx.get("@vocab")
+        if vocab_iri and iri.startswith(vocab_iri) and iri != vocab_iri:
+            suffix = iri[len(vocab_iri):]
+            if suffix not in active_ctx["mappings"]:
+                return suffix
+
+    # shortest-least CURIE via the fast map (ref lib/compact.js:889-929)
+    candidate = None
+    fast_map = active_ctx.get("fast_curie_map")
+    if fast_map is None:
+        get_inverse_context(active_ctx)
+        fast_map = active_ctx.get("fast_curie_map") or {}
+    if iri:
+        partial = fast_map.get(iri[0], [])
+        for prefix_iri, terms in partial:
+            if len(prefix_iri) >= len(iri):
+                continue
+            if not iri.startswith(prefix_iri):
+                continue
+            for term in terms:
+                mapping = active_ctx["mappings"].get(term)
+                if not mapping or not mapping.get("_prefix"):
+                    continue
+                curie = term + ":" + iri[len(prefix_iri):]
+                is_usable = (curie not in active_ctx["mappings"] or
+                             (value is None and
+                              active_ctx["mappings"][curie].get("@id") ==
+                              iri))
+                if is_usable and (candidate is None or
+                                  _shortest_least(curie, candidate) < 0):
+                    candidate = curie
+    if candidate is not None:
+        return candidate
+
+    # prefix-confusion guard (ref lib/compact.js:932-938)
+    for term, mapping in active_ctx["mappings"].items():
+        if mapping and mapping.get("_prefix") and \
+                iri.startswith(term + ":"):
+            raise JsonLdError(
+                f"absolute compaction of {iri} would be confused with "
+                f"prefix {term}.", "IRI confused with prefix")
+
+    if not vocab:
+        eff_base = base if base is not None else active_ctx.get("base_iri")
+        if eff_base:
+            return remove_base(parse_iri(eff_base), iri)
+    return iri
+
+
+def _shortest_least(a, b):
+    if len(a) != len(b):
+        return len(a) - len(b)
+    return -1 if a < b else (0 if a == b else 1)
+
+
+def _select_term(active_ctx, iri, value, containers, type_or_language,
+                 type_or_language_value):
+    """Term Selection (ref lib/compact.js:1101-1161)."""
+    if type_or_language_value is None:
+        type_or_language_value = "@null"
+    prefs = []
+    if type_or_language_value in ("@id", "@reverse") and \
+            isinstance(value, dict) and "@id" in value:
+        if type_or_language_value == "@reverse":
+            prefs.append("@reverse")
+        term = compact_iri(active_ctx, value["@id"], vocab=True)
+        mapping = active_ctx["mappings"].get(term)
+        if mapping and mapping.get("@id") == value["@id"]:
+            prefs.extend(["@vocab", "@id"])
+        else:
+            prefs.extend(["@id", "@vocab"])
+    else:
+        prefs.append(type_or_language_value)
+        # list of lists support
+        if isinstance(value, dict) and is_list(value):
+            lst = value.get("@list", [])
+            if lst and all(isinstance(i, dict) and is_list(i) for i in lst):
+                prefs.insert(0, "@list")
+    prefs.append("@none")
+
+    inverse = get_inverse_context(active_ctx)
+    container_map = inverse.get(iri, {})
+    for container in containers:
+        if container not in container_map:
+            continue
+        type_language_map = container_map[container]
+        value_map = type_language_map.get(type_or_language)
+        if value_map is None:
+            continue
+        for pref in prefs:
+            if pref in value_map:
+                return value_map[pref]
+    return None
+
+
+def compact_value(active_ctx, active_property, value, options=None):
+    """Value Compaction (ref lib/compact.js:970-1087)."""
+    options = options or {}
+    if is_value(value):
+        type_ = get_context_value(active_ctx, active_property, "@type")
+        language = get_context_value(active_ctx, active_property,
+                                     "@language")
+        direction = get_context_value(active_ctx, active_property,
+                                      "@direction")
+        container = get_context_value(active_ctx, active_property,
+                                      "@container") or []
+
+        preserve_index = "@index" in value and "@index" not in container
+
+        if not preserve_index and type_ != "@none":
+            if value.get("@type") == type_:
+                return value["@value"]
+            if "@language" in value and value["@language"] == language and \
+                    ("@direction" not in value or
+                     value.get("@direction") == direction):
+                return value["@value"]
+            if "@language" not in value and "@type" not in value and \
+                    "@direction" not in value and \
+                    (language is None or not isinstance(value["@value"],
+                                                        str)):
+                if not isinstance(value["@value"], str):
+                    return value["@value"]
+                if language is None and direction is None:
+                    return value["@value"]
+
+        count = len(value)
+        is_string = isinstance(value.get("@value"), str)
+        has_default_language = count <= 2 and is_string and \
+            language is not None and not get_context_value(
+                active_ctx, active_property, "_has_language")
+
+        if count == 1 and (not is_string or active_ctx.get("@language")
+                           is None or type_ == "@none"):
+            if not is_string:
+                return value["@value"]
+            if active_ctx.get("@language") is None and \
+                    active_ctx.get("@direction") is None and \
+                    language is None and direction is None:
+                return value["@value"]
+
+        rval = {}
+        if "@index" in value and "@index" not in container:
+            idx_alias = compact_iri(active_ctx, "@index", vocab=True)
+            rval[idx_alias] = value["@index"]
+        if "@type" in value:
+            type_alias = compact_iri(active_ctx, "@type", vocab=True)
+            rval[type_alias] = compact_iri(active_ctx, value["@type"],
+                                           vocab=True)
+        elif "@language" in value:
+            lang_alias = compact_iri(active_ctx, "@language", vocab=True)
+            rval[lang_alias] = value["@language"]
+        if "@direction" in value:
+            dir_alias = compact_iri(active_ctx, "@direction", vocab=True)
+            rval[dir_alias] = value["@direction"]
+        value_alias = compact_iri(active_ctx, "@value", vocab=True)
+        rval[value_alias] = value["@value"]
+        return rval
+
+    # subject reference (ref lib/compact.js:1066-1086)
+    expanded_property = expand_iri(active_ctx, active_property, vocab=True) \
+        if active_property else None
+    type_ = get_context_value(active_ctx, active_property, "@type")
+    compacted = compact_iri(active_ctx, value["@id"],
+                            vocab=type_ == "@vocab",
+                            base=options.get("base"))
+    if type_ in ("@id", "@vocab") and expanded_property != "@graph":
+        return compacted
+    id_alias = compact_iri(active_ctx, "@id", vocab=True)
+    return {id_alias: compacted}

@@ -1,0 +1,697 @@
+"""Context resolution & processing — JSON-LD 1.1 §4 algorithms.
+
+From-scratch Python implementation of the Context Processing and IRI
+Expansion algorithms (W3C JSON-LD 1.1 API §4.1, §4.2, §5.2), with the
+behavior the reference exhibits (ref: lib/context.js:46-421 process,
+:437-940 createTermDefinition, :956-1143 expandIri, :1153-1344 initial/
+inverse context, :1410-1447 getContextValue).
+
+Design for Spark (SURVEY.md §2.2): contexts are resolved & processed
+ONCE on the driver into plain picklable dicts, then broadcast; executors
+only do dict lookups. Nothing in this module touches Spark.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Callable, Optional
+
+from .util import (
+    JsonLdError, KEYWORDS, is_keyword, is_keyword_form, is_absolute_iri,
+    prepend_base, parse_iri,
+)
+
+CONTAINER_KEYWORDS = frozenset(
+    ["@graph", "@id", "@index", "@language", "@list", "@set", "@type"])
+
+
+def initial_context(options: dict) -> dict:
+    """Fresh active context (ref lib/context.js:1153-1177)."""
+    base = options.get("base")
+    return {
+        "mappings": {},
+        "@base": parse_iri(base) if base else None,
+        "base_iri": base,
+        "@vocab": None,
+        "@language": None,
+        "@direction": None,
+        "processingMode": options.get("processingMode", "json-ld-1.1"),
+        "previousContext": None,
+        "protected": {},
+        "inverse": None,
+        "_uuid": 0,
+    }
+
+
+def _clone_active_context(active_ctx: dict) -> dict:
+    child = dict(active_ctx)
+    child["mappings"] = dict(active_ctx["mappings"])
+    child["protected"] = dict(active_ctx["protected"])
+    child["inverse"] = None
+    return child
+
+
+def process_context(active_ctx: dict, local_ctx, options: dict,
+                    *, override_protected: bool = False,
+                    propagate: bool = True) -> dict:
+    """Context Processing Algorithm (ref lib/context.js:46-421).
+
+    `options['contextResolver']` is a callable url -> parsed JSON context
+    document (our file/dict-based stand-in for the reference's document
+    loader; resolution happens on the Spark driver only).
+    """
+    if local_ctx is None and propagate:
+        return active_ctx
+
+    ctxs = local_ctx if isinstance(local_ctx, list) else [local_ctx]
+
+    rval = active_ctx
+
+    for ctx in ctxs:
+        if ctx is None:
+            # reset (ref lib/context.js:159-173); protected terms block reset
+            if not override_protected and rval["protected"]:
+                raise JsonLdError(
+                    "Tried to nullify a context with protected terms outside "
+                    "of a term definition.", "invalid context nullification")
+            prev = rval if not propagate else None
+            rval = initial_context(options)
+            if prev is not None:
+                rval["previousContext"] = prev
+            continue
+
+        if isinstance(ctx, str):
+            resolver = options.get("contextResolver")
+            if resolver is None:
+                raise JsonLdError(
+                    f"cannot resolve remote context {ctx}: no resolver",
+                    "loading remote context failed")
+            remote = resolver(ctx)
+            if isinstance(remote, dict) and "@context" in remote:
+                remote = remote["@context"]
+            rval = process_context(rval, remote, options,
+                                   override_protected=override_protected,
+                                   propagate=propagate)
+            continue
+
+        if not isinstance(ctx, dict):
+            raise JsonLdError("@context must be an object.", "invalid local context")
+
+        # per-context @propagate (JSON-LD 1.1 §4.1.2 steps 2-3)
+        ctx_propagate = ctx.get("@propagate", propagate)
+        prev = rval
+        rval = _clone_active_context(rval)
+        if not ctx_propagate and rval["previousContext"] is None:
+            rval["previousContext"] = prev
+
+        # @version (ref lib/context.js:175-197)
+        if "@version" in ctx:
+            if ctx["@version"] != 1.1:
+                raise JsonLdError("Unsupported JSON-LD version: " +
+                                  str(ctx["@version"]), "invalid @version value")
+            rval["processingMode"] = "json-ld-1.1"
+
+        # @import (JSON-LD 1.1; ref lib/context.js:302-364)
+        if "@import" in ctx:
+            value = ctx["@import"]
+            if not isinstance(value, str):
+                raise JsonLdError("@import must be a string.",
+                                  "invalid @import value")
+            resolver = options.get("contextResolver")
+            if resolver is None:
+                raise JsonLdError(
+                    f"cannot resolve @import {value}: no resolver",
+                    "loading remote context failed")
+            imported = resolver(value)
+            if isinstance(imported, dict) and "@context" in imported:
+                imported = imported["@context"]
+            if not isinstance(imported, dict):
+                raise JsonLdError("@import must reference a context object.",
+                                  "invalid remote context")
+            if "@import" in imported:
+                raise JsonLdError("imported context must not include @import.",
+                                  "invalid context entry")
+            merged = dict(imported)
+            merged.update({k: v for k, v in ctx.items() if k != "@import"})
+            ctx = merged
+
+        # @base (ref lib/context.js:200-218): only honored on a root context
+        if "@base" in ctx:
+            base = ctx["@base"]
+            if base is None:
+                rval["@base"] = None
+                rval["base_iri"] = None
+            elif isinstance(base, str):
+                if is_absolute_iri(base):
+                    rval["base_iri"] = base
+                elif rval["base_iri"] is not None:
+                    rval["base_iri"] = prepend_base(rval["base_iri"], base)
+                else:
+                    raise JsonLdError(
+                        "@base must be absolute when no base is in effect.",
+                        "invalid base IRI")
+                rval["@base"] = parse_iri(rval["base_iri"])
+            else:
+                raise JsonLdError('"@base" must be a string or null.',
+                                  "invalid base IRI")
+
+        # @vocab (ref lib/context.js:219-239)
+        if "@vocab" in ctx:
+            value = ctx["@vocab"]
+            if value is None:
+                rval["@vocab"] = None
+            elif not isinstance(value, str):
+                raise JsonLdError('"@vocab" must be a string or null.',
+                                  "invalid vocab mapping")
+            elif not is_absolute_iri(value) and \
+                    rval["processingMode"] == "json-ld-1.0":
+                raise JsonLdError('"@vocab" must be an absolute IRI.',
+                                  "invalid vocab mapping")
+            else:
+                rval["@vocab"] = expand_iri(rval, value, vocab=True, base=True)
+
+        # @language (ref lib/context.js:241-257)
+        if "@language" in ctx:
+            value = ctx["@language"]
+            if value is None:
+                rval["@language"] = None
+            elif not isinstance(value, str):
+                raise JsonLdError('"@language" must be a string or null.',
+                                  "invalid default language")
+            else:
+                rval["@language"] = value.lower()
+
+        # @direction (ref lib/context.js:258-281)
+        if "@direction" in ctx:
+            value = ctx["@direction"]
+            if rval["processingMode"] == "json-ld-1.0":
+                raise JsonLdError("@direction not allowed in JSON-LD 1.0.",
+                                  "invalid context member")
+            if value is None:
+                rval["@direction"] = None
+            elif value not in ("ltr", "rtl"):
+                raise JsonLdError('"@direction" must be "ltr" or "rtl".',
+                                  "invalid base direction")
+            else:
+                rval["@direction"] = value
+
+        # @propagate (ref lib/context.js:282-301) — validated only; the
+        # caller passes the effective propagate flag.
+        if "@propagate" in ctx:
+            value = ctx["@propagate"]
+            if not isinstance(value, bool):
+                raise JsonLdError("@propagate must be boolean.",
+                                  "invalid @propagate value")
+
+        # term definitions
+        defined = {
+            "@base": True, "@direction": True, "@import": True,
+            "@language": True, "@propagate": True, "@protected": True,
+            "@version": True, "@vocab": True,
+        }
+        protected_default = ctx.get("@protected", False)
+        for key in ctx:
+            if key in defined:
+                continue
+            create_term_definition(
+                rval, ctx, key, defined, options,
+                override_protected=override_protected,
+                protected_default=protected_default)
+
+    return rval
+
+
+def create_term_definition(active_ctx: dict, local_ctx: dict, term: str,
+                           defined: dict, options: dict, *,
+                           override_protected: bool = False,
+                           protected_default: bool = False):
+    """Create Term Definition (ref lib/context.js:437-940)."""
+    if term in defined:
+        if defined[term]:
+            return
+        raise JsonLdError(f"Cyclical context definition for term {term}.",
+                          "cyclic IRI mapping")
+    defined[term] = False
+
+    value = local_ctx.get(term)
+
+    if term == "@type" and isinstance(value, dict) and \
+            value.get("@container", "@set") == "@set" and \
+            active_ctx["processingMode"] != "json-ld-1.0":
+        valid_keys = {"@container", "@id", "@protected"}
+        if not set(value).issubset(valid_keys):
+            raise JsonLdError("Invalid @type definition.", "keyword redefinition")
+    elif is_keyword(term):
+        raise JsonLdError(f"Keywords cannot be overridden: {term}.",
+                          "keyword redefinition")
+    elif is_keyword_form(term):
+        # @-form terms are ignored with a warning (ref lib/context.js:470-478)
+        defined[term] = True
+        return
+
+    if term == "":
+        raise JsonLdError("Term must not be empty.", "invalid term definition")
+
+    previous = active_ctx["mappings"].get(term)
+
+    simple_term = False
+    if isinstance(value, str) or value is None:
+        simple_term = True
+        value = {"@id": value}
+    if not isinstance(value, dict):
+        raise JsonLdError("Term definition must be string/null/object.",
+                          "invalid term definition")
+
+    mapping = {"reverse": False, "protected": False, "_term_has_colon": ":" in term}
+    active_ctx["mappings"][term] = mapping
+
+    if "@protected" in value:
+        if active_ctx["processingMode"] == "json-ld-1.0":
+            raise JsonLdError("@protected not allowed in JSON-LD 1.0.",
+                              "invalid term definition")
+        mapping["protected"] = bool(value["@protected"])
+    elif protected_default:
+        mapping["protected"] = True
+    if mapping["protected"]:
+        active_ctx["protected"][term] = True
+
+    if "@reverse" in value:
+        if "@id" in value:
+            raise JsonLdError("@reverse term must not contain @id.",
+                              "invalid reverse property")
+        if "@nest" in value:
+            raise JsonLdError("@reverse term must not contain @nest.",
+                              "invalid reverse property")
+        reverse = value["@reverse"]
+        if not isinstance(reverse, str):
+            raise JsonLdError("@reverse value must be a string.",
+                              "invalid IRI mapping")
+        if is_keyword_form(reverse):
+            defined[term] = True
+            del active_ctx["mappings"][term]
+            return
+        iri = expand_iri(active_ctx, reverse, vocab=True,
+                         local_ctx=local_ctx, defined=defined)
+        if not is_absolute_iri(iri) and not iri.startswith("_:"):
+            raise JsonLdError("@reverse value must expand to absolute IRI "
+                              "or blank node.", "invalid IRI mapping")
+        mapping["@id"] = iri
+        mapping["reverse"] = True
+    elif "@id" in value:
+        iri_value = value["@id"]
+        if iri_value is None:
+            mapping["@id"] = None  # explicitly decoupled term
+        elif not isinstance(iri_value, str):
+            raise JsonLdError("@id value must be a string.", "invalid IRI mapping")
+        elif not is_keyword(iri_value) and is_keyword_form(iri_value):
+            defined[term] = True
+            del active_ctx["mappings"][term]
+            return
+        elif iri_value != term:
+            iri = expand_iri(active_ctx, iri_value, vocab=True,
+                             local_ctx=local_ctx, defined=defined)
+            if not is_absolute_iri(iri) and not is_keyword(iri) and \
+                    not iri.startswith("_:"):
+                raise JsonLdError(
+                    "@id must expand to IRI/keyword/blank node.",
+                    "invalid IRI mapping")
+            if iri == "@context":
+                raise JsonLdError("@id cannot equal @context.",
+                                  "invalid keyword alias")
+            mapping["@id"] = iri
+            mapping["_prefix"] = (
+                not mapping["_term_has_colon"] and simple_term and
+                (iri.endswith(("/", "#", ":", "?", "&", ";", ",", "=", "@",
+                               "[", "]", "!", "'", "(", ")", "*", "+",
+                               "$")) or iri.startswith("_:")))
+    if "@id" not in mapping:
+        if mapping["_term_has_colon"]:
+            prefix = term.split(":", 1)[0]
+            if prefix in local_ctx:
+                create_term_definition(active_ctx, local_ctx, prefix, defined,
+                                       options,
+                                       override_protected=override_protected,
+                                       protected_default=protected_default)
+            pdef = active_ctx["mappings"].get(prefix)
+            if pdef and pdef.get("@id"):
+                suffix = term[len(prefix) + 1:]
+                mapping["@id"] = pdef["@id"] + suffix
+            else:
+                mapping["@id"] = term  # absolute IRI or bnode used as term
+        elif term == "@type":
+            mapping["@id"] = "@type"
+        else:
+            if active_ctx["@vocab"] is None:
+                raise JsonLdError(
+                    f"No @vocab to make IRI for term {term}.",
+                    "invalid IRI mapping")
+            mapping["@id"] = active_ctx["@vocab"] + term
+
+    # protected redefinition check (ref lib/context.js:920-938 + :1510-1553)
+    if previous is not None and previous.get("protected") and \
+            not override_protected:
+        cmp_prev = {k: v for k, v in previous.items() if k != "protected"}
+        cmp_new = {k: v for k, v in mapping.items() if k != "protected"}
+        # mapping is incomplete here; finish building then compare below
+        _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
+                                defined, options)
+        cmp_new = {k: v for k, v in mapping.items() if k != "protected"}
+        if cmp_prev != cmp_new:
+            raise JsonLdError(
+                f"Attempt to redefine protected term {term}.",
+                "protected term redefinition")
+        mapping["protected"] = True
+        active_ctx["mappings"][term] = mapping
+        defined[term] = True
+        return
+
+    _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
+                            defined, options)
+    defined[term] = True
+
+
+def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
+                            defined, options):
+    """@container/@type/@language/@direction/@context/@index/@nest parts of
+    createTermDefinition (ref lib/context.js:640-920)."""
+    mode10 = active_ctx["processingMode"] == "json-ld-1.0"
+
+    if "@container" in value:
+        container = value["@container"]
+        container = container if isinstance(container, list) else [container]
+        allowed = {"@list", "@set", "@index", "@id", "@type", "@language",
+                   "@graph"}
+        if not all(c in allowed for c in container):
+            raise JsonLdError("Invalid @container value.",
+                              "invalid container mapping")
+        has_set = "@set" in container
+        has_list = "@list" in container
+        if mode10:
+            if len(container) != 1 or container[0] not in (
+                    "@list", "@set", "@index", "@language"):
+                raise JsonLdError("Invalid 1.0 @container.",
+                                  "invalid container mapping")
+        else:
+            if "@graph" in container and any(
+                    c not in ("@graph", "@id", "@index", "@set")
+                    for c in container):
+                raise JsonLdError("@graph container restriction violated.",
+                                  "invalid container mapping")
+            if has_list and len(container) != 1:
+                raise JsonLdError("@list cannot be combined.",
+                                  "invalid container mapping")
+            if has_set and not all(c == "@set" or c != "@list"
+                                   for c in container):
+                raise JsonLdError("@set/@list cannot be combined.",
+                                  "invalid container mapping")
+        if mapping["reverse"] and not set(container).issubset(
+                {"@index", "@set"}):
+            raise JsonLdError("reverse term container must be @index/@set.",
+                              "invalid reverse property")
+        mapping["@container"] = sorted(container)
+    else:
+        mapping["@container"] = []
+
+    if "@index" in value:
+        if mode10 or "@index" not in mapping["@container"]:
+            raise JsonLdError("@index requires @container:@index.",
+                              "invalid term definition")
+        idx = value["@index"]
+        if not isinstance(idx, str) or idx.startswith("@"):
+            raise JsonLdError("@index must be a non-keyword string.",
+                              "invalid term definition")
+        mapping["@index"] = idx
+
+    if "@context" in value:
+        if mode10:
+            raise JsonLdError("scoped contexts need JSON-LD 1.1.",
+                              "invalid term definition")
+        mapping["@context"] = value["@context"]
+        # validate eagerly (spec: invalid scoped context fails at definition)
+        try:
+            process_context(active_ctx, value["@context"], options,
+                            override_protected=True)
+        except JsonLdError as e:
+            raise JsonLdError(f"Invalid scoped context for term {term}: "
+                              f"{e.message}", "invalid scoped context")
+
+    if "@language" in value and "@type" not in value:
+        lang = value["@language"]
+        if lang is not None and not isinstance(lang, str):
+            raise JsonLdError("@language must be string or null.",
+                              "invalid language mapping")
+        mapping["@language"] = lang.lower() if isinstance(lang, str) else None
+        mapping["_has_language"] = True
+
+    if "@direction" in value and "@type" not in value:
+        direction = value["@direction"]
+        if direction is not None and direction not in ("ltr", "rtl"):
+            raise JsonLdError('@direction must be "ltr"/"rtl"/null.',
+                              "invalid base direction")
+        mapping["@direction"] = direction
+        mapping["_has_direction"] = True
+
+    if "@nest" in value:
+        if mode10:
+            raise JsonLdError("@nest needs JSON-LD 1.1.",
+                              "invalid term definition")
+        nest = value["@nest"]
+        if not isinstance(nest, str) or \
+                (nest != "@nest" and nest.startswith("@")):
+            raise JsonLdError('@nest must be "@nest" or a term.',
+                              "invalid @nest value")
+        mapping["@nest"] = nest
+
+    if "@prefix" in value:
+        if mapping["_term_has_colon"]:
+            raise JsonLdError("@prefix on compound term.",
+                              "invalid term definition")
+        if mode10:
+            raise JsonLdError("@prefix needs JSON-LD 1.1.",
+                              "invalid term definition")
+        if not isinstance(value["@prefix"], bool):
+            raise JsonLdError("@prefix must be boolean.",
+                              "invalid @prefix value")
+        mapping["_prefix"] = value["@prefix"]
+
+    if "@type" in value:
+        type_ = value["@type"]
+        if not isinstance(type_, str):
+            raise JsonLdError("@type must be a string.",
+                              "invalid type mapping")
+        if type_ == "@json" or type_ == "@none":
+            if mode10:
+                raise JsonLdError(f"{type_} needs JSON-LD 1.1.",
+                                  "invalid type mapping")
+        elif type_ not in ("@id", "@vocab"):
+            type_ = expand_iri(active_ctx, type_, vocab=True,
+                               local_ctx=local_ctx, defined=defined)
+            if not is_absolute_iri(type_):
+                raise JsonLdError("@type must expand to an absolute IRI.",
+                                  "invalid type mapping")
+            if type_.startswith("_:"):
+                raise JsonLdError("@type must not be a blank node.",
+                                  "invalid type mapping")
+        mapping["@type"] = type_
+
+
+def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
+               base: bool = False, local_ctx: dict = None,
+               defined: dict = None) -> Optional[str]:
+    """IRI Expansion (ref lib/context.js:956-1143). Hot path — on executors
+    this is driven vectorized over pandas Series against the broadcast
+    context (see jsonld_js_spark.functions.iri)."""
+    if value is None or is_keyword(value):
+        return value
+    if not isinstance(value, str):
+        return value
+    if is_keyword_form(value):
+        return None
+
+    # create dependency definitions first (during context processing)
+    if local_ctx is not None and value in local_ctx and \
+            defined is not None and not defined.get(value):
+        create_term_definition(active_ctx, local_ctx, value, defined, {})
+
+    if vocab:
+        mapping = active_ctx["mappings"].get(value)
+        if mapping is not None:
+            return mapping.get("@id")
+
+    if len(value) > 1 and ":" in value[1:]:
+        prefix, suffix = value.split(":", 1)
+        if prefix == "_" or suffix.startswith("//"):
+            return value
+        if local_ctx is not None and prefix in local_ctx and \
+                defined is not None and not defined.get(prefix):
+            create_term_definition(active_ctx, local_ctx, prefix, defined, {})
+        pdef = active_ctx["mappings"].get(prefix)
+        if pdef and pdef.get("@id") and pdef.get("_prefix"):
+            return pdef["@id"] + suffix
+        if is_absolute_iri(value):
+            return value
+
+    if vocab and active_ctx["@vocab"] is not None:
+        return active_ctx["@vocab"] + value
+    if base and active_ctx["base_iri"] is not None:
+        return prepend_base(active_ctx["@base"], value)
+    return value
+
+
+def get_context_value(ctx: dict, key: Optional[str], type_: str):
+    """Term → @type/@container/@language/... with context defaults
+    (ref lib/context.js:1410-1447)."""
+    if key is None:
+        if type_ == "@context":
+            return None
+        return None if type_ not in ("@language", "@direction") else ctx.get(type_)
+    mapping = ctx["mappings"].get(key)
+    if mapping is not None:
+        if type_ == "@language" and mapping.get("_has_language"):
+            return mapping.get("@language")
+        if type_ == "@direction" and mapping.get("_has_direction"):
+            return mapping.get("@direction")
+        if type_ in mapping:
+            return mapping[type_]
+    if type_ in ("@language", "@direction"):
+        return ctx.get(type_)
+    if type_ == "@container":
+        return None
+    return None
+
+
+# --- inverse context (for compaction; ref lib/context.js:1184-1344) ----------
+
+def _compare_shortest_least(a: str, b: str) -> int:
+    """Shortest-then-lexicographically-least (ref lib/util.js:419-430)."""
+    if len(a) < len(b):
+        return -1
+    if len(b) < len(a):
+        return 1
+    return -1 if a < b else (0 if a == b else 1)
+
+
+def get_inverse_context(active_ctx: dict) -> dict:
+    """Inverse Context Creation (ref lib/context.js:1184-1300). Built once on
+    the driver; shipped inside the broadcast context."""
+    if active_ctx.get("inverse"):
+        return active_ctx["inverse"]
+    inverse = {}
+    fast_curie_map = {}
+    iris_to_terms = {}
+    default_language = (active_ctx.get("@language") or "@none").lower()
+
+    import functools
+    terms = sorted(active_ctx["mappings"].keys(),
+                   key=functools.cmp_to_key(_compare_shortest_least))
+    for term in terms:
+        mapping = active_ctx["mappings"][term]
+        if mapping is None or mapping.get("@id") is None:
+            continue
+        container = "".join(sorted(mapping.get("@container") or [])) or "@none"
+        iri = mapping["@id"]
+        entry = inverse.setdefault(iri, {})
+        _add_iri_to_terms(iris_to_terms, iri, term)
+        container_map = entry.setdefault(container, {
+            "@language": {}, "@type": {}, "@any": {}})
+        container_map["@any"].setdefault("@none", term)
+        if mapping.get("reverse"):
+            container_map["@type"].setdefault("@reverse", term)
+        elif mapping.get("@type") == "@none":
+            container_map["@any"].setdefault("@none", term)
+            container_map["@language"].setdefault("@any", term)
+            container_map["@type"].setdefault("@any", term)
+        elif "@type" in mapping:
+            container_map["@type"].setdefault(mapping["@type"], term)
+        elif mapping.get("_has_language") and mapping.get("_has_direction"):
+            lang = mapping.get("@language")
+            dir_ = mapping.get("@direction")
+            if lang and dir_:
+                container_map["@language"].setdefault(f"{lang}_{dir_}", term)
+            elif lang:
+                container_map["@language"].setdefault(lang, term)
+            elif dir_:
+                container_map["@language"].setdefault(f"_{dir_}", term)
+            else:
+                container_map["@language"].setdefault("@null", term)
+        elif mapping.get("_has_language"):
+            lang = (mapping.get("@language") or "@null").lower()
+            container_map["@language"].setdefault(lang, term)
+        elif mapping.get("_has_direction"):
+            dir_ = mapping.get("@direction")
+            key = f"_{dir_}" if dir_ else "@none"
+            container_map["@language"].setdefault(key, term)
+        elif active_ctx.get("@direction"):
+            lang_dir = f"{default_language}_{active_ctx['@direction']}"
+            container_map["@language"].setdefault(lang_dir, term)
+            container_map["@language"].setdefault("@none", term)
+            container_map["@type"].setdefault("@none", term)
+        else:
+            container_map["@language"].setdefault(default_language, term)
+            container_map["@language"].setdefault("@none", term)
+            container_map["@type"].setdefault("@none", term)
+
+    active_ctx["inverse"] = inverse
+    active_ctx["fast_curie_map"] = _build_fast_curie_map(iris_to_terms)
+    return inverse
+
+
+def _add_iri_to_terms(iris_to_terms, iri, term):
+    iris_to_terms.setdefault(iri, []).append(term)
+
+
+def _build_fast_curie_map(iris_to_terms: dict) -> dict:
+    """Per-first-letter prefix map over vocab IRIs for longest-prefix CURIE
+    selection (ref lib/context.js:1302-1344). Stored as
+    {first_char: [(iri, [terms…]) sorted by len asc]}."""
+    fast = {}
+    for iri, terms in iris_to_terms.items():
+        if not iri:
+            continue
+        fast.setdefault(iri[0], []).append((iri, terms))
+    for k in fast:
+        fast[k].sort(key=lambda p: len(p[0]))
+    return fast
+
+
+# --- driver-side context resolver ---------------------------------------------
+
+class ContextResolver:
+    """File/dict-based stand-in for the reference's remote document loader +
+    ContextResolver caching (ref lib/ContextResolver.js:31-208,
+    lib/documentLoaders/node.js). Network is intentionally unsupported in
+    this sandbox: contexts come from an in-memory dict or a local directory.
+    Resolution happens ONCE on the Spark driver; the processed active
+    context is then frozen & broadcast (SURVEY.md §2.2)."""
+
+    MAX_CONTEXT_URLS = 10
+
+    def __init__(self, documents: dict | None = None,
+                 loader: Callable[[str], dict] | None = None):
+        self._documents = documents or {}
+        self._loader = loader
+        self._cache: dict = {}
+        self._cycles: set = set()
+
+    def __call__(self, url: str):
+        if url in self._cycles:
+            raise JsonLdError(f"Cyclical @context URLs: {url}",
+                              "recursive context inclusion")
+        if len(self._cycles) > self.MAX_CONTEXT_URLS:
+            raise JsonLdError("Maximum number of @context URLs exceeded.",
+                              "loading remote context failed")
+        if url in self._cache:
+            return self._cache[url]
+        self._cycles.add(url)
+        try:
+            if url in self._documents:
+                doc = copy.deepcopy(self._documents[url])
+            elif self._loader is not None:
+                doc = self._loader(url)
+            else:
+                raise JsonLdError(f"Unknown context URL: {url}",
+                                  "loading remote context failed")
+            self._cache[url] = doc
+            return doc
+        finally:
+            self._cycles.discard(url)

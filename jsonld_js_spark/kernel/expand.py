@@ -1,0 +1,557 @@
+"""Expansion — JSON-LD 1.1 API §5.1, from scratch.
+
+Behavioral reference: lib/expand.js:68-392 (dispatcher), :411-917
+(_expandObject), :930-988 (_expandValue), :1000-1031 (language maps),
+:1033-1125 (index maps). Spark role (SURVEY.md §2.3): expansion is a
+document-local tree rewrite — it runs inside Arrow UDFs with the active
+context coming from a broadcast; no shuffle.
+"""
+
+from __future__ import annotations
+
+from .context import (
+    expand_iri, get_context_value, process_context,
+)
+from .util import (
+    JsonLdError, BCP47_RE, is_keyword, is_absolute_iri, add_value,
+    is_value, is_list, is_graph, is_subject, is_subject_reference,
+    is_empty_object,
+)
+
+_VALUE_KEYS = {"@value", "@type", "@language", "@direction", "@index"}
+
+
+def _get_type_scoped_context(active_ctx, options):
+    """Context for expanding @type values: the type-scoped context chain is
+    reverted to the last non-propagated state (ref lib/expand.js:174-220 +
+    spec 'revertTypeScopedContext'). We track it via previousContext."""
+    ctx = active_ctx
+    while ctx.get("previousContext") is not None:
+        ctx = ctx["previousContext"]
+    return ctx
+
+
+def expand(active_ctx, element, active_property=None, options=None,
+           inside_list=False, type_scoped_context=None):
+    """Expansion Algorithm (ref lib/expand.js:68-392)."""
+    options = options or {}
+
+    if element is None:
+        return None
+
+    if active_property == "@default":
+        options = dict(options)
+        options["isFrame"] = False
+
+    if not isinstance(element, (dict, list)):
+        # scalar
+        if active_property is None or active_property == "@graph":
+            return None  # free-floating scalar dropped (lib/expand.js:128-136)
+        return _expand_value(active_ctx, active_property, element, options)
+
+    if isinstance(element, list):
+        rval = []
+        container = get_context_value(
+            active_ctx, active_property, "@container") or []
+        inside_list = inside_list or "@list" in container
+        for item in element:
+            expanded = expand(active_ctx, item, active_property, options,
+                              inside_list=False,
+                              type_scoped_context=type_scoped_context)
+            if inside_list and isinstance(expanded, list):
+                expanded = {"@list": expanded}
+            if expanded is None:
+                continue
+            if isinstance(expanded, list):
+                rval.extend(expanded)
+            else:
+                rval.append(expanded)
+        return rval
+
+    # element is a dict ---------------------------------------------------
+    # property-scoped context (ref spec step 8; lib/expand.js:240-266)
+    property_scoped_ctx = get_context_value(
+        active_ctx, active_property, "@context")
+
+    # revert type-scoped context when starting a new node object
+    # (spec 5.1.2 step 7; ref lib/expand.js:174-220)
+    if active_ctx.get("previousContext") is not None:
+        keys = [k for k in element
+                if expand_iri(active_ctx, k, vocab=True) in ("@value", "@id")]
+        must_revert = not (len(keys) == len(element) and len(keys) > 0)
+        if must_revert and "@context" not in element:
+            active_ctx = _get_type_scoped_context(active_ctx, options)
+
+    if property_scoped_ctx is not None:
+        active_ctx = process_context(
+            active_ctx, property_scoped_ctx, options, override_protected=True)
+
+    if "@context" in element:
+        active_ctx = process_context(active_ctx, element["@context"], options)
+
+    # type-scoped context = active context AFTER the element's own @context
+    # (spec 5.1.2 step 10)
+    type_scoped_context = active_ctx
+
+    # look for @type entries and apply type-scoped contexts, keys sorted
+    # (ref lib/expand.js:226-248)
+    type_key = None
+    for key in sorted(element.keys()):
+        if expand_iri(active_ctx, key, vocab=True) == "@type":
+            if type_key is None:
+                type_key = key
+            types = element[key]
+            types = types if isinstance(types, list) else [types]
+            for t in sorted(t for t in types if isinstance(t, str)):
+                ctx = get_context_value(type_scoped_context, t, "@context")
+                if ctx is not None:
+                    active_ctx = process_context(active_ctx, ctx, options,
+                                                 propagate=False)
+
+    rval = {}
+    _expand_object(active_ctx, active_property, element, rval, options,
+                   inside_list, type_key, type_scoped_context)
+
+    # value-object validation (ref lib/expand.js:268-331)
+    if "@value" in rval:
+        keys = set(rval)
+        if not keys.issubset(_VALUE_KEYS):
+            raise JsonLdError("value object has disallowed members.",
+                              "invalid value object")
+        if "@type" in rval and ("@language" in rval or "@direction" in rval):
+            raise JsonLdError(
+                "value object must not include @type with @language/@direction.",
+                "invalid value object")
+        value = rval["@value"]
+        if rval.get("@type") == "@json":
+            pass  # any JSON value allowed
+        elif value is None:
+            rval = None
+        elif isinstance(value, (dict, list)) and not options.get("isFrame"):
+            raise JsonLdError('"@value" value must be a scalar or null.',
+                              "invalid value object value")
+        elif not isinstance(value, str) and "@language" in rval:
+            raise JsonLdError("only strings may be language-tagged.",
+                              "invalid language-tagged value")
+        elif "@type" in rval and (
+                not isinstance(rval["@type"], str) or
+                not is_absolute_iri(rval["@type"]) or
+                rval["@type"].startswith("_:")):
+            raise JsonLdError('"@type" must be an absolute IRI.',
+                              "invalid typed value")
+    elif isinstance(rval, dict) and "@type" in rval and \
+            not isinstance(rval["@type"], list):
+        rval["@type"] = [rval["@type"]]
+    elif isinstance(rval, dict) and ("@set" in rval or "@list" in rval):
+        # @set unwrap / lone @list (ref lib/expand.js:334-349)
+        if len(rval) > 1 and not (len(rval) == 2 and "@index" in rval):
+            raise JsonLdError("@set/@list must be the only member "
+                              "(plus @index).", "invalid set or list object")
+        if "@set" in rval:
+            rval = rval["@set"]
+    if isinstance(rval, dict) and "@language" in rval and len(rval) == 1:
+        rval = None  # lone @language dropped (ref lib/expand.js:350-365)
+
+    # free-floating node drop (ref lib/expand.js:367-389)
+    if isinstance(rval, dict) and not options.get("isFrame") and \
+            (active_property is None or active_property == "@graph"):
+        if len(rval) == 0 or "@value" in rval or "@list" in rval:
+            rval = None
+        elif len(rval) == 1 and "@id" in rval:
+            rval = None
+    return rval
+
+
+def _expand_object(active_ctx, active_property, element, rval, options,
+                   inside_list, type_key, type_scoped_context):
+    """Per-key expansion loop (ref lib/expand.js:411-917)."""
+    nests = []
+    unexpanded_language = None
+    unexpanded_direction = None
+
+    expanded_parent_property = expand_iri(
+        active_ctx, active_property, vocab=True) if active_property else None
+
+    for key in sorted(element.keys()):
+        if key == "@context":
+            continue
+        value = element[key]
+        expanded_property = expand_iri(active_ctx, key, vocab=True)
+
+        if expanded_property is None or not (
+                isinstance(expanded_property, str) and
+                (":" in expanded_property or is_keyword(expanded_property))):
+            continue  # drop keys that don't expand to keyword/IRI
+
+        if is_keyword(expanded_property):
+            if expanded_parent_property == "@reverse":
+                raise JsonLdError("@reverse value must not contain keywords.",
+                                  "invalid reverse property map")
+            if expanded_property in rval and \
+                    expanded_property not in ("@included", "@type"):
+                raise JsonLdError(
+                    f"colliding keyword {expanded_property}.",
+                    "colliding keywords")
+
+        # @id (ref lib/expand.js:485-521)
+        if expanded_property == "@id":
+            if not isinstance(value, str):
+                if options.get("isFrame"):
+                    vals = value if isinstance(value, list) else [value]
+                    out = []
+                    for v in vals:
+                        if isinstance(v, dict) and len(v) == 0:
+                            out.append(v)
+                        elif isinstance(v, str):
+                            out.append(expand_iri(active_ctx, v, base=True))
+                        else:
+                            raise JsonLdError('"@id" must be a string.',
+                                              "invalid @id value")
+                    add_value(rval, "@id", out, value_is_array=True)
+                    continue
+                raise JsonLdError('"@id" value must be a string.',
+                                  "invalid @id value")
+            else:
+                add_value(rval, "@id",
+                          expand_iri(active_ctx, value, base=True))
+            continue
+
+        # @type (ref lib/expand.js:523-548) — expanded with type-scoped ctx
+        if expanded_property == "@type":
+            _expand_type(type_scoped_context, value, rval, options)
+            continue
+
+        # @included (ref lib/expand.js:550-571)
+        if expanded_property == "@included":
+            if active_ctx["processingMode"] == "json-ld-1.0":
+                continue
+            included = expand(active_ctx, value, "@included", options)
+            included = included if isinstance(included, list) else [included]
+            if not all(is_subject(v) or is_subject_reference(v)
+                       for v in included):
+                raise JsonLdError("@included values must be node objects.",
+                                  "invalid @included value")
+            add_value(rval, "@included", included, property_is_array=True)
+            continue
+
+        # @graph (ref lib/expand.js:573-580)
+        if expanded_property == "@graph":
+            if not isinstance(value, (dict, list)):
+                raise JsonLdError('"@graph" must be an object or array.',
+                                  "invalid @graph value")
+            expanded = expand(active_ctx, value, "@graph", options)
+            expanded = expanded if isinstance(expanded, list) else [expanded]
+            expanded = [v for v in expanded if v is not None]
+            add_value(rval, "@graph", expanded, value_is_array=True)
+            continue
+
+        # @value (ref lib/expand.js:581-596)
+        if expanded_property == "@value":
+            if isinstance(value, (dict, list)) and \
+                    not options.get("isFrame") and \
+                    get_context_value(active_ctx, key, "@type") != "@json" and \
+                    get_context_value(active_ctx, active_property,
+                                      "@type") != "@json":
+                # still allowed when the *type key* says @json — checked by
+                # caller validation; here accept and validate later
+                pass
+            add_value(rval, "@value", value, value_is_array=False)
+            continue
+
+        # @language (ref lib/expand.js:597-623)
+        if expanded_property == "@language":
+            if value is None:
+                continue
+            if not isinstance(value, str) and not options.get("isFrame"):
+                raise JsonLdError('"@language" must be a string.',
+                                  "invalid language-tagged string")
+            vals = value if isinstance(value, list) else [value]
+            for v in vals:
+                if isinstance(v, str) and not BCP47_RE.match(v):
+                    pass  # warning only (ref lib/expand.js:612-616)
+            out = [v.lower() if isinstance(v, str) else v for v in vals]
+            add_value(rval, "@language",
+                      out if isinstance(value, list) else out[0],
+                      value_is_array=isinstance(value, list))
+            continue
+
+        # @direction (ref lib/expand.js:624-650)
+        if expanded_property == "@direction":
+            if active_ctx["processingMode"] == "json-ld-1.0":
+                continue
+            if not isinstance(value, str) and not options.get("isFrame"):
+                raise JsonLdError('"@direction" must be a string.',
+                                  "invalid base direction")
+            vals = value if isinstance(value, list) else [value]
+            for v in vals:
+                if isinstance(v, str) and v not in ("ltr", "rtl"):
+                    raise JsonLdError('"@direction" must be "ltr"/"rtl".',
+                                      "invalid base direction")
+            add_value(rval, "@direction", value,
+                      value_is_array=isinstance(value, list))
+            continue
+
+        # @index (ref lib/expand.js:651-661)
+        if expanded_property == "@index":
+            if not isinstance(value, str):
+                raise JsonLdError('"@index" must be a string.',
+                                  "invalid @index value")
+            add_value(rval, "@index", value)
+            continue
+
+        # @reverse (ref lib/expand.js:663-712)
+        if expanded_property == "@reverse":
+            if not isinstance(value, dict):
+                raise JsonLdError('"@reverse" value must be an object.',
+                                  "invalid @reverse value")
+            expanded = expand(active_ctx, value, "@reverse", options)
+            if isinstance(expanded, dict) and "@reverse" in expanded:
+                for prop, items in expanded["@reverse"].items():
+                    add_value(rval, prop, items, property_is_array=True)
+            if isinstance(expanded, dict):
+                reverse_map = rval.get("@reverse")
+                for prop, items in expanded.items():
+                    if prop == "@reverse":
+                        continue
+                    if reverse_map is None:
+                        reverse_map = rval["@reverse"] = {}
+                    add_value(reverse_map, prop, [], property_is_array=True)
+                    for item in items:
+                        if is_value(item) or is_list(item):
+                            raise JsonLdError(
+                                "@reverse value must not be @value/@list.",
+                                "invalid reverse property value")
+                        add_value(reverse_map, prop, item,
+                                  property_is_array=True)
+            continue
+
+        # @nest collection (ref lib/expand.js:715-718)
+        if expanded_property == "@nest":
+            nests.append(key)
+            continue
+
+        # regular property ------------------------------------------------
+        term_ctx = active_ctx
+        term_local_ctx = get_context_value(active_ctx, key, "@context")
+        if term_local_ctx is not None:
+            term_ctx = process_context(active_ctx, term_local_ctx, options,
+                                       propagate=True,
+                                       override_protected=True)
+
+        container = get_context_value(term_ctx, key, "@container") or []
+
+        if "@language" in container and isinstance(value, dict):
+            direction = get_context_value(term_ctx, key, "@direction")
+            expanded_value = _expand_language_map(term_ctx, value, direction,
+                                                  options)
+        elif "@index" in container and isinstance(value, dict):
+            as_graph = "@graph" in container
+            index_key = get_context_value(term_ctx, key, "@index") or "@index"
+            property_index = None
+            if index_key != "@index":
+                property_index = expand_iri(active_ctx, index_key, vocab=True)
+            expanded_value = _expand_index_map(
+                term_ctx, key, value, "@index", as_graph, options,
+                property_index=property_index)
+        elif "@id" in container and isinstance(value, dict):
+            as_graph = "@graph" in container
+            expanded_value = _expand_index_map(term_ctx, key, value, "@id",
+                                               as_graph, options)
+        elif "@type" in container and isinstance(value, dict):
+            expanded_value = _expand_index_map(term_ctx, key, value, "@type",
+                                               False, options)
+        else:
+            is_list_container = "@list" in container
+            if is_list_container or "@set" in container:
+                next_property = active_property
+                if is_list_container and expanded_property == "@graph":
+                    next_property = None
+                expanded_value = expand(term_ctx, value,
+                                        key, options,
+                                        inside_list=is_list_container)
+            elif get_context_value(term_ctx, key, "@type") == "@json":
+                expanded_value = {"@type": "@json", "@value": value}
+            else:
+                expanded_value = expand(term_ctx, value, key, options,
+                                        inside_list=False)
+
+        if expanded_value is None and expanded_property != "@value":
+            continue
+
+        # @list coercion (ref lib/expand.js:835-842)
+        if expanded_property != "@list" and not is_list(expanded_value) and \
+                "@list" in container:
+            expanded_value = {"@list": expanded_value if
+                              isinstance(expanded_value, list)
+                              else [expanded_value]}
+
+        # @graph container wrap (ref lib/expand.js:844-851)
+        if "@graph" in container and "@id" not in container and \
+                "@index" not in container:
+            ev = expanded_value if isinstance(expanded_value, list) \
+                else [expanded_value]
+            expanded_value = [
+                v if is_graph(v) else {"@graph": v if isinstance(v, list)
+                                       else [v]} for v in ev]
+
+        # reverse-term merge (ref lib/expand.js:853-868)
+        mapping = term_ctx["mappings"].get(key)
+        if mapping and mapping.get("reverse"):
+            reverse_map = rval.setdefault("@reverse", {})
+            ev = expanded_value if isinstance(expanded_value, list) \
+                else [expanded_value]
+            for item in ev:
+                if is_value(item) or is_list(item):
+                    raise JsonLdError(
+                        "@reverse value must not be @value/@list.",
+                        "invalid reverse property value")
+                add_value(reverse_map, expanded_property, item,
+                          property_is_array=True)
+        else:
+            use_array = expanded_property not in ("@index", "@id", "@type",
+                                                  "@value", "@language")
+            add_value(rval, expanded_property, expanded_value,
+                      property_is_array=use_array)
+
+    # @json direct-value check: if @value present alongside @type:@json via
+    # term coercion it was handled above.
+
+    # recurse into @nest keys (ref lib/expand.js:894-916)
+    for key in nests:
+        nested_values = element[key]
+        nested_values = nested_values if isinstance(nested_values, list) \
+            else [nested_values]
+        for nv in nested_values:
+            if not isinstance(nv, dict) or any(
+                    expand_iri(active_ctx, k, vocab=True) == "@value"
+                    for k in nv):
+                raise JsonLdError("nested value must be a node object.",
+                                  "invalid @nest value")
+            _expand_object(active_ctx, active_property, nv, rval, options,
+                           inside_list, type_key, type_scoped_context)
+
+
+def _expand_type(type_ctx, value, rval, options):
+    """@type expansion against the type-scoped context
+    (ref lib/expand.js:523-548)."""
+    vals = value if isinstance(value, list) else [value]
+    out = []
+    for v in vals:
+        if isinstance(v, str):
+            out.append(expand_iri(type_ctx, v, vocab=True, base=True))
+        elif options.get("isFrame") and isinstance(v, dict) and len(v) == 0:
+            out.append(v)
+        elif isinstance(v, dict) and "@default" in v and options.get("isFrame"):
+            out.append({"@default": expand_iri(type_ctx, v["@default"],
+                                               vocab=True, base=True)})
+        else:
+            raise JsonLdError('"@type" value must be a string.',
+                              "invalid type value")
+    if "@type" in rval:
+        existing = rval["@type"]
+        existing = existing if isinstance(existing, list) else [existing]
+        rval["@type"] = existing + out
+    else:
+        # scalar input stays scalar here; the dispatcher arrayifies node
+        # objects and value-object validation requires a plain string
+        rval["@type"] = out if isinstance(value, list) or len(out) != 1 \
+            else out[0]
+
+
+def _expand_value(active_ctx, active_property, value, options):
+    """Value Expansion (ref lib/expand.js:930-988)."""
+    if value is None:
+        return None
+    if active_property == "@default":
+        return value
+
+    type_ = get_context_value(active_ctx, active_property, "@type")
+
+    if type_ == "@id" and isinstance(value, str):
+        return {"@id": expand_iri(active_ctx, value, base=True)}
+    if type_ == "@vocab" and isinstance(value, str):
+        return {"@id": expand_iri(active_ctx, value, vocab=True, base=True)}
+    if is_keyword(active_property):
+        return value
+
+    rval = {"@value": value}
+
+    if type_ is not None and type_ not in ("@id", "@vocab", "@none"):
+        rval["@type"] = type_
+    elif isinstance(value, str):
+        language = get_context_value(active_ctx, active_property, "@language")
+        if language is not None:
+            rval["@language"] = language
+        direction = get_context_value(active_ctx, active_property, "@direction")
+        if direction is not None:
+            rval["@direction"] = direction
+    return rval
+
+
+def _expand_language_map(active_ctx, language_map, direction, options):
+    """@container:@language maps (ref lib/expand.js:1000-1031)."""
+    rval = []
+    for key in sorted(language_map.keys()):
+        expanded_key = expand_iri(active_ctx, key, vocab=True)
+        vals = language_map[key]
+        vals = vals if isinstance(vals, list) else [vals]
+        for item in vals:
+            if item is None:
+                continue
+            if not isinstance(item, str):
+                raise JsonLdError("language map values must be strings.",
+                                  "invalid language map value")
+            val = {"@value": item}
+            if expanded_key != "@none":
+                if not BCP47_RE.match(key):
+                    pass  # warning only
+                val["@language"] = key.lower()
+            if direction:
+                val["@direction"] = direction
+            rval.append(val)
+    return rval
+
+
+def _expand_index_map(active_ctx, active_property, value, index_key, as_graph,
+                      options, property_index=None):
+    """@container:@index/@id/@type maps (ref lib/expand.js:1033-1125)."""
+    rval = []
+    for key in sorted(value.keys()):
+        ctx = None
+        if index_key in ("@id", "@type"):
+            ctx = get_context_value(active_ctx, key, "@context")
+        item_ctx = active_ctx
+        if ctx is not None:
+            item_ctx = process_context(active_ctx, ctx, options,
+                                       propagate=False)
+        expanded_key = expand_iri(item_ctx, key, vocab=True)
+        items = value[key]
+        items = items if isinstance(items, list) else [items]
+        expanded = expand(item_ctx, items, active_property, options,
+                          inside_list=False)
+        for item in expanded:
+            if as_graph and not is_graph(item):
+                item = {"@graph": [item]}
+            if index_key == "@index":
+                if expanded_key != "@none":
+                    if property_index is not None:
+                        index_value = _expand_value(active_ctx, "@index", key,
+                                                    options)
+                        add_value(item, property_index, index_value,
+                                  property_is_array=True, prepend=True)
+                        if is_value(item) and len(item) > 2:
+                            raise JsonLdError(
+                                "invalid value object with property-index.",
+                                "invalid value object")
+                    elif "@index" not in item:
+                        item["@index"] = key
+            elif index_key == "@id":
+                if expanded_key != "@none" and "@id" not in item:
+                    item["@id"] = expand_iri(active_ctx, key, base=True)
+            elif index_key == "@type":
+                if expanded_key != "@none":
+                    types = item.get("@type", [])
+                    types = types if isinstance(types, list) else [types]
+                    item["@type"] = [expanded_key] + types
+            rval.append(item)
+    return rval

@@ -1,0 +1,235 @@
+"""Node Map Generation, merging, flattening — JSON-LD 1.1 API §7/§8.
+
+Behavioral reference: lib/nodeMap.js:24-290, lib/flatten.js:24-38,
+lib/util.js:365-369,440-464 (relabelBlankNodes). From-scratch Python.
+
+Spark role (SURVEY.md §2.4): in the distributed pipeline this kernel runs
+per-document inside Arrow UDFs to *emit* (graph, subject, predicate,
+object) rows; the cross-document *merge* (this module's merge semantics:
+set-union of property values, first-writer-wins @index/@type union) is a
+Spark groupBy + dedup over those rows (operators/nodemap_merge.py).
+"""
+
+from __future__ import annotations
+
+import copy
+
+from .util import (
+    JsonLdError, IdentifierIssuer, add_value, is_keyword, is_value, is_list,
+    is_subject_reference, is_blank_node_id,
+)
+
+
+def create_merged_node_map(expanded, issuer: IdentifierIssuer | None = None):
+    """(ref lib/nodeMap.js:24-34)"""
+    issuer = issuer or IdentifierIssuer("_:b")
+    graphs = {"@default": {}}
+    create_node_map(expanded, graphs, "@default", issuer)
+    return merge_node_maps(graphs)
+
+
+def create_node_map(input_, graphs: dict, graph: str,
+                    issuer: IdentifierIssuer, name: str | None = None,
+                    list_: dict | None = None):
+    """Node Map Generation (ref lib/nodeMap.js:47-223)."""
+    if isinstance(input_, list):
+        for node in input_:
+            create_node_map(node, graphs, graph, issuer, None, list_)
+        return
+
+    if not isinstance(input_, dict):
+        if list_ is not None:
+            list_["@list"].append(input_)
+        return
+
+    # value objects (ref lib/nodeMap.js:62-82)
+    if is_value(input_):
+        if "@type" in input_:
+            type_ = input_["@type"]
+            if isinstance(type_, str) and type_.startswith("_:"):
+                input_["@type"] = type_ = issuer.get_id(type_)
+        if list_ is not None:
+            list_["@list"].append(input_)
+        return
+
+    if is_list(input_):
+        result = {"@list": []}
+        create_node_map(input_["@list"], graphs, graph, issuer, name, result)
+        if list_ is not None:
+            list_["@list"].append(result)
+        return
+
+    # node object ---------------------------------------------------------
+    # relabel bnode @type values first (ref lib/nodeMap.js:87-94)
+    if "@type" in input_:
+        types = input_["@type"]
+        new_types = []
+        for t in (types if isinstance(types, list) else [types]):
+            if isinstance(t, str) and t.startswith("_:"):
+                t = issuer.get_id(t)
+            new_types.append(t)
+        input_["@type"] = new_types if isinstance(types, list) else new_types[0]
+
+    if name is None:
+        name = input_.get("@id")
+        if name is None or is_blank_node_id(name):
+            name = issuer.get_id(name)
+
+    subjects = graphs.setdefault(graph, {})
+    subject = subjects.setdefault(name, {"@id": name})
+
+    if list_ is not None:
+        list_["@list"].append({"@id": name})
+
+    for property_ in sorted(input_.keys()):  # sorted (ref lib/nodeMap.js:111)
+        objects = input_[property_]
+
+        if property_ == "@id":
+            continue
+
+        # @reverse: invert onto the object node (ref lib/nodeMap.js:119-135)
+        if property_ == "@reverse":
+            referenced_node = {"@id": name}
+            reverse_map = input_["@reverse"]
+            for reverse_property, items in reverse_map.items():
+                for item in items:
+                    item_name = item.get("@id")
+                    if item_name is None or is_blank_node_id(item_name):
+                        item_name = issuer.get_id(item_name)
+                    create_node_map(item, graphs, graph, issuer, item_name)
+                    add_value(subjects[item_name], reverse_property,
+                              referenced_node, property_is_array=True,
+                              allow_duplicate=False)
+            continue
+
+        # @graph: recurse with graph = name (ref lib/nodeMap.js:139-145)
+        if property_ == "@graph":
+            graphs.setdefault(name, {})
+            g = graph if graph == "@merged" else name
+            create_node_map(objects, graphs, g, issuer)
+            continue
+
+        # @included (ref lib/nodeMap.js:149-151)
+        if property_ == "@included":
+            create_node_map(objects, graphs, graph, issuer)
+            continue
+
+        # other keywords copied (ref lib/nodeMap.js:154-166)
+        if property_ != "@type" and is_keyword(property_):
+            if property_ == "@index" and "@index" in subject and \
+                    (input_["@index"] != subject["@index"] or
+                     (isinstance(input_["@index"], dict) and
+                      input_["@index"].get("@id") !=
+                      subject["@index"].get("@id"))):
+                raise JsonLdError("conflicting @index property detected.",
+                                  "conflicting indexes")
+            subject[property_] = input_[property_]
+            continue
+
+        # bnode property (generalized RDF); relabel (ref lib/nodeMap.js:170-178)
+        prop_out = property_
+        if is_blank_node_id(property_):
+            prop_out = issuer.get_id(property_)
+
+        if property_ == "@type":
+            for type_ in (objects if isinstance(objects, list) else [objects]):
+                add_value(subject, "@type", type_, property_is_array=True,
+                          allow_duplicate=False)
+            continue
+
+        if not isinstance(objects, list):
+            objects = [objects]
+
+        for o in objects:
+            if isinstance(o, dict) and not is_value(o) and not is_list(o):
+                # node or subject reference (ref lib/nodeMap.js:182-205)
+                id_ = o.get("@id")
+                if id_ is None or is_blank_node_id(id_):
+                    id_ = issuer.get_id(id_)
+                create_node_map(o, graphs, graph, issuer, id_)
+                add_value(subject, prop_out, {"@id": id_},
+                          property_is_array=True, allow_duplicate=False)
+            elif is_list(o):
+                result = {"@list": []}
+                create_node_map(o["@list"], graphs, graph, issuer, name,
+                                result)
+                add_value(subject, prop_out, result, property_is_array=True,
+                          allow_duplicate=False)
+            else:
+                # value object (relabel bnode @type handled in recursion)
+                create_node_map(o, graphs, graph, issuer, name)
+                add_value(subject, prop_out, o, property_is_array=True,
+                          allow_duplicate=False)
+
+
+def merge_node_maps(graphs: dict) -> dict:
+    """Fold named graphs into the default graph (ref lib/nodeMap.js:262-290).
+    Graph names and node ids iterated sorted — determinism contract."""
+    default_graph = graphs.get("@default", {})
+    for graph_name in sorted(graphs.keys()):
+        if graph_name == "@default":
+            continue
+        node_map = graphs[graph_name]
+        subject = default_graph.setdefault(graph_name, {"@id": graph_name})
+        graph_entry = subject.setdefault("@graph", [])
+        for id_ in sorted(node_map.keys()):
+            node = node_map[id_]
+            if not is_subject_reference(node):
+                graph_entry.append(node)
+    return default_graph
+
+
+def merge_node_map_graphs(graphs: dict) -> dict:
+    """Merge all graphs' nodes by id (for @merged framing;
+    ref lib/nodeMap.js:233-260)."""
+    merged = {}
+    for name in sorted(graphs.keys()):
+        for id_ in sorted(graphs[name].keys()):
+            node = graphs[name][id_]
+            merged_node = merged.setdefault(id_, {"@id": id_})
+            for property_ in sorted(node.keys()):
+                if is_keyword(property_) and property_ != "@type":
+                    merged_node[property_] = copy.deepcopy(node[property_])
+                else:
+                    for value in node[property_] if \
+                            isinstance(node[property_], list) \
+                            else [node[property_]]:
+                        add_value(merged_node, property_,
+                                  copy.deepcopy(value),
+                                  property_is_array=True,
+                                  allow_duplicate=False)
+    return merged
+
+
+def flatten(expanded) -> list:
+    """Flattening (ref lib/flatten.js:24-38): merged node map → sorted array
+    of nodes that are not bare subject references."""
+    default_graph = create_merged_node_map(expanded)
+    flattened = []
+    for key in sorted(default_graph.keys()):
+        node = default_graph[key]
+        if not is_subject_reference(node):
+            flattened.append(node)
+    return flattened
+
+
+def relabel_blank_nodes(element, issuer: IdentifierIssuer | None = None):
+    """Rewrite every blank-node label via the issuer
+    (ref lib/util.js:365-369,440-464)."""
+    issuer = issuer or IdentifierIssuer("_:b")
+
+    def _relabel(el):
+        if isinstance(el, list):
+            return [_relabel(e) for e in el]
+        if isinstance(el, dict):
+            out = {}
+            for k, v in el.items():
+                if k == "@id" and isinstance(v, str) and \
+                        is_blank_node_id(v):
+                    out[k] = issuer.get_id(v)
+                else:
+                    out[k] = _relabel(v)
+            return out
+        return el
+
+    return _relabel(element)

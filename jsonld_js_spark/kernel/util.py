@@ -1,0 +1,499 @@
+"""Shared utilities for the JSON-LD kernel.
+
+Pure Python, zero Spark imports. This module re-implements, from the
+public W3C JSON-LD 1.1 specs and from behavioral study of the reference
+(theowenyoung/jsonld.js), the small helper layer the algorithms need:
+
+- keyword / IRI / blank-node classification   (ref: lib/context.js:1473-1508,
+  lib/url.js:280-291, lib/graphTypes.js:106-119)
+- RFC 3986 relative-IRI resolution            (ref: lib/url.js:63-145,230-274)
+- blank-node identifier issuer                (ref: rdf-canonize IdentifierIssuer
+  contract, used at lib/nodeMap.js:28, lib/toRdf.js:50 — stripped in the
+  fork, re-specified in SURVEY.md header)
+- JSON-LD value equality / set-insert         (ref: lib/util.js:249-306,385-409)
+- canonical xsd:double / xsd:integer lexical forms (ref: lib/toRdf.js:230-261,
+  lib/types.js:35-56)
+- JCS (RFC 8785) canonical JSON serialization (ref: npm `canonicalize`,
+  used at lib/toRdf.js:9,231-233)
+
+All code here is written from scratch against the public specs; the
+reference citations only document *what* behavior is matched.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+
+# --- constants (W3C JSON-LD 1.1 / RDF 1.1 vocabularies) ---------------------
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+RDF_TYPE = RDF + "type"
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+RDF_LANGSTRING = RDF + "langString"
+RDF_JSON_LITERAL = RDF + "JSON"
+
+XSD_STRING = XSD + "string"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_INTEGER = XSD + "integer"
+XSD_DOUBLE = XSD + "double"
+
+# closed keyword list (JSON-LD 1.1 §9; ref lib/context.js:1473-1508)
+KEYWORDS = frozenset([
+    "@base", "@container", "@context", "@default", "@direction", "@embed",
+    "@explicit", "@graph", "@id", "@import", "@included", "@index", "@json",
+    "@language", "@list", "@nest", "@none", "@omitDefault", "@prefix",
+    "@preserve", "@propagate", "@protected", "@requireAll", "@reverse",
+    "@set", "@type", "@value", "@version", "@vocab",
+])
+
+# anything matching @[a-zA-Z]+ is "keyword-like" and ignored as a term
+_KEYWORD_FORM_RE = re.compile(r"^@[A-Za-z]+$")
+
+# absolute IRI: scheme ":" hier-part (ref lib/url.js:280-291 uses a similar
+# pragmatic regex rather than a full RFC 3987 grammar)
+_ABSOLUTE_IRI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+\-.]*):[^\s]*$")
+
+# BCP47 (well-formed, pragmatic; ref lib/expand.js:44)
+BCP47_RE = re.compile(
+    r"^[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*$"
+)
+
+
+class JsonLdError(Exception):
+    """Processing error with a spec error code (ref lib/JsonLdError.js)."""
+
+    def __init__(self, message: str, code: str = "invalid JSON-LD syntax"):
+        super().__init__(f"{code}: {message}")
+        self.code = code
+        self.message = message
+
+
+def is_keyword(value) -> bool:
+    return isinstance(value, str) and value in KEYWORDS
+
+
+def is_keyword_form(value) -> bool:
+    """True for @-words that look like keywords (term defs for these are
+    ignored with a warning per JSON-LD 1.1; ref lib/context.js:470-478)."""
+    return isinstance(value, str) and bool(_KEYWORD_FORM_RE.match(value))
+
+
+def is_absolute_iri(value) -> bool:
+    return isinstance(value, str) and bool(_ABSOLUTE_IRI_RE.match(value))
+
+
+def is_blank_node_id(value) -> bool:
+    return isinstance(value, str) and value.startswith("_:")
+
+
+def is_relative_iri(value) -> bool:
+    return isinstance(value, str) and not is_keyword(value) and \
+        not is_absolute_iri(value)
+
+
+# --- object-shape discriminators (ref lib/graphTypes.js:18-119) --------------
+
+def is_scalar(v) -> bool:
+    return isinstance(v, (str, int, float, bool)) and not isinstance(v, bool) \
+        or isinstance(v, bool)
+
+
+def is_value(v) -> bool:
+    return isinstance(v, dict) and "@value" in v
+
+
+def is_list(v) -> bool:
+    return isinstance(v, dict) and "@list" in v
+
+
+def is_graph(v) -> bool:
+    """Graph object: has @graph and only @id/@index as other keys
+    (ref lib/graphTypes.js:84-94)."""
+    return isinstance(v, dict) and "@graph" in v and \
+        len([k for k in v if k not in ("@id", "@index")]) == 1
+
+
+def is_simple_graph(v) -> bool:
+    return is_graph(v) and "@id" not in v
+
+
+def is_subject(v) -> bool:
+    """Node object (ref lib/graphTypes.js:18-32)."""
+    return isinstance(v, dict) and "@value" not in v and "@set" not in v \
+        and "@list" not in v and (len(v) > 1 or "@id" not in v)
+
+
+def is_subject_reference(v) -> bool:
+    return isinstance(v, dict) and len(v) == 1 and "@id" in v
+
+
+def is_default_object(v) -> bool:
+    return isinstance(v, dict) and "@default" in v
+
+
+def is_node_object(v) -> bool:
+    return is_subject(v) or is_subject_reference(v)
+
+
+def is_empty_object(v) -> bool:
+    return isinstance(v, dict) and len(v) == 0
+
+
+# --- RFC 3986 resolution (ref lib/url.js) ------------------------------------
+
+_IRI_PARSE_RE = re.compile(
+    r"^(?:([^:/?#]+):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+
+
+def parse_iri(iri: str):
+    m = _IRI_PARSE_RE.match(iri)
+    scheme, authority, path, query, fragment = m.groups()
+    return {
+        "scheme": scheme,
+        "authority": authority,
+        "path": path or "",
+        "query": query,
+        "fragment": fragment,
+    }
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 (ref lib/url.js:230-274)."""
+    if not path:
+        return ""
+    output = []
+    inp = path.split("/")
+    while inp:
+        seg = inp.pop(0)
+        done = len(inp) == 0
+        if seg == ".":
+            if done:
+                output.append("")
+            continue
+        if seg == "..":
+            if output:
+                output.pop()
+            if done:
+                output.append("")
+            continue
+        output.append(seg)
+    if path.startswith("/") and output and output[0] != "":
+        output.insert(0, "")
+    if len(output) == 1 and output[0] == "":
+        return "/"
+    return "/".join(output)
+
+
+def prepend_base(base, iri: str) -> str:
+    """Resolve `iri` against `base` per RFC 3986 §5.2.2
+    (ref lib/url.js:63-145)."""
+    if base is None:
+        return iri
+    if is_absolute_iri(iri):
+        return iri
+    if isinstance(base, str):
+        base = parse_iri(base)
+    rel = parse_iri(iri)
+    transform = {"protocol": (base["scheme"] + ":") if base["scheme"] else ""}
+    if rel["authority"] is not None:
+        transform["authority"] = rel["authority"]
+        path = remove_dot_segments(rel["path"])
+        query = rel["query"]
+    else:
+        transform["authority"] = base["authority"]
+        if rel["path"] == "":
+            path = base["path"]
+            query = rel["query"] if rel["query"] is not None else base["query"]
+        else:
+            if rel["path"].startswith("/"):
+                path = remove_dot_segments(rel["path"])
+            else:
+                bpath = base["path"]
+                if base["authority"] is not None and bpath == "":
+                    path = "/" + rel["path"]
+                else:
+                    pos = bpath.rfind("/")
+                    merged = (bpath[: pos + 1] if pos >= 0 else "") + rel["path"]
+                    path = merged
+                path = remove_dot_segments(path)
+            query = rel["query"]
+    out = transform["protocol"]
+    if transform["authority"] is not None:
+        out += "//" + transform["authority"]
+    out += path
+    if query is not None:
+        out += "?" + query
+    if rel["fragment"] is not None:
+        out += "#" + rel["fragment"]
+    if out == "":
+        out = "./"
+    return out
+
+
+def remove_base(base, iri: str) -> str:
+    """Make `iri` relative to `base` where possible (ref lib/url.js:155-223).
+    Used only by compaction."""
+    if base is None:
+        return iri
+    if isinstance(base, str):
+        base_parsed = parse_iri(base)
+    else:
+        base_parsed = base
+    root = ""
+    if base_parsed["scheme"]:
+        root += base_parsed["scheme"] + ":"
+    if base_parsed["authority"] is not None:
+        root += "//" + base_parsed["authority"]
+    if not iri.startswith(root):
+        return iri
+    base_path = base_parsed["path"]
+    parsed = parse_iri(iri)
+    if parsed["scheme"] != base_parsed["scheme"] or \
+            parsed["authority"] != base_parsed["authority"]:
+        return iri
+    base_segs = base_path.split("/")
+    iri_segs = parsed["path"].split("/")
+    keep = 1 if parsed["fragment"] is not None or parsed["query"] is not None \
+        else 0
+    while base_segs and len(iri_segs) > keep:
+        if base_segs[0] != iri_segs[0]:
+            break
+        base_segs.pop(0)
+        iri_segs.pop(0)
+    rval = ""
+    if base_segs:
+        base_segs.pop()  # last segment is the base document name
+        rval += "../" * len(base_segs)
+    rval += "/".join(iri_segs)
+    if parsed["query"] is not None:
+        rval += "?" + parsed["query"]
+    if parsed["fragment"] is not None:
+        rval += "#" + parsed["fragment"]
+    if rval == "":
+        rval = "./"
+    return rval
+
+
+# --- blank-node issuer --------------------------------------------------------
+
+class IdentifierIssuer:
+    """Stable old→new identifier map issuing `prefix0, prefix1, …` in
+    first-encounter order (public rdf-canonize contract; the fork strips the
+    dependency — see SURVEY.md header — so this is a from-scratch impl)."""
+
+    __slots__ = ("prefix", "counter", "existing", "order")
+
+    def __init__(self, prefix: str = "_:b"):
+        self.prefix = prefix
+        self.counter = 0
+        self.existing: dict = {}
+        self.order: list = []
+
+    def get_id(self, old=None) -> str:
+        if old is not None and old in self.existing:
+            return self.existing[old]
+        identifier = f"{self.prefix}{self.counter}"
+        self.counter += 1
+        if old is not None:
+            self.existing[old] = identifier
+            self.order.append(old)
+        return identifier
+
+    def has_id(self, old) -> bool:
+        return old in self.existing
+
+
+# --- JSON-LD value equality + set-semantics insert ---------------------------
+
+def compare_values(v1, v2) -> bool:
+    """JSON-LD value equality (ref lib/util.js:385-409)."""
+    if v1 is v2 or v1 == v2 and type(v1) is type(v2):
+        if not isinstance(v1, dict):
+            return True
+    if is_value(v1) and is_value(v2) and \
+            v1.get("@value") == v2.get("@value") and \
+            v1.get("@type") == v2.get("@type") and \
+            v1.get("@language") == v2.get("@language") and \
+            v1.get("@index") == v2.get("@index"):
+        return True
+    if isinstance(v1, dict) and "@id" in v1 and \
+            isinstance(v2, dict) and "@id" in v2:
+        return v1["@id"] == v2["@id"]
+    return False
+
+
+def has_value(subject: dict, prop: str, value) -> bool:
+    if prop not in subject:
+        return False
+    existing = subject[prop]
+    if is_list(existing):
+        existing = existing["@list"]
+    if isinstance(existing, list):
+        return any(compare_values(value, e) for e in existing)
+    return compare_values(value, existing)
+
+
+def add_value(subject: dict, prop: str, value, *, property_is_array=False,
+              value_is_array=False, allow_duplicate=True, prepend=False):
+    """Set-semantics property insert (ref lib/util.js:249-306)."""
+    if value_is_array:
+        subject[prop] = value
+        return
+    if isinstance(value, list):
+        if len(value) == 0 and property_is_array and prop not in subject:
+            subject[prop] = []
+        for v in value:
+            add_value(subject, prop, v, property_is_array=property_is_array,
+                      allow_duplicate=allow_duplicate, prepend=prepend)
+        return
+    if prop in subject:
+        has_v = not allow_duplicate and has_value(subject, prop, value)
+        if not isinstance(subject[prop], list) and \
+                (not has_v or property_is_array):
+            subject[prop] = [subject[prop]]
+        if not has_v:
+            if prepend:
+                subject[prop].insert(0, value)
+            else:
+                subject[prop].append(value)
+    else:
+        subject[prop] = [value] if property_is_array else value
+
+
+# --- canonical literal lexical forms -----------------------------------------
+
+def is_double(v) -> bool:
+    return isinstance(v, float) and not isinstance(v, bool)
+
+
+def is_integer_number(v) -> bool:
+    """JS `types.isInteger`-equivalent over parsed-JSON values: Python int
+    (non-bool) with |v| < 1e21 (ref lib/types.js:35-56, lib/toRdf.js:244)."""
+    return isinstance(v, int) and not isinstance(v, bool) and abs(v) < 1e21
+
+
+def canonical_double(value: float) -> str:
+    """Canonical xsd:double lexical form, byte-identical to the reference's
+    `value.toExponential(15).replace(/(\\d)0*e\\+?/, '$1E')`
+    (ref lib/toRdf.js:237-243). e.g. 1.1 → '1.1E0', 1.0 → '1.0E0',
+    4e-7 → '4.0E-7', 123.45 → '1.2345E2'."""
+    if math.isnan(value):
+        return "NaN"
+    if math.isinf(value):
+        return "INF" if value > 0 else "-INF"
+    s = f"{value:.15e}"  # e.g. '1.100000000000000e+00'
+    mant, exp = s.split("e")
+    exp_i = int(exp)
+    js = f"{mant}e{'+' if exp_i >= 0 else ''}{exp_i}"
+    return re.sub(r"(\d)0*e\+?", r"\1E", js, count=1)
+
+
+def canonical_integer(value) -> str:
+    """xsd:integer lexical form — JS `toFixed(0)` (ref lib/toRdf.js:244-246)."""
+    return str(int(value))
+
+
+# --- JCS: RFC 8785 canonical JSON (ref npm `canonicalize`) --------------------
+
+def _es6_number(value) -> str:
+    """ECMA-262 Number::toString(10) — the serialization JCS requires."""
+    if isinstance(value, int) and not isinstance(value, bool):
+        return str(value)
+    if value != value or math.isinf(value):
+        raise JsonLdError("NaN/Infinity not allowed in JSON", "invalid JSON literal")
+    if value == 0:
+        return "0"
+    # shortest round-trip digits
+    r = repr(float(value))
+    if "e" in r or "E" in r:
+        mant, _, exp = r.partition("e")
+        exp_i = int(exp)
+    else:
+        mant, exp_i = r, 0
+    neg = mant.startswith("-")
+    if neg:
+        mant = mant[1:]
+    if "." in mant:
+        int_part, frac = mant.split(".")
+    else:
+        int_part, frac = mant, ""
+    digits = (int_part + frac).lstrip("0")
+    # decimal exponent k s.t. value = 0.digits * 10^(k)
+    point = len(int_part) - (len(int_part + frac) - len(digits)) + exp_i
+    digits = digits.rstrip("0") or "0"
+    n = len(digits)
+    # ECMA-262 7.1.12.1 ToString applied to Number
+    if n <= point <= 21:
+        out = digits + "0" * (point - n)
+    elif 0 < point <= 21:
+        out = digits[:point] + "." + digits[point:]
+    elif -6 < point <= 0:
+        out = "0." + "0" * (-point) + digits
+    else:
+        e = point - 1
+        mantissa = digits[0] + ("." + digits[1:] if n > 1 else "")
+        out = f"{mantissa}e{'+' if e >= 0 else '-'}{abs(e)}"
+    return ("-" if neg else "") + out
+
+
+def _jcs_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == "\b":
+            out.append("\\b")
+        elif ch == "\f":
+            out.append("\\f")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        elif o < 0x20:
+            out.append(f"\\u{o:04x}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _utf16_key(s: str):
+    b = s.encode("utf-16-be")
+    return tuple(int.from_bytes(b[i:i + 2], "big") for i in range(0, len(b), 2))
+
+
+def jcs_canonicalize(value) -> str:
+    """RFC 8785 canonical JSON serialization, from scratch. Matches the npm
+    `canonicalize` package the reference uses for @json literals
+    (ref lib/toRdf.js:231-233)."""
+    if value is None:
+        return "null"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float)):
+        return _es6_number(value)
+    if isinstance(value, str):
+        return '"' + _jcs_escape(value) + '"'
+    if isinstance(value, list):
+        return "[" + ",".join(jcs_canonicalize(v) for v in value) + "]"
+    if isinstance(value, dict):
+        keys = sorted(value.keys(), key=_utf16_key)
+        return "{" + ",".join(
+            '"' + _jcs_escape(k) + '":' + jcs_canonicalize(value[k])
+            for k in keys) + "}"
+    raise JsonLdError(f"cannot canonicalize {type(value)}", "invalid JSON literal")
+
+
+def parse_json(value: str):
+    return json.loads(value)
