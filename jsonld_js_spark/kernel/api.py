@@ -154,12 +154,24 @@ def merge(docs, ctx=None, options=None):
     expanded_docs = [expand(d, options) for d in docs]
 
     graphs = {"@default": {}}
-    issuer = IdentifierIssuer("_:b")
+    issuer = options.get("issuer") or IdentifierIssuer("_:b")
     merge_nodes = options.get("mergeNodes", True)
     for i, expanded in enumerate(expanded_docs):
-        doc_issuer = issuer if len(expanded_docs) == 1 else \
-            IdentifierIssuer(f"_:b{i}-")
-        create_node_map(expanded, graphs, "@default", doc_issuer)
+        # uniquely relabel each doc's bnodes, then re-issue through the
+        # shared issuer inside createNodeMap (ref lib/jsonld.js:800-830)
+        doc = relabel_blank_nodes(expanded, IdentifierIssuer(f"_:b{i}-"))
+        _graphs = graphs if (merge_nodes or i == 0) else {"@default": {}}
+        create_node_map(doc, _graphs, "@default", issuer)
+        if _graphs is not graphs:
+            # merge document graphs but don't merge existing nodes
+            for graph_name, node_map in _graphs.items():
+                if graph_name not in graphs:
+                    graphs[graph_name] = node_map
+                    continue
+                target = graphs[graph_name]
+                for node_id, node in node_map.items():
+                    if node_id not in target:
+                        target[node_id] = node
 
     default_graph = merge_node_maps(graphs)
     flattened = []

@@ -360,6 +360,18 @@ def _expand_object(active_ctx, active_property, element, rval, options,
         elif "@type" in container and isinstance(value, dict):
             expanded_value = _expand_index_map(term_ctx, key, value, "@type",
                                                False, options)
+        elif expanded_property in ("@list", "@set"):
+            # recurse into the @list/@set keyword with the OUTER active
+            # property so term coercions apply to items
+            # (ref lib/expand.js:781-795)
+            is_kw_list = expanded_property == "@list"
+            next_property = active_property
+            if is_kw_list and isinstance(active_property, str) and \
+                    expand_iri(active_ctx, active_property,
+                               vocab=True) == "@graph":
+                next_property = None
+            expanded_value = expand(term_ctx, value, next_property, options,
+                                    inside_list=is_kw_list)
         else:
             is_list_container = "@list" in container
             if is_list_container or "@set" in container:
@@ -465,13 +477,26 @@ def _expand_value(active_ctx, active_property, value, options):
     if active_property == "@default":
         return value
 
+    # @id / @type active properties expand to bare IRIs
+    # (ref lib/expand.js:936-944)
+    expanded_property = expand_iri(active_ctx, active_property, vocab=True) \
+        if isinstance(active_property, str) else active_property
+    if expanded_property == "@id" and isinstance(value, str):
+        return expand_iri(active_ctx, value, base=True)
+    if expanded_property == "@type" and isinstance(value, str):
+        return expand_iri(active_ctx, value, vocab=True, base=True)
+
     type_ = get_context_value(active_ctx, active_property, "@type")
 
-    if type_ == "@id" and isinstance(value, str):
+    # @id coercion (automatic for @graph) (ref lib/expand.js:949-958)
+    if (type_ == "@id" or expanded_property == "@graph") and \
+            isinstance(value, str):
         return {"@id": expand_iri(active_ctx, value, base=True)}
     if type_ == "@vocab" and isinstance(value, str):
         return {"@id": expand_iri(active_ctx, value, vocab=True, base=True)}
-    if is_keyword(active_property):
+
+    # do not expand other keyword values (ref lib/expand.js:960-963)
+    if is_keyword(expanded_property):
         return value
 
     rval = {"@value": value}

@@ -1,0 +1,298 @@
+"""Generate conformance fixtures by running the reference jsonld.js.
+
+Runs each fixture input through the reference implementation at
+/root/reference (via a dependency-shimmed node harness, see
+tools/oracle_harness/) and commits the golden outputs under
+tests/fixtures/. The committed fixtures are what tests consume — node
+is only needed to (re)generate them.
+
+Coverage follows FIXTURES.md §2: term/CURIE/relative-IRI expansion,
+type coercion, @language/@direction, @list/@set, container maps,
+@reverse, @nest, @json literals, @graph, literal canonicalization,
+bnode relabeling, error cases.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HARNESS = os.path.join(REPO, "tools", "oracle_harness")
+FIXDIR = os.path.join(REPO, "tests", "fixtures")
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+EX = "http://example.com/"
+
+# Each case: name, ops to capture, input doc, optional context (for
+# flatten/compact), optional remote documents map, optional options.
+CASES = [
+    dict(
+        name="term-basic",
+        input={"@context": {"name": EX + "name", "age": EX + "age"},
+               "@id": EX + "a", "name": "Alice", "age": 30},
+    ),
+    dict(
+        name="vocab-and-curie",
+        input={"@context": {"@vocab": EX, "foaf": "http://xmlns.com/foaf/0.1/",
+                            "nick": "foaf:nick"},
+               "@id": EX + "a", "plain": "v", "nick": "al",
+               "foaf:knows": {"@id": EX + "b"}},
+    ),
+    dict(
+        name="base-relative-iri",
+        input={"@context": {"@base": "http://base.org/dir/", "@vocab": EX,
+                            "link": {"@id": EX + "link", "@type": "@id"}},
+               "@id": "doc1", "link": ["../up", "#frag", "sub/x", "//host.org/h"]},
+    ),
+    dict(
+        name="type-coercion",
+        input={"@context": {"@vocab": EX,
+                            "d": {"@id": EX + "d", "@type": XSD + "date"},
+                            "i": {"@id": EX + "i", "@type": XSD + "integer"},
+                            "r": {"@id": EX + "r", "@type": "@id"},
+                            "v": {"@id": EX + "v", "@type": "@vocab"}},
+               "@id": EX + "a", "d": "2026-01-01", "i": "5", "r": "http://t.org/x",
+               "v": "term"},
+    ),
+    dict(
+        name="native-literals",
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "int": 42, "neg": -7, "dbl": 1.1, "dbl2": 0.000125, "big": 1.0e21,
+               "boolT": True, "boolF": False, "zero": 0, "half": 0.5},
+    ),
+    dict(
+        name="language-tags",
+        input={"@context": {"@vocab": EX, "@language": "en",
+                            "fr": {"@id": EX + "fr", "@language": "FR"},
+                            "nolang": {"@id": EX + "nolang", "@language": None}},
+               "@id": EX + "a", "plain": "hello", "fr": "bonjour", "nolang": "raw",
+               "tagged": {"@value": "hola", "@language": "ES"}},
+    ),
+    dict(
+        name="lists-and-sets",
+        input={"@context": {"@vocab": EX,
+                            "lst": {"@id": EX + "lst", "@container": "@list"},
+                            "st": {"@id": EX + "st", "@container": "@set"}},
+               "@id": EX + "a", "lst": [1, "two", True], "st": ["x", "y"],
+               "empty": {"@list": []},
+               "nested": {"@list": [{"@list": [1]}, {"@list": []}]}},
+    ),
+    dict(
+        name="container-language-map",
+        input={"@context": {"@vocab": EX,
+                            "label": {"@id": EX + "label", "@container": "@language"}},
+               "@id": EX + "a", "label": {"en": "Queen", "de": ["Königin", "Frau"]}},
+    ),
+    dict(
+        name="container-index-map",
+        input={"@context": {"@vocab": EX,
+                            "athletes": {"@id": EX + "athletes", "@container": "@index"}},
+               "@id": EX + "a",
+               "athletes": {"guard": {"name": "A"}, "center": [{"name": "B"}]}},
+    ),
+    dict(
+        name="container-id-map",
+        input={"@context": {"@vocab": EX,
+                            "post": {"@id": EX + "post", "@container": "@id"}},
+               "@id": EX + "a",
+               "post": {EX + "p1": {"title": "T1"}, EX + "p2": {"title": "T2"}}},
+    ),
+    dict(
+        name="container-type-map",
+        input={"@context": {"@vocab": EX,
+                            "contains": {"@id": EX + "contains", "@container": "@type"}},
+               "@id": EX + "a",
+               "contains": {EX + "TypeA": {"@id": EX + "x"}, EX + "TypeB": {"@id": EX + "y"}}},
+    ),
+    dict(
+        name="container-graph",
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@id": EX + "claims", "@container": "@graph"}},
+               "@id": EX + "a", "claims": {"said": "something"}},
+    ),
+    dict(
+        name="reverse-property",
+        input={"@context": {"@vocab": EX,
+                            "children": {"@reverse": EX + "parent"}},
+               "@id": EX + "a",
+               "children": [{"@id": EX + "kid1"}, {"@id": EX + "kid2", "name": "K"}]},
+    ),
+    dict(
+        name="reverse-keyword",
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "@reverse": {"knows": {"@id": EX + "b", "name": "Bob"}}},
+    ),
+    dict(
+        name="nest",
+        input={"@context": {"@vocab": EX, "meta": "@nest",
+                            "inner": {"@id": EX + "inner", "@nest": "meta"}},
+               "@id": EX + "a", "meta": {"inner": "v", "other": "w"}},
+    ),
+    dict(
+        name="json-literal",
+        input={"@context": {"@vocab": EX,
+                            "cfg": {"@id": EX + "cfg", "@type": "@json"}},
+               "@id": EX + "a",
+               "cfg": {"z": 1, "a": [True, None, 2.5], "nested": {"k": "v"}}},
+    ),
+    dict(
+        name="named-graphs",
+        input={"@context": {"@vocab": EX}, "@id": EX + "g1",
+               "@graph": [{"@id": EX + "a", "name": "A",
+                           "knows": {"@id": EX + "b", "name": "B"}}],
+               "label": "graph one"},
+    ),
+    dict(
+        name="bnodes-nested",
+        input={"@context": {"@vocab": EX}, "@id": EX + "root",
+               "p": [{"q": {"r": "deep"}}, {"q": "shallow"}],
+               "named": {"@id": "_:custom", "s": "t"}},
+    ),
+    dict(
+        name="type-scoped-context",
+        input={"@context": {"@vocab": EX,
+                            "Person": {"@id": EX + "Person",
+                                       "@context": {"name": EX + "fullName"}}},
+               "@id": EX + "a", "@type": "Person", "name": "Alice"},
+    ),
+    dict(
+        name="property-scoped-context",
+        input={"@context": {"@vocab": EX,
+                            "detail": {"@id": EX + "detail",
+                                       "@context": {"x": EX + "scopedX"}}},
+               "@id": EX + "a", "detail": {"x": "v"}, "x": "top"},
+    ),
+    dict(
+        name="keyword-aliases",
+        input={"@context": {"id": "@id", "type": "@type", "value": "@value",
+                            "@vocab": EX},
+               "id": EX + "a", "type": EX + "T",
+               "prop": {"value": "v", "type": XSD + "token"}},
+    ),
+    dict(
+        name="graph-at-top",
+        input={"@context": {"@vocab": EX},
+               "@graph": [{"@id": EX + "a", "name": "A"},
+                          {"@id": EX + "b", "name": "B", "knows": {"@id": EX + "a"}}]},
+    ),
+    dict(
+        name="index-annotation",
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "prop": {"@value": "v", "@index": "idx0"}},
+    ),
+    dict(
+        name="value-direction",
+        input={"@context": {"@vocab": EX, "@direction": "rtl", "@language": "ar"},
+               "@id": EX + "a", "t": "مرحبا"},
+        options={"rdfDirection": "i18n-datatype"},
+    ),
+    dict(
+        name="remote-context",
+        input={"@context": "http://fixtures.test/ctx1.json",
+               "@id": EX + "a", "rname": "Remote"},
+        documents={"http://fixtures.test/ctx1.json":
+                   {"@context": {"rname": EX + "remoteName"}}},
+    ),
+    dict(
+        name="nested-remote-context",
+        input={"@context": "http://fixtures.test/ctx2.json",
+               "@id": EX + "a", "n2": "v"},
+        documents={
+            "http://fixtures.test/ctx2.json": {"@context": ["http://fixtures.test/ctx3.json", {"n2": EX + "nTwo"}]},
+            "http://fixtures.test/ctx3.json": {"@context": {"n3": EX + "nThree"}}},
+    ),
+    dict(
+        name="merge-docs",
+        op_override=["merge"],
+        input=[{"@context": {"@vocab": EX}, "@id": EX + "a", "name": "A",
+                "p": {"q": "bnode-in-doc1"}},
+               {"@context": {"@vocab": EX}, "@id": EX + "a", "name": "A2",
+                "p": {"q": "bnode-in-doc2"}}],
+    ),
+    dict(
+        name="free-floating-drop",
+        input={"@context": {"@vocab": EX},
+               "@graph": [{"@value": "dropped"}, {"@id": EX + "a", "name": "kept"},
+                          {"@id": EX + "ref-only"}]},
+    ),
+    dict(
+        name="relative-iri-skips",
+        input={"@context": {"@vocab": EX, "rel": {"@id": EX + "rel", "@type": "@id"}},
+               "@id": "relative-subject", "name": "has relative subject",
+               "rel": "also-relative"},
+    ),
+    dict(
+        name="expand-error-collision",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "bad": {"@value": "v", "@list": ["x"]}},
+    ),
+    dict(
+        name="compact-roundtrip",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX, "knows": {"@type": "@id"}},
+               "@id": EX + "a", "name": "Alice", "knows": [EX + "b", EX + "c"],
+               "@type": EX + "Person"},
+        context={"@vocab": EX, "knows": {"@type": "@id"}},
+    ),
+]
+
+
+def run_oracle(req: dict) -> dict:
+    env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
+    out = subprocess.run(
+        ["node", os.path.join(HARNESS, "oracle.js"), "/dev/stdin"],
+        input=json.dumps(req), capture_output=True, text=True, env=env, timeout=60)
+    if out.returncode != 0:
+        raise RuntimeError(f"oracle failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout)
+
+
+def main() -> None:
+    os.makedirs(FIXDIR, exist_ok=True)
+    manifest = []
+    for case in CASES:
+        name = case["name"]
+        ops = case.get("op_override", ["expand", "flatten", "toRDF"])
+        entry = {"name": name, "ops": {}}
+        with open(os.path.join(FIXDIR, f"{name}-in.json"), "w") as f:
+            json.dump(case["input"], f, indent=1, sort_keys=True)
+        if "context" in case:
+            with open(os.path.join(FIXDIR, f"{name}-context.json"), "w") as f:
+                json.dump(case["context"], f, indent=1, sort_keys=True)
+            entry["context"] = f"{name}-context.json"
+        if "documents" in case:
+            with open(os.path.join(FIXDIR, f"{name}-documents.json"), "w") as f:
+                json.dump(case["documents"], f, indent=1, sort_keys=True)
+            entry["documents"] = f"{name}-documents.json"
+        if "options" in case:
+            entry["options"] = case["options"]
+        for op in ops:
+            req_op = "expand" if op == "expand-error" else op
+            req = {"op": req_op, "input": case["input"],
+                   "options": case.get("options", {})}
+            if "documents" in case:
+                req["documents"] = case["documents"]
+            if req_op in ("flatten", "compact", "merge") and "context" in case:
+                req["context"] = case["context"]
+            res = run_oracle(req)
+            if op == "expand-error":
+                assert not res["ok"], f"{name}: expected error, got {res}"
+                entry["ops"][op] = {"error_code": res.get("code")}
+                continue
+            assert res["ok"], f"{name}/{op}: {res}"
+            outfile = f"{name}-{op}-out.json"
+            with open(os.path.join(FIXDIR, outfile), "w") as f:
+                json.dump(res["result"], f, indent=1, sort_keys=True)
+            entry["ops"][op] = {"expect": outfile}
+        manifest.append(entry)
+        print(f"generated {name}: {list(entry['ops'])}")
+    with open(os.path.join(FIXDIR, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(f"{len(manifest)} fixtures → {FIXDIR}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

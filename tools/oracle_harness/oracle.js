@@ -1,0 +1,62 @@
+// Conformance oracle: runs the reference jsonld.js on a JSON request.
+// Usage: node oracle.js <request.json>   → writes JSON result to stdout
+// request: {op: expand|flatten|toRDF|compact|fromRDF|merge, input, context?, options?}
+const util = require('/root/reference/lib/util.js');
+// The fork comments out rdf-canonize's IdentifierIssuer; restore the public contract.
+class IdentifierIssuer {
+  constructor(prefix) { this.prefix = prefix; this.counter = 0; this.existing = new Map(); }
+  getId(old) {
+    if (old && this.existing.has(old)) return this.existing.get(old);
+    const id = this.prefix + (this.counter++);
+    if (old) this.existing.set(old, id);
+    return id;
+  }
+  hasId(old) { return this.existing.has(old); }
+  clone() { const c = new IdentifierIssuer(this.prefix); c.counter = this.counter; c.existing = new Map(this.existing); return c; }
+  getOldIds() { return [...this.existing.keys()]; }
+}
+util.IdentifierIssuer = IdentifierIssuer;
+// lib/jsonld.js:800,806 reference the bare (commented-out) module const —
+// an unqualified identifier resolves via globalThis at runtime.
+globalThis.IdentifierIssuer = IdentifierIssuer;
+const jsonld = require('/root/reference/lib/index.js');
+const fs = require('fs');
+
+function termToJson(t) {
+  const o = {termType: t.termType, value: t.value};
+  if (t.termType === 'Literal') {
+    o.datatype = t.datatype ? t.datatype.value : null;
+    o.language = t.language || null;
+  }
+  return o;
+}
+
+async function main() {
+  const req = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+  const opts = Object.assign({documentLoader: async url => {
+    if (req.documents && req.documents[url]) {
+      return {contextUrl: null, documentUrl: url, document: req.documents[url]};
+    }
+    throw new Error('loading document failed: ' + url);
+  }}, req.options || {});
+  let result;
+  try {
+    if (req.op === 'expand') result = await jsonld.expand(req.input, opts);
+    else if (req.op === 'flatten') result = await jsonld.flatten(req.input, req.context || null, opts);
+    else if (req.op === 'compact') result = await jsonld.compact(req.input, req.context, opts);
+    else if (req.op === 'merge') result = await jsonld.merge(req.input, req.context || null, opts);
+    else if (req.op === 'fromRDF') {
+      result = await jsonld.fromRDF(req.input, opts); // input: dataset array
+    } else if (req.op === 'toRDF') {
+      const ds = await jsonld.toRDF(req.input, opts);
+      result = ds.map(q => ({
+        subject: termToJson(q.subject), predicate: termToJson(q.predicate),
+        object: termToJson(q.object), graph: termToJson(q.graph),
+      }));
+    } else throw new Error('bad op ' + req.op);
+    process.stdout.write(JSON.stringify({ok: true, result}));
+  } catch (e) {
+    process.stdout.write(JSON.stringify({ok: false, error: e.message, code: (e.details && e.details.code) || e.code || null}));
+  }
+}
+main();
