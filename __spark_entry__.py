@@ -1,38 +1,111 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+`queries()` exposes every implemented operator; `oracle_sql()` gives the
+DuckDB-equivalent SQL the driver runs side-by-side at sf=0.01.
 
+The KG-construction queries run over the deterministic synthetic
+transcript table (BASELINE.json input_hint — synthesized in-engine, see
+jsonld_js_spark/transcripts.py, byte-identical between Spark and
+DuckDB). Data-pipeline operators (dedup / similarity / text analysis)
+run over the driver-provided documents/embeddings parquet tables.
+"""
 from __future__ import annotations
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_CORRECTNESS = 0.01  # driver runs oracles at sf0.01
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _transcripts(spark: SparkSession, sf_dir: str):
+    from jsonld_js_spark.transcripts import transcripts_df
+    return transcripts_df(_utc(spark), sf_dir=sf_dir)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline (vectorized hot path) on
+    the sf0.001-scale transcript table."""
+    from jsonld_js_spark.pipeline import transcript_triples
+    return transcript_triples(_transcripts(spark, "/root/testdata/sf0.001"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def _q_triples(spark, sf_dir):
+    from jsonld_js_spark.pipeline import transcript_triples
+    return transcript_triples(_transcripts(spark, sf_dir))
+
+
+def _q_triples_kernel(spark, sf_dir):
+    from jsonld_js_spark.pipeline import kernel_transcript_triples
+    return kernel_transcript_triples(_transcripts(spark, sf_dir))
+
+
+def _q_entity_map(spark, sf_dir):
+    from jsonld_js_spark.pipeline import entity_canonical_map
+    return entity_canonical_map(_transcripts(spark, sf_dir))
+
+
+def _q_predicate_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from jsonld_js_spark.pipeline import transcript_triples
+    return (transcript_triples(_transcripts(spark, sf_dir))
+            .groupBy("pred").agg(
+                F.count("*").alias("n_triples"),
+                F.countDistinct("subj").alias("n_subjects"))
+            .orderBy("pred"))
+
+
+def _q_conv_sizes(spark, sf_dir):
+    from pyspark.sql import functions as F
+    t = _transcripts(spark, sf_dir)
+    return (t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.max("turn_idx").alias("max_turn_idx"))
+        .orderBy("conv_id"))
+
+
+def _q_mentions_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from jsonld_js_spark.pipeline import entity_canonical_map
+    m = entity_canonical_map(_transcripts(spark, sf_dir))
+    return (m.groupBy("canonical_iri")
+             .agg(F.sum("n_mentions").alias("n_mentions"))
+             .orderBy(F.desc("n_mentions"), "canonical_iri").limit(20))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jsonld_js_spark import operators
+    q = {
+        "kg_transcript_triples": _q_triples,
+        "kg_transcript_triples_kernel": _q_triples_kernel,
+        "kg_entity_canonical_map": _q_entity_map,
+        "kg_predicate_stats": _q_predicate_stats,
+        "kg_conv_sizes": _q_conv_sizes,
+        "kg_mentions_topk": _q_mentions_topk,
+    }
+    q.update(operators.queries())
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL)
+
+def _oracle_sql(n_conv: int) -> dict[str, str]:
+    from jsonld_js_spark import operators
+    from jsonld_js_spark.oracles import kg_oracles
+    out = kg_oracles(n_conv)
+    out.update(operators.oracle_sql())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jsonld_js_spark.transcripts import n_conv_for_sf
+    return _oracle_sql(n_conv_for_sf(SF_CORRECTNESS))

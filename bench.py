@@ -1,0 +1,146 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "queries": {name: sec}, "sf": ...}
+
+Default: headline queries at $SPARK_GRAFT_SF_DIR (sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The flagship metric is end-to-end
+triples/sec of the vectorized KG pipeline (BASELINE.json metric).
+
+--scaling additionally runs the identical flagship job at local[8] and
+local[32] on the same input and reports throughput at both plus the
+scaling efficiency eff = thrpt_32 / (4 * thrpt_8) (the sandbox stand-in
+for N vs 4N executors — see BASELINE.md), appending the evidence to
+BENCH/BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def make_spark(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("jsonld_js_spark-bench")
+            .config("spark.sql.shuffle.partitions",
+                    str(shuffle_partitions or max(cpus * 2, 8)))
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "16g")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+            .getOrCreate())
+
+
+def run_df(df) -> int:
+    """Force full execution without driver-side materialization."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def time_query(fn, spark, sf_dir) -> tuple[float, int]:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    return time.time() - t0, n
+
+
+def flagship_run(spark, sf_dir) -> tuple[float, int, int]:
+    """Full pipeline: generate → triples → dedup → count. Returns
+    (seconds, n_triples, n_turns)."""
+    from jsonld_js_spark.pipeline import transcript_triples
+    from jsonld_js_spark.transcripts import transcripts_df
+    t = transcripts_df(spark, sf_dir=sf_dir)
+    n_turns = t.count()
+    t0 = time.time()
+    n_triples = transcript_triples(t).count()
+    return time.time() - t0, n_triples, n_turns
+
+
+def scaling_evidence(sf_dir: str, sf: float) -> dict:
+    out = {}
+    for cpus in (8, 32):
+        spark = make_spark(cpus)
+        try:
+            flagship_run(spark, sf_dir)  # warm JVM/codegen
+            secs, n_triples, n_turns = flagship_run(spark, sf_dir)
+            out[f"local[{cpus}]"] = {
+                "seconds": round(secs, 3),
+                "triples": n_triples,
+                "turns": n_turns,
+                "triples_per_sec": round(n_triples / secs, 1),
+            }
+        finally:
+            spark.stop()
+    t8 = out["local[8]"]["triples_per_sec"]
+    t32 = out["local[32]"]["triples_per_sec"]
+    out["scaling_efficiency_8_to_32"] = round(t32 / (4 * t8), 3)
+    _write_bench_md(sf, out)
+    return out
+
+
+def _write_bench_md(sf: float, s: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        f"\n## Scaling evidence — sf={sf} ({s['local[8]']['turns']} turns, "
+        f"{s['local[8]']['triples']} triples)\n",
+        "| parallelism | wall (s) | triples/sec |",
+        "| --- | --- | --- |",
+        f"| local[8] (N) | {s['local[8]']['seconds']} | "
+        f"{s['local[8]']['triples_per_sec']} |",
+        f"| local[32] (4N) | {s['local[32]']['seconds']} | "
+        f"{s['local[32]']['triples_per_sec']} |",
+        f"\nscaling efficiency thrpt_4N/(4*thrpt_N) = "
+        f"**{s['scaling_efficiency_8_to_32']}** (target >= 0.8)\n",
+    ]
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from jsonld_js_spark.transcripts import sf_from_dir
+    sf = sf_from_dir(sf_dir)
+
+    import __spark_entry__ as entry
+    spark = make_spark(cpus)
+    queries = {}
+    try:
+        # flagship: end-to-end triples/sec (warm once at tiny scale to
+        # exclude JVM/codegen warmup from the measured run)
+        flagship_run(spark, "/root/testdata/sf0.001")
+        secs, n_triples, n_turns = flagship_run(spark, sf_dir)
+        queries["kg_transcript_triples"] = round(secs, 3)
+        tps = n_triples / secs
+
+        bench_names = [n for n in entry.queries()
+                       if n != "kg_transcript_triples"]
+        skip = set(os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(","))
+        for name in bench_names:
+            if name in skip:
+                continue
+            q_secs, _ = time_query(entry.queries()[name], spark, sf_dir)
+            queries[name] = round(q_secs, 3)
+    finally:
+        spark.stop()
+
+    result = {
+        "metric": "kg_pipeline_triples_per_sec",
+        "value": round(tps, 1),
+        "unit": "triples/sec",
+        "queries": queries,
+        "sf": sf,
+        "n_triples": n_triples,
+        "n_turns": n_turns,
+        "cpus": cpus,
+    }
+    if "--scaling" in sys.argv:
+        result["scaling"] = scaling_evidence(sf_dir, sf)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,22 @@
+"""Large-scale training-data pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing) over the documents/embeddings
+tables. Each module registers (query, oracle) pairs here."""
+from __future__ import annotations
+
+
+def queries() -> dict:
+    from . import dedup, similarity, textstats
+    out = {}
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(textstats.QUERIES)
+    return out
+
+
+def oracle_sql() -> dict:
+    from . import dedup, similarity, textstats
+    out = {}
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
+    out.update(textstats.ORACLES)
+    return out

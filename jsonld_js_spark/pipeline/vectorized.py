@@ -1,0 +1,145 @@
+"""Vectorized transcript→triples pipeline (the 100 TB hot path).
+
+The fixed transcript vocabulary means the reference's
+expand→createNodeMap→toRDF chain (ref lib/expand.js:68, lib/nodeMap.js:47,
+lib/toRdf.js:88) specializes to a per-row projection + explode:
+
+- every turn is a node with a deterministic IRI (no blank nodes on the
+  hot path → no issuer coordination across executors),
+- literal canonicalization (ref lib/toRdf.js:230-261) for our column
+  types is integer/string/dateTime formatting — plain column exprs,
+- node-map merge + quad dedup (ref lib/util.js:249-306 addValue with
+  allowDuplicate:false) is `dropDuplicates` over the 7 triple columns —
+  a partial-aggregate-friendly shuffle (identical rows collapse
+  map-side, so hot conversations don't create a hot reduce key).
+
+Everything stays inside whole-stage codegen; the only shuffle in the
+whole job is the final dedup.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..vocab import (
+    CONV_NS, ENT_NS, MENTION_RE, RDF_TYPE, TOOL_NS, TR,
+    XSD_DATETIME, XSD_INTEGER, XSD_STRING,
+)
+
+TRIPLE_COLUMNS = ["subj", "pred", "obj_value", "obj_termtype",
+                  "obj_datatype", "obj_language", "graph"]
+
+
+def _obj_struct(pred, value, termtype, datatype):
+    return F.struct(
+        pred.alias("pred"), value.alias("obj_value"),
+        termtype.alias("obj_termtype"), datatype.alias("obj_datatype"))
+
+
+def transcript_triples(transcripts: DataFrame,
+                       dedup: bool = True) -> DataFrame:
+    """(conv_id, turn_idx, role, text, tool, ts) → deduplicated triple
+    table (subj, pred, obj_value, obj_termtype, obj_datatype,
+    obj_language, graph), graph='' (default graph, ref lib/toRdf.js:59).
+    """
+    lit = F.lit
+    conv_iri = F.concat(lit(CONV_NS), F.col("conv_id"))
+    turn_iri = F.concat(conv_iri, lit("/turn/"),
+                        F.col("turn_idx").cast("string"))
+    ts_lex = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+    named = lit("NamedNode")
+    literal = lit("Literal")
+    no_dt = lit(None).cast("string")
+
+    # per-turn predicate/object pairs (subject = the turn IRI)
+    turn_objs = F.array_compact(F.array(
+        _obj_struct(lit(RDF_TYPE), lit(TR + "Turn"), named, no_dt),
+        _obj_struct(lit(TR + "role"), F.col("role"), literal,
+                    lit(XSD_STRING)),
+        _obj_struct(lit(TR + "text"), F.col("text"), literal,
+                    lit(XSD_STRING)),
+        _obj_struct(lit(TR + "turnIndex"),
+                    F.col("turn_idx").cast("string"), literal,
+                    lit(XSD_INTEGER)),
+        _obj_struct(lit(TR + "ts"), ts_lex, literal, lit(XSD_DATETIME)),
+        F.when(F.col("tool").isNotNull(), _obj_struct(
+            lit(TR + "usesTool"), F.concat(lit(TOOL_NS), F.col("tool")),
+            named, no_dt)),
+    ))
+
+    base = transcripts.select(
+        conv_iri.alias("conv_iri"), turn_iri.alias("turn_iri"),
+        F.col("turn_idx"), F.col("text"), turn_objs.alias("objs"))
+
+    turn_triples = base.select(
+        F.col("turn_iri").alias("subj"), F.explode("objs").alias("o"),
+    ).select("subj", "o.pred", "o.obj_value", "o.obj_termtype",
+             "o.obj_datatype")
+
+    # mention detection: JVM-side regex; entity linking = canonical-form
+    # IRI resolution (surface 'entity12'/'Entity12' → ent:Entity12)
+    mentions = base.select(
+        F.col("turn_iri").alias("subj"),
+        F.explode(F.regexp_extract_all("text", lit(MENTION_RE), 1))
+         .alias("surface"),
+    ).select(
+        "subj", F.lit(TR + "mentions").alias("pred"),
+        F.concat(lit(ENT_NS), lit("Entity"),
+                 F.regexp_extract("surface", r"[0-9]+", 0))
+         .alias("obj_value"),
+        F.lit("NamedNode").alias("obj_termtype"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+
+    # conversation-level triples: hasTurn per turn; the conv type triple
+    # rides on turn 0 (every conversation has one) → no extra shuffle
+    conv_triples = base.select(
+        F.col("conv_iri").alias("subj"),
+        F.lit(TR + "hasTurn").alias("pred"),
+        F.col("turn_iri").alias("obj_value"),
+        F.lit("NamedNode").alias("obj_termtype"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    ).unionAll(base.filter(F.col("turn_idx") == 0).select(
+        F.col("conv_iri").alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(TR + "Conversation").alias("obj_value"),
+        F.lit("NamedNode").alias("obj_termtype"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    ))
+
+    triples = turn_triples.unionAll(mentions).unionAll(conv_triples).select(
+        "subj", "pred", "obj_value", "obj_termtype", "obj_datatype",
+        F.lit(None).cast("string").alias("obj_language"),
+        F.lit("").alias("graph"))
+
+    if dedup:
+        # node-map set-semantics merge (ref lib/util.js:249-306)
+        triples = triples.dropDuplicates(TRIPLE_COLUMNS)
+    return triples
+
+
+def entity_canonical_map(transcripts: DataFrame) -> DataFrame:
+    """Distinct mention surface forms → canonical entity IRI + link
+    score (exact surface 1.0, case-variant 0.9). Output:
+    (surface, canonical_iri, link_score, n_mentions).
+
+    Hot entities make `surface` a skewed key; the count uses a salted
+    two-phase aggregation (SURVEY.md §4) so no reducer sees a full hot
+    key's rows.
+    """
+    surfaces = transcripts.select(
+        F.explode(F.regexp_extract_all("text", F.lit(MENTION_RE), 1))
+         .alias("surface"))
+    salted = surfaces.groupBy(
+        "surface", (F.spark_partition_id() % 16).alias("_salt"),
+    ).agg(F.count("*").alias("_c"))
+    counts = salted.groupBy("surface").agg(F.sum("_c").alias("n_mentions"))
+    canonical = F.concat(F.lit("Entity"),
+                         F.regexp_extract("surface", r"[0-9]+", 0))
+    return counts.select(
+        "surface",
+        F.concat(F.lit(ENT_NS), canonical).alias("canonical_iri"),
+        F.when(F.col("surface") == canonical, F.lit(1.0))
+         .otherwise(F.lit(0.9)).alias("link_score"),
+        "n_mentions")

@@ -1,0 +1,106 @@
+"""End-to-end pipeline tests: vectorized path ≡ kernel path ≡ DuckDB
+oracle SQL, plus the per-turn text-equality invariant (input_hint)."""
+from __future__ import annotations
+
+import pytest
+
+from jsonld_js_spark.pipeline import (
+    entity_canonical_map, kernel_transcript_triples, transcript_triples,
+)
+from jsonld_js_spark.transcripts import transcripts_df, transcripts_sql
+from jsonld_js_spark.vocab import TR
+
+N_CONV = 120  # includes hot conversations (i % 97 == 0) and case variants
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = transcripts_df(spark, n_conv=N_CONV).cache()
+    df.count()
+    return df
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_vectorized_matches_kernel_path(spark, transcripts):
+    """Differential: the fixed-shape column-expression specialization
+    must emit exactly the triple set of the generic JSON-LD kernel."""
+    vec = _as_set(transcript_triples(transcripts))
+    ker = _as_set(kernel_transcript_triples(transcripts))
+    missing = ker - vec
+    extra = vec - ker
+    assert not missing and not extra, (
+        f"missing={list(missing)[:5]} extra={list(extra)[:5]} "
+        f"(vec={len(vec)} kernel={len(ker)})")
+
+
+def test_triples_match_duckdb_oracle(spark, transcripts):
+    """The Spark triple table equals an independently-written ANSI-SQL
+    derivation run in DuckDB (same comparison the driver performs)."""
+    import duckdb
+    import __spark_entry__ as entrymod
+    sql = entrymod._oracle_sql(N_CONV)["kg_transcript_triples"]
+    con = duckdb.connect()
+    oracle = {tuple(r) for r in con.execute(sql).fetchall()}
+    mine = _as_set(transcript_triples(transcripts))
+    assert mine == oracle, (
+        f"missing={list(oracle - mine)[:5]} extra={list(mine - oracle)[:5]}")
+
+
+def test_per_turn_text_equality(spark, transcripts):
+    """input_hint invariant: every (turn, text) survives the KG
+    round-trip byte-identically under stable turn ordering."""
+    from pyspark.sql import functions as F
+    triples = transcript_triples(transcripts)
+    texts = (triples.filter(F.col("pred") == TR + "text")
+             .select(F.col("subj"), F.col("obj_value").alias("kg_text")))
+    src = transcripts.select(
+        F.concat(F.lit("http://example.org/conv/"), "conv_id",
+                 F.lit("/turn/"), F.col("turn_idx").cast("string"))
+        .alias("subj"),
+        F.col("text"))
+    joined = src.join(texts, "subj", "full_outer")
+    bad = joined.filter(
+        (F.col("text").isNull()) | (F.col("kg_text").isNull()) |
+        (F.col("text") != F.col("kg_text"))).count()
+    assert bad == 0
+    assert joined.count() == transcripts.count()
+
+
+def test_entity_canonicalization(spark, transcripts):
+    rows = entity_canonical_map(transcripts).collect()
+    by_surface = {r["surface"]: r for r in rows}
+    # case-variant surfaces canonicalize to the same IRI with score 0.9
+    lower = [r for r in rows if r["surface"].startswith("entity")]
+    assert lower, "generator must produce case-variant mentions"
+    for r in lower:
+        canon = by_surface.get("Entity" + r["surface"][len("entity"):])
+        assert r["canonical_iri"].endswith(
+            "Entity" + r["surface"][len("entity"):])
+        assert r["link_score"] == 0.9
+        if canon is not None:
+            assert canon["canonical_iri"] == r["canonical_iri"]
+            assert canon["link_score"] == 1.0
+
+
+def test_hot_conversation_and_entity_skew(spark, transcripts):
+    """The generator's skew knobs exist (they back the salting story)."""
+    from pyspark.sql import functions as F
+    sizes = transcripts.groupBy("conv_id").count().collect()
+    counts = sorted(r["count"] for r in sizes)
+    assert counts[-1] == 500 and counts[len(counts) // 2] <= 15
+    ents = entity_canonical_map(transcripts)
+    top = ents.orderBy(F.desc("n_mentions")).first()
+    med = ents.approxQuantile("n_mentions", [0.5], 0.01)[0]
+    assert top["n_mentions"] > 10 * med
+
+
+def test_generator_matches_duckdb(spark, transcripts):
+    import duckdb
+    con = duckdb.connect()
+    got = {tuple(map(str, r)) for r in con.execute(
+        transcripts_sql(N_CONV, "duckdb")).fetchall()}
+    mine = {tuple(map(str, r)) for r in transcripts.collect()}
+    assert mine == got
