@@ -1,2 +1,237 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Text-analysis operators over the `documents` table: token counting,
+quality scoring, language ID, fingerprinting.
+
+Every operator is pure JVM column expressions (no Python in the row
+path) with an independently-written DuckDB oracle. Both sides share the
+same integer/string arithmetic so results match exactly.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# language marker words (looked up in ' '||normalized||' ')
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " y ", " los "],
+}
+EN_STOPWORDS = [" the ", " a ", " and ", " of ", " to "]
+WORD_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _norm(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _count_occurrences(padded, marker):
+    return ((F.length(padded) -
+             F.length(F.replace(padded, F.lit(marker), F.lit("")))) /
+            F.lit(len(marker))).cast("int")
+
+
+def _count_occ_sql(padded, marker):
+    return (f"cast((length({padded}) - "
+            f"length(replace({padded}, '{marker}', ''))) / "
+            f"{len(marker)} as int)")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+def q_text_tokens(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts, distinct-token count."""
+    d = _docs(spark, sf_dir)
+    norm = _norm(F.col("text"))
+    tokens = F.split(norm, " ")
+    return d.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(WORD_RE), 0))
+         .alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_TOKENS = f"""
+SELECT doc_id,
+       len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+       len(list_distinct(string_split({_NORM_SQL}, ' ')))
+         AS n_distinct_tokens,
+       len(regexp_extract_all({_NORM_SQL}, '{WORD_RE}'))
+         AS n_bpe_tokens,
+       length(text) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio, mean token length, length
+    factor → composite score. All ratios reported as exact integer
+    parts-per-million (cross-engine float rounding of ties is not
+    portable — Spark round() is decimal HALF_UP, DuckDB rounds the
+    binary double)."""
+    d = _docs(spark, sf_dir)
+    norm = _norm(F.col("text"))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    n_tokens = F.size(F.split(norm, " "))
+    stop_hits = None
+    for m in EN_STOPWORDS:
+        c = _count_occurrences(padded, m)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    n_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    # exact integer arithmetic (all intermediates < 2^53 → floor stable)
+    stop_ppm = F.floor(stop_hits * F.lit(1000000.0) / n_tokens).cast("long")
+    mean_tok_ppm = F.floor(n_chars * F.lit(1000000.0) / n_tokens).cast("long")
+    length_ppm = F.least(F.lit(1000000), (n_tokens * 10000).cast("long"))
+    score_ppm = (
+        F.floor(length_ppm * 0.4).cast("long") +
+        F.floor(stop_ppm * 0.4).cast("long") +
+        F.least(F.lit(200000),
+                F.floor(mean_tok_ppm * 0.2 / 8.0).cast("long")))
+    return d.select(
+        "doc_id", n_tokens.alias("n_tokens"),
+        stop_ppm.alias("stopword_ratio_ppm"),
+        mean_tok_ppm.alias("mean_token_len_ppm"),
+        length_ppm.alias("length_factor_ppm"),
+        score_ppm.alias("quality_score_ppm"),
+    ).orderBy("doc_id")
+
+
+_PADDED_SQL = f"(' ' || {_NORM_SQL} || ' ')"
+_NTOK_SQL = f"len(string_split({_NORM_SQL}, ' '))"
+_STOPHITS_SQL = " + ".join(
+    _count_occ_sql(_PADDED_SQL, m) for m in EN_STOPWORDS)
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_NTOK_SQL} AS n_tokens,
+         cast(floor(({_STOPHITS_SQL}) * 1000000.0 / {_NTOK_SQL}) as bigint)
+           AS stopword_ratio_ppm,
+         cast(floor(length(replace({_NORM_SQL}, ' ', '')) * 1000000.0 /
+                    {_NTOK_SQL}) as bigint) AS mean_token_len_ppm,
+         least(1000000, cast({_NTOK_SQL} * 10000 as bigint))
+           AS length_factor_ppm
+  FROM documents
+)
+SELECT doc_id, n_tokens, stopword_ratio_ppm, mean_token_len_ppm,
+       length_factor_ppm,
+       cast(floor(length_factor_ppm * 0.4e0) as bigint) +
+       cast(floor(stopword_ratio_ppm * 0.4e0) as bigint) +
+       least(200000,
+             cast(floor(mean_token_len_ppm * 0.2e0 / 8.0e0) as bigint))
+         AS quality_score_ppm
+FROM t ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def q_text_langid(spark, sf_dir):
+    """Marker-word language ID; `lang_match` compares against the
+    table's lang column (the generator's ground truth)."""
+    d = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), _norm(F.col("text")), F.lit(" "))
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = _count_occurrences(padded, m)
+            s = c if s is None else s + c
+        scores[lang] = s
+    best = F.greatest(*scores.values())
+    pred = (F.when(best == 0, "und")
+             .when(scores["en"] == best, "en")
+             .when(scores["de"] == best, "de")
+             .when(scores["fr"] == best, "fr")
+             .otherwise("es"))
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_expected"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("lang_match"),
+    ).orderBy("doc_id")
+
+
+_SCORE_SQL = {
+    lang: "(" + " + ".join(_count_occ_sql(_PADDED_SQL, m)
+                           for m in markers) + ")"
+    for lang, markers in LANG_MARKERS.items()}
+_BEST_SQL = ("greatest(" + ", ".join(_SCORE_SQL[lang]
+                                     for lang in LANG_MARKERS) + ")")
+ORACLE_TEXT_LANGID = f"""
+SELECT doc_id, lang AS lang_expected,
+       {_SCORE_SQL['en']} AS score_en, {_SCORE_SQL['de']} AS score_de,
+       {_SCORE_SQL['fr']} AS score_fr, {_SCORE_SQL['es']} AS score_es,
+       case when {_BEST_SQL} = 0 then 'und'
+            when {_SCORE_SQL['en']} = {_BEST_SQL} then 'en'
+            when {_SCORE_SQL['de']} = {_BEST_SQL} then 'de'
+            when {_SCORE_SQL['fr']} = {_BEST_SQL} then 'fr'
+            else 'es' end AS lang_pred,
+       (case when {_BEST_SQL} = 0 then 'und'
+            when {_SCORE_SQL['en']} = {_BEST_SQL} then 'en'
+            when {_SCORE_SQL['de']} = {_BEST_SQL} then 'de'
+            when {_SCORE_SQL['fr']} = {_BEST_SQL} then 'fr'
+            else 'es' end = lang) AS lang_match
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# portable 60-bit hash: first 15 hex digits of md5, as bigint
+def hash60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"cast(('0x' || substr(md5({expr}), 1, 15)) as bigint)"
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact md5 of normalized text + a
+    rolling-hash-style min-chargram sketch (min 60-bit hash over
+    char 8-grams at stride 4)."""
+    d = _docs(spark, sf_dir)
+    norm = _norm(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0),
+                   F.greatest(F.lit(0),
+                              F.floor((F.length(norm) - 8) / 4)).cast("int")),
+        lambda i: norm.substr(i * 4 + 1, F.lit(8)))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("md5_fingerprint"),
+        F.array_min(F.transform(grams, hash60)).alias("min_chargram_hash"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS md5_fingerprint,
+       list_min(list_transform(
+         range(0, cast(greatest(0, floor((length({_NORM_SQL}) - 8) / 4))
+                       as bigint) + 1),
+         i -> {hash60_sql(f"substr({_NORM_SQL}, cast(i*4+1 as int), 8)")}))
+         AS min_chargram_hash
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+}
+ORACLES = {
+    "text_tokens": ORACLE_TEXT_TOKENS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_langid": ORACLE_TEXT_LANGID,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+}
