@@ -5,18 +5,20 @@ from __future__ import annotations
 
 
 def queries() -> dict:
-    from . import dedup, similarity, textstats
+    from . import dedup, multimodal, similarity, textstats
     out = {}
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
 def oracle_sql() -> dict:
-    from . import dedup, similarity, textstats
+    from . import dedup, multimodal, similarity, textstats
     out = {}
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
+    out.update(multimodal.ORACLES)
     return out

@@ -1,2 +1,299 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Similarity search over the `embeddings` table (vec_id,
+embedding: array<float>, label).
+
+- ann_cosine_topk: brute-force cosine top-k (the correctness baseline;
+  exact, broadcast the query set, no shuffle beyond top-k).
+- ann_lsh_topk: random-hyperplane LSH bucketed top-k (the scale path:
+  candidates restricted to matching signature buckets).
+- dedup_embedding_cosine: embedding near-dup pairs (cos >= 0.999) via
+  LSH blocking + exact verify.
+
+Cosine is computed in float64 with a fixed left-fold order (Spark
+`aggregate` ≡ DuckDB `list_dot_product` elementwise sum) and compared
+on round(cos, 6)-style integer micro-units (ppm) with vec_id
+tie-breaks, so ranking is reproducible across engines.
+
+Scale notes: the query side of top-k is broadcast (small); the corpus
+side never shuffles full vectors except grouped top-k (AQE handles
+partition sizing). LSH bucketing turns O(N*Q) into O(N) bucket hash +
+per-bucket joins; plane count = 12 → 4096 buckets.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_QUERIES = 10     # query set = vec_id < 10
+TOP_K = 5
+N_PLANES = 12
+NEARDUP_PPM = 999000
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _vec_d(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm2(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _cos_ppm(a, b):
+    return F.floor(_dot(a, b) / (_norm2(a) * _norm2(b)) * 1000000.0) \
+        .cast("long")
+
+
+# DuckDB equivalent (embedding cast to DOUBLE[] first)
+def _cos_ppm_sql(a: str, b: str) -> str:
+    return (
+        f"cast(floor(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i])) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> x*x))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> x*x)))) * 1000000.0) "
+        f"as bigint)")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k for each query vector.
+    Query set broadcast; ranking on (cos_ppm desc, vec_id) so ties are
+    deterministic."""
+    from pyspark.sql.window import Window
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    scored = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      _cos_ppm(F.col("qv"), F.col("v")).alias("cos_ppm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_ppm"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "vec_id", "cos_ppm")
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_ANN_COSINE = f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_cos_ppm_sql('q.qv', 'e.v')} AS cos_ppm
+  FROM (SELECT vec_id AS query_id, v AS qv FROM e
+        WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN e
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_ppm DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cos_ppm FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic pseudo-random hyperplanes, evaluated in EXACT integer
+# arithmetic so the sign test never depends on float summation order
+# (which differs between Spark's aggregate fold and DuckDB's list_sum):
+# - plane components: integers in [-1000, 1000] derived from md5
+# - vectors quantized: vq[j] = floor(v[j] * 1000.0) — float32→double is
+#   exact and ×1000.0 is a single IEEE op, so both engines floor the
+#   same double
+# - bit p = (sum_j vq[j] * plane[p][j]) > 0  (pure int64, exact)
+
+import hashlib
+
+EMB_DIM = 64
+
+
+def _plane(p: int) -> list[int]:
+    return [
+        (int(hashlib.md5(f"plane{p}_{j}".encode()).hexdigest()[:15], 16)
+         % 2001) - 1000
+        for j in range(EMB_DIM)]
+
+
+PLANES = [_plane(p) for p in range(N_PLANES)]
+
+
+def _quantize(vcol):
+    return F.transform(vcol, lambda x: F.floor(x * 1000.0).cast("long"))
+
+
+def _lsh_sig(vcol):
+    """LSH signature from the quantized vector (exact int64)."""
+    vq = _quantize(vcol)
+    sig = None
+    for p, plane in enumerate(PLANES):
+        arr = F.array(*[F.lit(c).cast("long") for c in plane])
+        dot = F.aggregate(F.zip_with(vq, arr, lambda x, y: x * y),
+                          F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bit = F.when(dot > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+VQ_SQL = "list_transform(v, x -> cast(floor(x * 1000.0) as bigint))"
+
+
+def _lsh_sig_sql(vq: str = "vq") -> str:
+    """DuckDB: signature from a precomputed quantized-vector column."""
+    parts = []
+    for p, plane in enumerate(PLANES):
+        lit = "[" + ", ".join(str(c) for c in plane) + "]"
+        dot = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+               f"i -> {vq}[i] * ({lit})[i]))")
+        parts.append(f"(case when ({dot}) > 0 then cast({2**p} as bigint) "
+                     f"else 0 end)")
+    return "(" + " + ".join(parts) + ")"
+
+
+
+N_SIG_BANDS = 3  # 3 bands x 4 planes → 16 buckets/band
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Banded-LSH approximate top-k: candidates share >= 1 of 3
+    4-plane signature bands with the query; exact cosine re-rank over
+    the candidate union. (Recall vs brute force is checked in tests.)"""
+    from pyspark.sql.window import Window
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v"))
+    sig = e.select("vec_id", "v", _lsh_sig(F.col("v")).alias("sig"))
+    bands = sig.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.expr(f"(sig >> {4*b}) & 15").alias("bsig"))
+            for b in range(N_SIG_BANDS)])).alias("bb"),
+    ).select("vec_id", "v", "bb.band", "bb.bsig")
+    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("band").alias("qband"), F.col("bsig").alias("qbsig"))
+    cand = (bands.join(
+        F.broadcast(q),
+        (F.col("band") == F.col("qband")) &
+        (F.col("bsig") == F.col("qbsig")) &
+        (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "qv", "vec_id", "v")
+        .dropDuplicates(["query_id", "vec_id"]))
+    scored = cand.select(
+        "query_id", "vec_id",
+        _cos_ppm(F.col("qv"), F.col("v")).alias("cos_ppm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_ppm"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "vec_id", "cos_ppm")
+            .orderBy("query_id", "rank"))
+
+
+def _oracle_ann_lsh() -> str:
+    sig_sql = _lsh_sig_sql()
+    cos = (f"cast(floor(list_sum(list_transform(range(1, len(qv) + 1), "
+           f"i -> qv[i] * v[i])) / "
+           f"(sqrt(list_sum(list_transform(qv, x -> x*x))) * "
+           f"sqrt(list_sum(list_transform(v, x -> x*x)))) * 1000000.0) "
+           f"as bigint)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings
+),
+vq AS (SELECT vec_id, v, {VQ_SQL} AS vq FROM e),
+sigs AS (SELECT vec_id, v, {sig_sql} AS sig FROM vq),
+bands AS (SELECT vec_id, v, 0 AS band, (sig >> 0) & 15 AS bsig FROM sigs UNION ALL SELECT vec_id, v, 1 AS band, (sig >> 4) & 15 AS bsig FROM sigs UNION ALL SELECT vec_id, v, 2 AS band, (sig >> 8) & 15 AS bsig FROM sigs),
+q AS (SELECT vec_id AS query_id, v AS qv, band AS qband, bsig AS qbsig
+      FROM bands WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.query_id, q.qv, b.vec_id, b.v
+  FROM bands b JOIN q
+    ON b.band = q.qband AND b.bsig = q.qbsig
+   AND b.vec_id != q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id, {cos} AS cos_ppm FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_ppm DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cos_ppm FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos_ppm >= {NEARDUP_PPM}),
+    LSH-blocked then exactly verified. The corpus injects exact vector
+    copies (vec_id+100000 for vec_id % 20 == 0) so output is
+    non-trivial."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v"))
+    dup = (e.filter(F.col("vec_id") % 20 == 0)
+           .select((F.col("vec_id") + 100000).alias("vec_id"), "v"))
+    corpus = e.unionAll(dup)
+    sig = corpus.select("vec_id", "v",
+                        _lsh_sig(F.col("v")).alias("sig"))
+    pairs = (sig.alias("a").join(
+        sig.alias("b"),
+        (F.col("a.sig") == F.col("b.sig")) &
+        (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                _cos_ppm(F.col("a.v"), F.col("b.v")).alias("cos_ppm"))
+        .filter(F.col("cos_ppm") >= NEARDUP_PPM))
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+def _oracle_neardup() -> str:
+    sig_sql = _lsh_sig_sql()
+    cos = (f"cast(floor(list_sum(list_transform(range(1, len(va) + 1), "
+           f"i -> va[i] * vb[i])) / "
+           f"(sqrt(list_sum(list_transform(va, x -> x*x))) * "
+           f"sqrt(list_sum(list_transform(vb, x -> x*x)))) * 1000000.0) "
+           f"as bigint)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, cast(embedding as DOUBLE[]) FROM embeddings
+  WHERE vec_id % 20 = 0
+),
+vq AS (SELECT vec_id, v, {VQ_SQL} AS vq FROM e),
+sigs AS (SELECT vec_id, v, {sig_sql} AS sig FROM vq),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.v AS va, b.v AS vb
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {cos} AS cos_ppm FROM pairs
+WHERE {cos} >= {NEARDUP_PPM}
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+}
+ORACLES = {
+    "ann_cosine_topk": ORACLE_ANN_COSINE,
+    "ann_lsh_topk": _oracle_ann_lsh(),
+    "dedup_embedding_cosine": _oracle_neardup(),
+}
