@@ -82,7 +82,7 @@ def _q_mentions_topk(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from jsonld_js_spark import operators
+    from jsonld_js_spark import kg_api, operators
     q = {
         "kg_transcript_triples": _q_triples,
         "kg_transcript_triples_kernel": _q_triples_kernel,
@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conv_sizes": _q_conv_sizes,
         "kg_mentions_topk": _q_mentions_topk,
     }
+    q.update(kg_api.queries())
     q.update(operators.queries())
     return q
 
@@ -99,9 +100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles (DuckDB SQL)
 
 def _oracle_sql(n_conv: int) -> dict[str, str]:
-    from jsonld_js_spark import operators
+    from jsonld_js_spark import kg_api, operators
     from jsonld_js_spark.oracles import kg_oracles
     out = kg_oracles(n_conv)
+    out.update(kg_api.oracles(n_conv))
     out.update(operators.oracle_sql())
     return out
 

@@ -5,7 +5,7 @@ clusters").
     tools/package_pyfiles.sh             # → dist/jsonld_js_spark.zip
     spark-submit --py-files dist/jsonld_js_spark.zip \
         jobs/run_pipeline.py --warehouse /path/wh --n-conv 1000 \
-        [--n-buckets 16] [--kernel-path] [--resume-only]
+        [--n-buckets 16] [--kernel-path] [--entity-map]
 
 On a real cluster the transcripts source is an Iceberg table scan
 (spark.read.table); here the deterministic generator stands in. The

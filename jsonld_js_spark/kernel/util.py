@@ -388,6 +388,8 @@ def canonical_double(value: float) -> str:
         return "NaN"
     if math.isinf(value):
         return "INF" if value > 0 else "-INF"
+    if value == 0:
+        value = 0.0  # JS toExponential drops the sign of -0
     s = f"{value:.15e}"  # e.g. '1.100000000000000e+00'
     mant, exp = s.split("e")
     exp_i = int(exp)

@@ -1,0 +1,386 @@
+"""Secondary JSON-LD API surface over Spark (SURVEY.md §2.6-2.8
+capability parity): framing-as-filter, flatten/node-map views, fromRDF
+grouping, compaction (kernel path), plus KG construction from
+relational sources (broadcast dim joins) and windowed analytics.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .frame_spark import frame_embed, frame_subjects
+from .pipeline import transcript_triples
+from .transcripts import transcripts_df
+from .vocab import ENT_NS, RDF_TYPE, TR, XSD_DATETIME, XSD_STRING
+
+
+def _triples(spark, sf_dir):
+    return transcript_triples(transcripts_df(spark, sf_dir=sf_dir))
+
+
+# ---------------------------------------------------------------------------
+def q_kg_frame_turns(spark, sf_dir):
+    """Framing: {"@type": Turn, "mentions": {"@id": ent:Entity0}} with
+    the owning conversation joined through the reverse hasTurn edge
+    (ref lib/frame.js:488-636 filter + :299-315 @reverse, compiled to
+    semi-joins — see frame_spark.py)."""
+    t = _triples(spark, sf_dir)
+    subjects = frame_subjects(t, {
+        "@type": TR + "Turn",
+        TR + "mentions": {"@id": ENT_NS + "Entity0"},
+    })
+    rows = frame_embed(t, subjects, depth=0)
+    props = (rows.groupBy("subj").pivot("pred", [
+        TR + "role", TR + "text", TR + "turnIndex"]).agg(
+        F.min("obj_value")))
+    conv = (t.filter(F.col("pred") == TR + "hasTurn")
+            .select(F.col("obj_value").alias("subj"),
+                    F.col("subj").alias("conv_iri")))
+    return (props.join(conv, "subj")
+            .select(F.col("subj").alias("turn_iri"), "conv_iri",
+                    F.col(f"`{TR}role`").alias("role"),
+                    F.col(f"`{TR}text`").alias("text"),
+                    F.col(f"`{TR}turnIndex`").cast("int").alias("turn_idx"))
+            .orderBy("turn_iri"))
+
+
+def oracle_kg_frame_turns(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+matched AS (
+  SELECT t1.subj FROM triples t1
+  WHERE t1.pred = '{RDF_TYPE}' AND t1.obj_value = '{TR}Turn'
+  INTERSECT
+  SELECT t2.subj FROM triples t2
+  WHERE t2.pred = '{TR}mentions'
+    AND t2.obj_value = '{ENT_NS}Entity0'
+)
+SELECT m.subj AS turn_iri,
+       (SELECT subj FROM triples c
+        WHERE c.pred = '{TR}hasTurn' AND c.obj_value = m.subj) AS conv_iri,
+       (SELECT obj_value FROM triples r
+        WHERE r.subj = m.subj AND r.pred = '{TR}role') AS role,
+       (SELECT obj_value FROM triples x
+        WHERE x.subj = m.subj AND x.pred = '{TR}text') AS text,
+       (SELECT cast(obj_value as int) FROM triples i
+        WHERE i.subj = m.subj AND i.pred = '{TR}turnIndex') AS turn_idx
+FROM matched m ORDER BY turn_iri
+"""
+
+
+# ---------------------------------------------------------------------------
+def q_kg_flatten_nodes(spark, sf_dir):
+    """Flatten view: the merged node map as (node_id, n_properties,
+    n_types) — subject references (no properties) excluded
+    (ref lib/flatten.js:24-38)."""
+    t = _triples(spark, sf_dir)
+    return (t.groupBy(F.col("subj").alias("node_id"))
+            .agg(F.countDistinct("pred").alias("n_properties"),
+                 F.sum(F.when(F.col("pred") == RDF_TYPE, 1).otherwise(0))
+                 .alias("n_types"))
+            .orderBy("node_id"))
+
+
+def oracle_kg_flatten_nodes(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql})
+SELECT subj AS node_id, count(distinct pred) AS n_properties,
+       sum(case when pred = '{RDF_TYPE}' then 1 else 0 end) AS n_types
+FROM triples GROUP BY subj ORDER BY node_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def q_kg_fromrdf_nodemap(spark, sf_dir):
+    """fromRDF direction (ref lib/fromRdf.js:45-118): group quads by
+    subject back into node-map rows; referencedOnce detection = the
+    aggregation the reference tracks imperatively."""
+    t = _triples(spark, sf_dir)
+    refs = (t.filter(F.col("obj_termtype").isin("NamedNode", "BlankNode"))
+            .groupBy(F.col("obj_value").alias("node_id"))
+            .agg(F.count("*").alias("n_referenced")))
+    nodes = (t.groupBy(F.col("subj").alias("node_id"))
+             .agg(F.count("*").alias("n_quads")))
+    return (nodes.join(refs, "node_id", "left")
+            .select("node_id", "n_quads",
+                    F.coalesce("n_referenced", F.lit(0))
+                    .alias("n_referenced"),
+                    (F.coalesce("n_referenced", F.lit(0)) == 1)
+                    .alias("referenced_once"))
+            .orderBy("node_id"))
+
+
+def oracle_kg_fromrdf_nodemap(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+refs AS (
+  SELECT obj_value AS node_id, count(*) AS n_referenced
+  FROM triples WHERE obj_termtype IN ('NamedNode', 'BlankNode')
+  GROUP BY obj_value
+),
+nodes AS (
+  SELECT subj AS node_id, count(*) AS n_quads FROM triples GROUP BY subj
+)
+SELECT n.node_id, n.n_quads, coalesce(r.n_referenced, 0) AS n_referenced,
+       (coalesce(r.n_referenced, 0) = 1) AS referenced_once
+FROM nodes n LEFT JOIN refs r ON n.node_id = r.node_id
+ORDER BY n.node_id
+"""
+
+
+# ---------------------------------------------------------------------------
+CUS_NS = "http://example.org/customer/"
+NAT_NS = "http://example.org/nation/"
+REG_NS = "http://example.org/region/"
+
+
+def q_kg_customer_graph(spark, sf_dir):
+    """KG construction from relational sources: customer ⋈ nation ⋈
+    region (dims broadcast — at 100 TB the fact side streams, the two
+    dim tables ship to every executor) → triples."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = F.broadcast(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    r = F.broadcast(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    j = (c.join(n, c.c_nationkey == n.n_nationkey)
+         .join(r, n.n_regionkey == r.r_regionkey))
+    cus_iri = F.concat(F.lit(CUS_NS), F.col("c_custkey").cast("string"))
+    nat_iri = F.concat(F.lit(NAT_NS), F.col("n_nationkey").cast("string"))
+    reg_iri = F.concat(F.lit(REG_NS), F.col("r_regionkey").cast("string"))
+    no_dt = F.lit(None).cast("string")
+
+    def trip(s, p, o, tt, dt):
+        return F.struct(s.alias("subj"), p.alias("pred"),
+                        o.alias("obj_value"), tt.alias("obj_termtype"),
+                        dt.alias("obj_datatype"))
+
+    arr = F.array(
+        trip(cus_iri, F.lit(RDF_TYPE), F.lit(TR + "Customer"),
+             F.lit("NamedNode"), no_dt),
+        trip(cus_iri, F.lit(TR + "name"), F.col("c_name"),
+             F.lit("Literal"), F.lit(XSD_STRING)),
+        trip(cus_iri, F.lit(TR + "inNation"), nat_iri,
+             F.lit("NamedNode"), no_dt),
+        trip(nat_iri, F.lit(TR + "name"), F.col("n_name"),
+             F.lit("Literal"), F.lit(XSD_STRING)),
+        trip(nat_iri, F.lit(TR + "inRegion"), reg_iri,
+             F.lit("NamedNode"), no_dt),
+        trip(reg_iri, F.lit(TR + "name"), F.col("r_name"),
+             F.lit("Literal"), F.lit(XSD_STRING)),
+    )
+    return (j.select(F.explode(arr).alias("t")).select("t.*")
+            .dropDuplicates(["subj", "pred", "obj_value"])
+            .orderBy("subj", "pred", "obj_value"))
+
+
+ORACLE_KG_CUSTOMER_GRAPH = f"""
+WITH j AS (
+  SELECT c.c_custkey, c.c_name, n.n_nationkey, n.n_name,
+         r.r_regionkey, r.r_name
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+t AS (
+  SELECT '{CUS_NS}' || c_custkey AS subj, '{RDF_TYPE}' AS pred,
+         '{TR}Customer' AS obj_value, 'NamedNode' AS obj_termtype,
+         cast(NULL as string) AS obj_datatype FROM j
+  UNION ALL
+  SELECT '{CUS_NS}' || c_custkey, '{TR}name', c_name, 'Literal',
+         '{XSD_STRING}' FROM j
+  UNION ALL
+  SELECT '{CUS_NS}' || c_custkey, '{TR}inNation',
+         '{NAT_NS}' || n_nationkey, 'NamedNode', cast(NULL as string) FROM j
+  UNION ALL
+  SELECT '{NAT_NS}' || n_nationkey, '{TR}name', n_name, 'Literal',
+         '{XSD_STRING}' FROM j
+  UNION ALL
+  SELECT '{NAT_NS}' || n_nationkey, '{TR}inRegion',
+         '{REG_NS}' || r_regionkey, 'NamedNode', cast(NULL as string) FROM j
+  UNION ALL
+  SELECT '{REG_NS}' || r_regionkey, '{TR}name', r_name, 'Literal',
+         '{XSD_STRING}' FROM j
+)
+SELECT DISTINCT subj, pred, obj_value, obj_termtype, obj_datatype
+FROM t ORDER BY subj, pred, obj_value
+"""
+
+
+# ---------------------------------------------------------------------------
+EVT_NS = "http://example.org/event/"
+USR_NS = "http://example.org/user/"
+XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+
+
+def q_kg_events_graph(spark, sf_dir):
+    """events table → triples, exercising CANONICAL DOUBLE literals
+    (ref lib/toRdf.js:237-243) as pure column expressions — the
+    literal-canonicalization 'hard part' (SURVEY §7) in vectorized
+    form, byte-identical to the kernel and the DuckDB oracle."""
+    from .functions import canonical_double_col
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    evt = F.concat(F.lit(EVT_NS), F.col("event_id").cast("string"))
+    usr = F.concat(F.lit(USR_NS), F.col("user_id").cast("string"))
+    ts_lex = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    no_dt = F.lit(None).cast("string")
+
+    def trip(s, p, o, tt, dt):
+        return F.struct(s.alias("subj"), p.alias("pred"),
+                        o.alias("obj_value"), tt.alias("obj_termtype"),
+                        dt.alias("obj_datatype"))
+
+    arr = F.array(
+        trip(evt, F.lit(TR + "eventType"), F.col("event_type"),
+             F.lit("Literal"), F.lit(XSD_STRING)),
+        trip(evt, F.lit(TR + "byUser"), usr, F.lit("NamedNode"), no_dt),
+        trip(evt, F.lit(TR + "value"),
+             canonical_double_col(F.col("value")),
+             F.lit("Literal"), F.lit(XSD_DOUBLE)),
+        trip(evt, F.lit(TR + "ts"), ts_lex, F.lit("Literal"),
+             F.lit(XSD_DATETIME)),
+    )
+    return (e.select(F.explode(arr).alias("t")).select("t.*")
+            .orderBy("subj", "pred", "obj_value"))
+
+
+def oracle_kg_events_graph() -> str:
+    from .functions import canonical_double_sql
+    return f"""
+WITH t AS (
+  SELECT '{EVT_NS}' || event_id AS subj, '{TR}eventType' AS pred,
+         event_type AS obj_value, 'Literal' AS obj_termtype,
+         '{XSD_STRING}' AS obj_datatype FROM events
+  UNION ALL
+  SELECT '{EVT_NS}' || event_id, '{TR}byUser',
+         '{USR_NS}' || user_id, 'NamedNode', cast(NULL as string)
+  FROM events
+  UNION ALL
+  SELECT '{EVT_NS}' || event_id, '{TR}value',
+         {canonical_double_sql('value')}, 'Literal', '{XSD_DOUBLE}'
+  FROM events
+  UNION ALL
+  SELECT '{EVT_NS}' || event_id, '{TR}ts',
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), 'Literal', '{XSD_DATETIME}'
+  FROM events
+)
+SELECT * FROM t ORDER BY subj, pred, obj_value
+"""
+
+
+# ---------------------------------------------------------------------------
+def q_kg_conv_window(spark, sf_dir):
+    """Windowed turn analytics: per-conversation inter-turn gap stats
+    (Window.partitionBy(conv_id).orderBy(turn_idx) — SURVEY §2.9)."""
+    from pyspark.sql.window import Window
+    t = transcripts_df(spark, sf_dir=sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = t.withColumn(
+        "gap_s",
+        (F.unix_timestamp("ts") -
+         F.unix_timestamp(F.lag("ts").over(w))).cast("long"))
+    return (gaps.groupBy("conv_id")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum("gap_s").alias("total_gap_s"),
+                 F.max("gap_s").alias("max_gap_s"))
+            .orderBy("conv_id"))
+
+
+def oracle_kg_conv_window(transcripts_sql: str) -> str:
+    return f"""
+WITH transcripts AS ({transcripts_sql}),
+g AS (
+  SELECT conv_id,
+         cast(epoch(ts) - epoch(lag(ts) OVER
+              (PARTITION BY conv_id ORDER BY turn_idx)) as bigint) AS gap_s
+  FROM transcripts
+)
+SELECT conv_id, count(*) AS n_turns, sum(gap_s) AS total_gap_s,
+       max(gap_s) AS max_gap_s
+FROM g GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def q_kg_compact_conversations(spark, sf_dir):
+    """Compaction (general path): per-conversation compacted JSON-LD
+    documents rebuilt from the triple table via the kernel inside
+    mapInPandas (ref lib/compact.js:58-672). Rows-only driver check;
+    content is pytest-verified (valid JSON, term keys, turn counts)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    t = _triples(spark, sf_dir)
+    conv_of = F.when(
+        F.col("subj").rlike("^http://example.org/conv/[^/]+$"),
+        F.col("subj")).otherwise(
+        F.regexp_extract("subj", r"^(http://example.org/conv/[^/]+)/turn/",
+                         1))
+    rows = t.withColumn("conv_iri", conv_of).filter(F.col("conv_iri") != "")
+
+    schema = StructType([
+        StructField("conv_iri", StringType()),
+        StructField("n_turns", IntegerType()),
+        StructField("n_triples", LongType()),
+        StructField("compact_json", StringType()),
+    ])
+
+    def compact_convs(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        from .kernel import compact, from_rdf
+        from .vocab import TRANSCRIPT_CONTEXT
+        for pdf in batches:
+            out = []
+            for conv_iri, grp in pdf.groupby("conv_iri", sort=False):
+                quads = [
+                    (r.subj, r.pred, r.obj_value, r.obj_termtype,
+                     r.obj_datatype, r.obj_language, r.graph)
+                    for r in grp.itertuples()]
+                doc = from_rdf(quads, {"useNativeTypes": True})
+                compacted = compact(doc, dict(TRANSCRIPT_CONTEXT))
+                # compacted flattened form: nodes under @graph (or a
+                # single node dict when only one node exists)
+                nodes = compacted.get("@graph", [compacted])
+                n_turns = sum(1 for n in nodes
+                              if isinstance(n, dict)
+                              and n.get("@type") == "Turn")
+                out.append((conv_iri, n_turns, len(quads),
+                            _json.dumps(compacted, sort_keys=True)))
+            yield pd.DataFrame(out, columns=schema.fieldNames())
+
+    return (rows.repartition(16, "conv_iri")
+            .sortWithinPartitions("conv_iri")
+            .mapInPandas(compact_convs, schema=schema)
+            .orderBy("conv_iri"))
+
+
+def queries() -> dict:
+    return {
+        "kg_frame_turns": q_kg_frame_turns,
+        "kg_flatten_nodes": q_kg_flatten_nodes,
+        "kg_fromrdf_nodemap": q_kg_fromrdf_nodemap,
+        "kg_customer_graph": q_kg_customer_graph,
+        "kg_events_graph": q_kg_events_graph,
+        "kg_conv_window": q_kg_conv_window,
+        "kg_compact_conversations": q_kg_compact_conversations,
+    }
+
+
+def oracles(n_conv: int) -> dict:
+    from .oracles import _triples_select
+    from .transcripts import transcripts_sql
+    triples_sql = _triples_select(n_conv)
+    return {
+        "kg_frame_turns": oracle_kg_frame_turns(triples_sql),
+        "kg_flatten_nodes": oracle_kg_flatten_nodes(triples_sql),
+        "kg_fromrdf_nodemap": oracle_kg_fromrdf_nodemap(triples_sql),
+        "kg_customer_graph": ORACLE_KG_CUSTOMER_GRAPH,
+        "kg_events_graph": oracle_kg_events_graph(),
+        "kg_conv_window": oracle_kg_conv_window(
+            transcripts_sql(n_conv, "duckdb")),
+        # kg_compact_conversations: rows-only (JSON text oracle not
+        # SQL-expressible; content verified in tests/test_kg_api.py)
+    }

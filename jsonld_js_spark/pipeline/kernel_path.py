@@ -109,14 +109,17 @@ def _batched(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def kernel_transcript_triples(transcripts: DataFrame,
                               num_partitions: int | None = None,
-                              dedup: bool = True) -> DataFrame:
+                              dedup: bool = False) -> DataFrame:
     """transcripts → triples via the generic JSON-LD kernel.
 
-    Shuffle 1: repartition by conv_id (co-locate a conversation's turns).
-    Shuffle 2: final dedup. Both keys are conversation-grained; the
-    hot-conversation skew knob is absorbed because a 500-turn
-    conversation is still tiny next to a partition (AQE would split a
-    genuinely pathological one upstream at the scan).
+    The only shuffle is the repartition by conv_id (co-locating a
+    conversation's turns); the hot-conversation skew knob is absorbed
+    because a 500-turn conversation is still tiny next to a partition.
+    The kernel's node map dedups per (node, property) via addValue
+    (ref lib/util.js:249-306) and node IRIs are conversation-scoped,
+    so cross-conversation duplicates cannot occur → no global dedup
+    shuffle by default (dedup=True adds a dropDuplicates for
+    multi-source merges).
     """
     n = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism
     part = (transcripts

@@ -37,10 +37,24 @@ def _obj_struct(pred, value, termtype, datatype):
 
 
 def transcript_triples(transcripts: DataFrame,
-                       dedup: bool = True) -> DataFrame:
+                       dedup: bool | str = "local") -> DataFrame:
     """(conv_id, turn_idx, role, text, tool, ts) → deduplicated triple
     table (subj, pred, obj_value, obj_termtype, obj_datatype,
     obj_language, graph), graph='' (default graph, ref lib/toRdf.js:59).
+
+    dedup:
+      "local"  (default) — document-local dedup: the ONLY duplicates
+        this source can produce are repeated mentions within one turn
+        (turn/conv triples are unique by construction since turn_idx is
+        unique per conv_id), so `array_distinct` on the mention list
+        before explode yields exactly the deduplicated triple set with
+        ZERO shuffle. This also matches the reference semantics: its
+        dedup (`addValue` with allowDuplicate:false,
+        ref lib/util.js:249-306) is node-local, never cross-document.
+      "global"/True — belt-and-braces `dropDuplicates` over all 7
+        columns (needed when merging triples from multiple sources);
+        one uniform-key shuffle with map-side partial aggregation.
+      False — raw emission.
     """
     lit = F.lit
     conv_iri = F.concat(lit(CONV_NS), F.col("conv_id"))
@@ -79,15 +93,18 @@ def transcript_triples(transcripts: DataFrame,
 
     # mention detection: JVM-side regex; entity linking = canonical-form
     # IRI resolution (surface 'entity12'/'Entity12' → ent:Entity12)
+    raw_mentions = F.regexp_extract_all("text", lit(MENTION_RE), 1)
+    mention_entities = F.transform(
+        raw_mentions,
+        lambda s: F.concat(lit("Entity"), F.regexp_extract(s, r"[0-9]+", 0)))
+    if dedup == "local":
+        mention_entities = F.array_distinct(mention_entities)
     mentions = base.select(
         F.col("turn_iri").alias("subj"),
-        F.explode(F.regexp_extract_all("text", lit(MENTION_RE), 1))
-         .alias("surface"),
+        F.explode(mention_entities).alias("entity"),
     ).select(
         "subj", F.lit(TR + "mentions").alias("pred"),
-        F.concat(lit(ENT_NS), lit("Entity"),
-                 F.regexp_extract("surface", r"[0-9]+", 0))
-         .alias("obj_value"),
+        F.concat(lit(ENT_NS), F.col("entity")).alias("obj_value"),
         F.lit("NamedNode").alias("obj_termtype"),
         F.lit(None).cast("string").alias("obj_datatype"),
     )
@@ -113,8 +130,8 @@ def transcript_triples(transcripts: DataFrame,
         F.lit(None).cast("string").alias("obj_language"),
         F.lit("").alias("graph"))
 
-    if dedup:
-        # node-map set-semantics merge (ref lib/util.js:249-306)
+    if dedup in (True, "global"):
+        # cross-source set-semantics merge (ref lib/util.js:249-306)
         triples = triples.dropDuplicates(TRIPLE_COLUMNS)
     return triples
 

@@ -1,0 +1,78 @@
+"""Structured Streaming ingestion for the transcript KG.
+
+The reference is strictly batch (SURVEY.md §2.9) and the north_rule's
+resumability comes from checkpointed batch partitions — but a
+continuously-arriving transcript feed is the natural 100 TB deployment
+shape, and the vectorized triple emission is STATELESS, so the exact
+same column plan runs under `readStream` unchanged:
+
+  files → transcript_triples (narrow ops only) → append sink
+
+plus a stateful example: watermarked sliding-window mention counts
+(late-arriving turns tolerated up to the watermark).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.vectorized import transcript_triples
+from ..vocab import MENTION_RE
+
+TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str,
+                           max_files_per_trigger: int = 4) -> DataFrame:
+    return (spark.readStream.schema(TRANSCRIPT_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir))
+
+
+def stream_transcript_triples(spark: SparkSession, input_dir: str,
+                              output_dir: str, checkpoint_dir: str,
+                              available_now: bool = True):
+    """File-stream → triples → parquet append. Exactly-once via the
+    streaming checkpoint (source offsets + file-sink manifest)."""
+    stream = read_transcript_stream(spark, input_dir)
+    triples = transcript_triples(stream)  # stateless: valid on streams
+    writer = (triples.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_mention_counts(spark: SparkSession, input_dir: str,
+                          checkpoint_dir: str,
+                          window: str = "10 minutes",
+                          slide: str = "5 minutes",
+                          watermark: str = "15 minutes",
+                          available_now: bool = True):
+    """Stateful: watermarked sliding-window per-entity mention counts
+    (the hot-entity monitor). Late turns within the watermark update
+    their window; older ones are dropped — bounded state."""
+    stream = read_transcript_stream(spark, input_dir)
+    mentions = stream.select(
+        "ts",
+        F.explode(F.array_distinct(F.transform(
+            F.regexp_extract_all("text", F.lit(MENTION_RE), 1),
+            lambda s: F.concat(F.lit("Entity"),
+                               F.regexp_extract(s, r"[0-9]+", 0)))))
+        .alias("entity"))
+    counts = (mentions
+              .withWatermark("ts", watermark)
+              .groupBy(F.window("ts", window, slide), "entity")
+              .agg(F.count("*").alias("n_mentions")))
+    writer = (counts.writeStream
+              .format("memory")
+              .queryName("mention_counts")
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("complete"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,42 @@
+"""Structured Streaming ingestion tests (availableNow one-shot)."""
+from __future__ import annotations
+
+import pytest
+
+from jsonld_js_spark.pipeline import transcript_triples
+from jsonld_js_spark.streaming import (
+    stream_mention_counts, stream_transcript_triples,
+)
+from jsonld_js_spark.transcripts import transcripts_df
+
+N_CONV = 40
+
+
+@pytest.fixture(scope="module")
+def transcript_files(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    transcripts_df(spark, n_conv=N_CONV).repartition(4) \
+        .write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_triples_matches_batch(spark, transcript_files, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_transcript_triples(spark, transcript_files, out, ckpt)
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in transcript_triples(
+        transcripts_df(spark, n_conv=N_CONV)).collect()}
+    assert got == want
+
+
+def test_stream_mention_counts(spark, transcript_files, tmp_path):
+    q = stream_mention_counts(spark, transcript_files,
+                              str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM mention_counts").collect()
+    assert rows
+    total = sum(r["n_mentions"] for r in rows)
+    assert total > 0
+    assert all(r["window"]["start"] is not None for r in rows)
