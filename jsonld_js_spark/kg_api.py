@@ -13,8 +13,9 @@ from .transcripts import transcripts_df
 from .vocab import ENT_NS, RDF_TYPE, TR, XSD_DATETIME, XSD_STRING
 
 
-def _triples(spark, sf_dir):
-    return transcript_triples(transcripts_df(spark, sf_dir=sf_dir))
+def _triples(spark, sf_dir, cache=False):
+    t = transcript_triples(transcripts_df(spark, sf_dir=sf_dir))
+    return t.cache() if cache else t
 
 
 # ---------------------------------------------------------------------------
@@ -23,7 +24,9 @@ def q_kg_frame_turns(spark, sf_dir):
     the owning conversation joined through the reverse hasTurn edge
     (ref lib/frame.js:488-636 filter + :299-315 @reverse, compiled to
     semi-joins — see frame_spark.py)."""
-    t = _triples(spark, sf_dir)
+    # frame evaluation reads the triple table 4x (type match, mention
+    # match, embed, reverse-edge join) — cache one materialization
+    t = _triples(spark, sf_dir, cache=True)
     subjects = frame_subjects(t, {
         "@type": TR + "Turn",
         TR + "mentions": {"@id": ENT_NS + "Entity0"},

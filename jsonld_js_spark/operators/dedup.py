@@ -119,8 +119,14 @@ FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint
 
 # ---------------------------------------------------------------------------
 def _with_shingles(spark, sf_dir):
-    return corpus_df(spark, sf_dir).select(
-        "doc_id", shingles_col(F.col("text")).alias("shingles"))
+    """Shingle table, cached: every dedup op self-joins it 2-3 times
+    (signature build, candidate sides, verification) — one scan +
+    in-memory columnar reuse instead of recomputing the corpus DAG
+    per branch. At 100 TB the same role is played by materializing
+    the shingle/signature table once per run."""
+    return (corpus_df(spark, sf_dir)
+            .select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+            .cache())
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):

@@ -30,12 +30,6 @@ TRIPLE_COLUMNS = ["subj", "pred", "obj_value", "obj_termtype",
                   "obj_datatype", "obj_language", "graph"]
 
 
-def _obj_struct(pred, value, termtype, datatype):
-    return F.struct(
-        pred.alias("pred"), value.alias("obj_value"),
-        termtype.alias("obj_termtype"), datatype.alias("obj_datatype"))
-
-
 def transcript_triples(transcripts: DataFrame,
                        dedup: bool | str = "local") -> DataFrame:
     """(conv_id, turn_idx, role, text, tool, ts) → deduplicated triple
@@ -66,30 +60,11 @@ def transcript_triples(transcripts: DataFrame,
     literal = lit("Literal")
     no_dt = lit(None).cast("string")
 
-    # per-turn predicate/object pairs (subject = the turn IRI)
-    turn_objs = F.array_compact(F.array(
-        _obj_struct(lit(RDF_TYPE), lit(TR + "Turn"), named, no_dt),
-        _obj_struct(lit(TR + "role"), F.col("role"), literal,
-                    lit(XSD_STRING)),
-        _obj_struct(lit(TR + "text"), F.col("text"), literal,
-                    lit(XSD_STRING)),
-        _obj_struct(lit(TR + "turnIndex"),
-                    F.col("turn_idx").cast("string"), literal,
-                    lit(XSD_INTEGER)),
-        _obj_struct(lit(TR + "ts"), ts_lex, literal, lit(XSD_DATETIME)),
-        F.when(F.col("tool").isNotNull(), _obj_struct(
-            lit(TR + "usesTool"), F.concat(lit(TOOL_NS), F.col("tool")),
-            named, no_dt)),
-    ))
-
-    base = transcripts.select(
-        conv_iri.alias("conv_iri"), turn_iri.alias("turn_iri"),
-        F.col("turn_idx"), F.col("text"), turn_objs.alias("objs"))
-
-    turn_triples = base.select(
-        F.col("turn_iri").alias("subj"), F.explode("objs").alias("o"),
-    ).select("subj", "o.pred", "o.obj_value", "o.obj_termtype",
-             "o.obj_datatype")
+    def trip(subj, pred, obj_value, termtype, datatype):
+        return F.struct(
+            subj.alias("subj"), pred.alias("pred"),
+            obj_value.alias("obj_value"), termtype.alias("obj_termtype"),
+            datatype.alias("obj_datatype"))
 
     # mention detection: JVM-side regex; entity linking = canonical-form
     # IRI resolution (surface 'entity12'/'Entity12' → ent:Entity12)
@@ -99,36 +74,44 @@ def transcript_triples(transcripts: DataFrame,
         lambda s: F.concat(lit("Entity"), F.regexp_extract(s, r"[0-9]+", 0)))
     if dedup == "local":
         mention_entities = F.array_distinct(mention_entities)
-    mentions = base.select(
-        F.col("turn_iri").alias("subj"),
-        F.explode(mention_entities).alias("entity"),
-    ).select(
-        "subj", F.lit(TR + "mentions").alias("pred"),
-        F.concat(lit(ENT_NS), F.col("entity")).alias("obj_value"),
-        F.lit("NamedNode").alias("obj_termtype"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-    )
 
-    # conversation-level triples: hasTurn per turn; the conv type triple
-    # rides on turn 0 (every conversation has one) → no extra shuffle
-    conv_triples = base.select(
-        F.col("conv_iri").alias("subj"),
-        F.lit(TR + "hasTurn").alias("pred"),
-        F.col("turn_iri").alias("obj_value"),
-        F.lit("NamedNode").alias("obj_termtype"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-    ).unionAll(base.filter(F.col("turn_idx") == 0).select(
-        F.col("conv_iri").alias("subj"),
-        F.lit(RDF_TYPE).alias("pred"),
-        F.lit(TR + "Conversation").alias("obj_value"),
-        F.lit("NamedNode").alias("obj_termtype"),
-        F.lit(None).cast("string").alias("obj_datatype"),
+    # ONE array of every triple this row contributes → ONE source scan
+    # and ONE Generate (a union-of-branches plan would rescan the
+    # source once per branch — 4x the I/O at the real Iceberg scan).
+    # Nulls (absent tool, non-first turn) drop via array_compact; the
+    # conversation-type triple rides on turn 0 (every conversation has
+    # one) so no distinct/shuffle is needed.
+    all_triples = F.array_compact(F.concat(
+        F.array(
+            trip(turn_iri, lit(RDF_TYPE), lit(TR + "Turn"), named, no_dt),
+            trip(turn_iri, lit(TR + "role"), F.col("role"), literal,
+                 lit(XSD_STRING)),
+            trip(turn_iri, lit(TR + "text"), F.col("text"), literal,
+                 lit(XSD_STRING)),
+            trip(turn_iri, lit(TR + "turnIndex"),
+                 F.col("turn_idx").cast("string"), literal,
+                 lit(XSD_INTEGER)),
+            trip(turn_iri, lit(TR + "ts"), ts_lex, literal,
+                 lit(XSD_DATETIME)),
+            F.when(F.col("tool").isNotNull(), trip(
+                turn_iri, lit(TR + "usesTool"),
+                F.concat(lit(TOOL_NS), F.col("tool")), named, no_dt)),
+            trip(conv_iri, lit(TR + "hasTurn"), turn_iri, named, no_dt),
+            F.when(F.col("turn_idx") == 0, trip(
+                conv_iri, lit(RDF_TYPE), lit(TR + "Conversation"),
+                named, no_dt)),
+        ),
+        F.transform(mention_entities, lambda e: trip(
+            turn_iri, lit(TR + "mentions"), F.concat(lit(ENT_NS), e),
+            named, no_dt)),
     ))
 
-    triples = turn_triples.unionAll(mentions).unionAll(conv_triples).select(
-        "subj", "pred", "obj_value", "obj_termtype", "obj_datatype",
-        F.lit(None).cast("string").alias("obj_language"),
-        F.lit("").alias("graph"))
+    triples = (transcripts
+               .select(F.explode(all_triples).alias("t"))
+               .select("t.subj", "t.pred", "t.obj_value",
+                       "t.obj_termtype", "t.obj_datatype",
+                       F.lit(None).cast("string").alias("obj_language"),
+                       F.lit("").alias("graph")))
 
     if dedup in (True, "global"):
         # cross-source set-semantics merge (ref lib/util.js:249-306)
