@@ -67,6 +67,17 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
 
     rval = active_ctx
 
+    # the reference overrides `propagate` from the FIRST context of the
+    # array only (ref lib/context.js:72-76) and records previousContext
+    # once up front (ref :85-89) — per-element @propagate is merely
+    # validated (ref :282-301)
+    if ctxs and isinstance(ctxs[0], dict) and \
+            isinstance(ctxs[0].get("@propagate"), bool):
+        propagate = ctxs[0]["@propagate"]
+    if not propagate and active_ctx.get("previousContext") is None:
+        rval = _clone_active_context(active_ctx)
+        rval["previousContext"] = active_ctx
+
     for ctx in ctxs:
         if ctx is None:
             # reset (ref lib/context.js:159-173); protected terms block reset
@@ -97,12 +108,7 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
         if not isinstance(ctx, dict):
             raise JsonLdError("@context must be an object.", "invalid local context")
 
-        # per-context @propagate (JSON-LD 1.1 §4.1.2 steps 2-3)
-        ctx_propagate = ctx.get("@propagate", propagate)
-        prev = rval
         rval = _clone_active_context(rval)
-        if not ctx_propagate and rval["previousContext"] is None:
-            rval["previousContext"] = prev
 
         # @version (ref lib/context.js:175-197)
         if "@version" in ctx:

@@ -237,6 +237,141 @@ CASES = [
                "@type": EX + "Person"},
         context={"@vocab": EX, "knows": {"@type": "@id"}},
     ),
+    dict(
+        name="protected-term-override-error",
+        op_override=["expand-error"],
+        input={"@context": [{"@protected": True, "name": EX + "name"},
+                            {"name": EX + "other"}],
+               "@id": EX + "a", "name": "x"},
+    ),
+    dict(
+        name="protected-term-null-ctx-error",
+        op_override=["expand-error"],
+        input={"@context": [{"@protected": True, "name": EX + "name"},
+                            None],
+               "@id": EX + "a", "name": "x"},
+    ),
+    dict(
+        name="propagate-false",
+        input={"@context": [{"@vocab": EX},
+                            {"@propagate": False, "scoped": EX + "scopedTop"}],
+               "@id": EX + "a", "scoped": "top",
+               "child": {"@id": EX + "b", "scoped": "inner"}},
+    ),
+    dict(
+        name="import-context",
+        input={"@context": {"@import": "http://fixtures.test/imported.json",
+                            "extra": EX + "extra"},
+               "@id": EX + "a", "imported": "v", "extra": "w"},
+        documents={"http://fixtures.test/imported.json":
+                   {"@context": {"imported": EX + "imported"}}},
+    ),
+    dict(
+        name="version-1.0-mode",
+        input={"@context": {"@vocab": EX,
+                            "nested": {"@id": EX + "nested"}},
+               "@id": EX + "a", "nested": {"@id": EX + "b", "p": "v"}},
+        options={"processingMode": "json-ld-1.0"},
+    ),
+    dict(
+        name="language-map-none",
+        input={"@context": {"@vocab": EX,
+                            "label": {"@id": EX + "label",
+                                      "@container": "@language"}},
+               "@id": EX + "a",
+               "label": {"en": "hello", "@none": "untagged"}},
+    ),
+    dict(
+        name="index-map-none",
+        input={"@context": {"@vocab": EX,
+                            "p": {"@id": EX + "p", "@container": "@index"}},
+               "@id": EX + "a",
+               "p": {"@none": "no-index", "i1": "indexed"}},
+    ),
+    dict(
+        name="prefix-false-term",
+        input={"@context": {"@vocab": EX,
+                            "compactme": {"@id": EX + "sub/", "@prefix": True},
+                            "noprefix": {"@id": EX + "npx-", "@prefix": False}},
+               "@id": EX + "a", "compactme:x": "v1",
+               "noprefix:y": "v2"},
+    ),
+    dict(
+        name="reverse-container-set",
+        input={"@context": {"@vocab": EX,
+                            "isParentOf": {"@reverse": EX + "parent",
+                                           "@container": "@set"}},
+               "@id": EX + "a",
+               "isParentOf": {"@id": EX + "kid", "name": "K"}},
+    ),
+    dict(
+        name="graph-index-container",
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@id": EX + "claims",
+                                       "@container": ["@graph", "@index"]}},
+               "@id": EX + "a",
+               "claims": {"idx1": {"said": "one"}, "idx2": {"said": "two"}}},
+    ),
+    dict(
+        name="graph-id-container",
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@id": EX + "claims",
+                                       "@container": ["@graph", "@id"]}},
+               "@id": EX + "a",
+               "claims": {EX + "g1": {"said": "one"}}},
+    ),
+    dict(
+        name="included-block",
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a", "name": "A",
+               "@included": [{"@id": EX + "b", "name": "B"}]},
+    ),
+    dict(
+        name="null-values-drop",
+        input={"@context": {"@vocab": EX, "dropped": None},
+               "@id": EX + "a", "kept": "v", "gone": None,
+               "dropped": "never"},
+    ),
+    dict(
+        name="vocab-relative-resolution",
+        input={"@context": {"@vocab": "rel/",
+                            "@base": "http://base.org/dir/"},
+               "@id": "doc", "p": "v"},
+    ),
+    dict(
+        name="type-on-value-alias",
+        input={"@context": {"@vocab": EX, "datum": {"@id": EX + "datum",
+                                                    "@type": XSD + "decimal"}},
+               "@id": EX + "a", "datum": "3.14"},
+    ),
+    dict(
+        name="list-of-id-coercion",
+        input={"@context": {"@vocab": EX,
+                            "links": {"@id": EX + "links", "@type": "@id",
+                                      "@container": "@list"}},
+               "@id": EX + "a", "links": ["http://t.org/1", "http://t.org/2"]},
+    ),
+    dict(
+        name="expand-error-invalid-typed-value",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "p": {"@value": "v", "@type": "not an iri"}},
+    ),
+    dict(
+        name="expand-error-language-nonstring",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "p": {"@value": 5, "@language": "en"}},
+    ),
+    dict(
+        name="expand-error-conflicting-index",
+        op_override=["flatten-error"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "p": [{"@id": EX + "n", "@index": "i1", "x": "1"}],
+               "q": [{"@id": EX + "n", "@index": "i2", "x": "2"}]},
+    ),
 ]
 
 
@@ -270,7 +405,7 @@ def main() -> None:
         if "options" in case:
             entry["options"] = case["options"]
         for op in ops:
-            req_op = "expand" if op == "expand-error" else op
+            req_op = op.removesuffix("-error")
             req = {"op": req_op, "input": case["input"],
                    "options": case.get("options", {})}
             if "documents" in case:
@@ -278,7 +413,7 @@ def main() -> None:
             if req_op in ("flatten", "compact", "merge") and "context" in case:
                 req["context"] = case["context"]
             res = run_oracle(req)
-            if op == "expand-error":
+            if op.endswith("-error"):
                 assert not res["ok"], f"{name}: expected error, got {res}"
                 entry["ops"][op] = {"error_code": res.get("code")}
                 continue
