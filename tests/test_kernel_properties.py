@@ -1,0 +1,95 @@
+"""Property-based kernel invariants (hypothesis): expansion
+idempotence, flatten idempotence, toRDF↔fromRDF round-trip stability —
+on randomly generated JSON-LD documents.
+"""
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from jsonld_js_spark.kernel import expand, flatten, from_rdf, to_rdf
+from jsonld_js_spark.testing import compare_triple_sets, normalize_quads
+
+EX = "http://example.com/"
+CTX = {
+    "@vocab": EX,
+    "id_term": {"@id": EX + "idTerm", "@type": "@id"},
+    "int_term": {"@id": EX + "intTerm",
+                 "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+    "lang_term": {"@id": EX + "langTerm", "@language": "en"},
+    "list_term": {"@id": EX + "listTerm", "@container": "@list"},
+}
+
+_scalars = st.one_of(
+    st.text(alphabet="abc xyz", min_size=0, max_size=8),
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1e6, max_value=1e6),
+    st.booleans(),
+)
+
+_terms = st.sampled_from(
+    ["p", "q", "name", "id_term", "int_term", "lang_term", "list_term"])
+
+
+def _nodes(depth: int):
+    value = _scalars if depth == 0 else st.one_of(
+        _scalars,
+        st.deferred(lambda: _node_obj(depth - 1)),
+        st.lists(_scalars, max_size=3),
+    )
+    return st.dictionaries(_terms, value, min_size=0, max_size=4)
+
+
+def _node_obj(depth: int):
+    return _nodes(depth).map(lambda d: dict(d))
+
+
+docs = _nodes(2).map(lambda d: {"@context": CTX, "@id": EX + "root", **d})
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs)
+def test_expand_idempotent(doc):
+    once = expand(doc)
+    twice = expand(once)
+    assert twice == once
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs)
+def test_flatten_idempotent(doc):
+    once = flatten(doc)
+    twice = flatten(once)
+    assert twice == once
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs)
+def test_tordf_fromrdf_roundtrip(doc):
+    """to_rdf(from_rdf(to_rdf(doc))) preserves the triple set modulo
+    blank-node bijection (lists round-trip through rdf:first/rest)."""
+    quads1 = to_rdf(doc)
+    back = from_rdf(quads1, {"useNativeTypes": False})
+    quads2 = to_rdf(back)
+    res = compare_triple_sets(normalize_quads(quads2),
+                              normalize_quads(quads1))
+    assert res["precision"] == 1.0 and res["recall"] == 1.0, res
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False))
+def test_canonical_double_parses_back(v):
+    """Canonical double lexical form round-trips to the same binary
+    double (except -0 which canonicalizes to 0, matching JS)."""
+    from jsonld_js_spark.kernel.util import canonical_double
+    s = canonical_double(v)
+    # 16 significant digits (toExponential(15)) — exact for any double
+    # that needs <= 16 digits; doubles needing 17 lose the last digit
+    # in the reference too, so compare at 16-digit precision
+    assert float(s.replace("E", "e")) == \
+        (0.0 if v == 0 else float(f"{v:.15e}"))
+    # reference shape: optional sign, digits '.' digits, 'E', exponent
+    import re
+    assert re.fullmatch(r"-?\d\.\d+E-?\d+", s), s
