@@ -34,10 +34,19 @@ def _options_with_defaults(options):
 def expand(doc, options=None):
     """jsonld.expand (ref lib/jsonld.js:268-354). `doc` is a parsed JSON
     value (no URL fetching — this sandbox engine is network-free; remote
-    contexts resolve through options['contextResolver'])."""
+    contexts resolve through options['contextResolver']).
+
+    Performance options (used by the Spark kernel path):
+    - options['activeCtx']: a pre-processed active context (the
+      resolve-once / broadcast-once pattern — executors skip context
+      processing entirely when every document shares one context);
+    - options['skipCopy']: skip the defensive deepcopy when the caller
+      owns the document.
+    """
     options = _options_with_defaults(options)
-    active_ctx = initial_context(options)
-    doc = copy.deepcopy(doc)
+    active_ctx = options.get("activeCtx") or initial_context(options)
+    if not options.get("skipCopy"):
+        doc = copy.deepcopy(doc)
 
     expand_context = options.get("expandContext")
     if expand_context is not None:
