@@ -59,10 +59,16 @@ def test_expand_idempotent(doc):
 
 @settings(max_examples=60, deadline=None)
 @given(docs)
-def test_flatten_idempotent(doc):
+def test_flatten_idempotent_modulo_bnodes(doc):
+    """Re-flattening may renumber blank nodes (the issuer labels in
+    encounter order, which changes once references replace embeds —
+    reference behavior too), so idempotence holds modulo bijection."""
     once = flatten(doc)
     twice = flatten(once)
-    assert twice == once
+    res = compare_triple_sets(
+        normalize_quads(to_rdf(twice, {"skipExpansion": False})),
+        normalize_quads(to_rdf(once, {"skipExpansion": False})))
+    assert res["precision"] == 1.0 and res["recall"] == 1.0, res
 
 
 @settings(max_examples=60, deadline=None)
