@@ -360,6 +360,90 @@ def q_kg_compact_conversations(spark, sf_dir):
             .orderBy("conv_iri"))
 
 
+
+
+# ---------------------------------------------------------------------------
+def q_kg_merge_sources(spark, sf_dir):
+    """Distributed jsonld.merge analog (ref lib/jsonld.js:766-856):
+    union the transcript KG, the customer graph, and the events graph
+    into one default graph with GLOBAL set-semantics dedup — the
+    cross-source case where document-local dedup is not enough.
+    Output: per-predicate stats of the merged graph."""
+    t = _triples(spark, sf_dir).select("subj", "pred", "obj_value",
+                                       "obj_termtype", "obj_datatype")
+    c = q_kg_customer_graph(spark, sf_dir)
+    e = q_kg_events_graph(spark, sf_dir)
+    merged = (t.unionAll(c).unionAll(e)
+              .dropDuplicates(["subj", "pred", "obj_value",
+                               "obj_termtype", "obj_datatype"]))
+    return (merged.groupBy("pred")
+            .agg(F.count("*").alias("n_triples"),
+                 F.countDistinct("subj").alias("n_subjects"))
+            .orderBy("pred"))
+
+
+def oracle_kg_merge_sources(triples_sql: str) -> str:
+    from .oracles import kg_oracles  # noqa: F401  (structure parity)
+    return f"""
+WITH tr AS ({triples_sql}),
+cu AS ({ORACLE_KG_CUSTOMER_GRAPH.replace("ORDER BY subj, pred, obj_value", "")}),
+ev AS ({oracle_kg_events_graph().replace("ORDER BY subj, pred, obj_value", "")}),
+merged AS (
+  SELECT DISTINCT subj, pred, obj_value, obj_termtype, obj_datatype
+  FROM (SELECT subj, pred, obj_value, obj_termtype, obj_datatype FROM tr
+        UNION ALL SELECT * FROM cu UNION ALL SELECT * FROM ev)
+)
+SELECT pred, count(*) AS n_triples, count(distinct subj) AS n_subjects
+FROM merged GROUP BY pred ORDER BY pred
+"""
+
+
+# ---------------------------------------------------------------------------
+def q_kg_nquads(spark, sf_dir):
+    """Canonical N-Quads serialization (ref lib/toRdf.js via
+    rdf-canonize NQuads; kernel/rdf.py serialize_nquads) as pure column
+    expressions: escape literal strings, wrap IRIs, typed literals.
+    Returns one `line` per triple, sorted (deterministic)."""
+    t = _triples(spark, sf_dir)
+    esc = F.col("obj_value")
+    for pat, rep in ((r"\\", r"\\\\"), ('"', r'\\"'),
+                     ("\n", r"\\n"), ("\r", r"\\r"),
+                     ("\t", r"\\t")):
+        esc = F.regexp_replace(esc, pat, rep)
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+    obj = (F.when(F.col("obj_termtype") != "Literal", 
+                  F.when(F.col("obj_value").startswith("_:"),
+                         F.col("obj_value"))
+                   .otherwise(F.concat(F.lit("<"), F.col("obj_value"),
+                                       F.lit(">"))))
+            .when(F.col("obj_datatype").isNotNull() &
+                  (F.col("obj_datatype") != xsd_string),
+                  F.concat(F.lit('"'), esc, F.lit('"^^<'),
+                           F.col("obj_datatype"), F.lit(">")))
+            .otherwise(F.concat(F.lit('"'), esc, F.lit('"'))))
+    line = F.concat(F.lit("<"), F.col("subj"), F.lit("> <"),
+                    F.col("pred"), F.lit("> "), obj, F.lit(" ."))
+    return t.select(line.alias("line")).orderBy("line")
+
+
+def oracle_kg_nquads(triples_sql: str) -> str:
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+    esc = ("replace(replace(replace(replace(replace(obj_value,"
+           " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'),"
+           " chr(13), '\\r'), chr(9), '\\t')")
+    return f"""
+WITH triples AS ({triples_sql})
+SELECT '<' || subj || '> <' || pred || '> ' ||
+  (case when obj_termtype != 'Literal' then
+     (case when obj_value LIKE '_:%' then obj_value
+           else '<' || obj_value || '>' end)
+   when obj_datatype IS NOT NULL AND obj_datatype != '{xsd_string}'
+     then '"' || {esc} || '"^^<' || obj_datatype || '>'
+   else '"' || {esc} || '"' end) || ' .' AS line
+FROM triples ORDER BY line
+"""
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -368,6 +452,8 @@ def queries() -> dict:
         "kg_customer_graph": q_kg_customer_graph,
         "kg_events_graph": q_kg_events_graph,
         "kg_conv_window": q_kg_conv_window,
+        "kg_merge_sources": q_kg_merge_sources,
+        "kg_nquads": q_kg_nquads,
         "kg_compact_conversations": q_kg_compact_conversations,
     }
 
@@ -384,6 +470,8 @@ def oracles(n_conv: int) -> dict:
         "kg_events_graph": oracle_kg_events_graph(),
         "kg_conv_window": oracle_kg_conv_window(
             transcripts_sql(n_conv, "duckdb")),
+        "kg_merge_sources": oracle_kg_merge_sources(triples_sql),
+        "kg_nquads": oracle_kg_nquads(triples_sql),
         # kg_compact_conversations: rows-only (JSON text oracle not
         # SQL-expressible; content verified in tests/test_kg_api.py)
     }
