@@ -152,6 +152,57 @@ def from_rdf(dataset, options=None):
     return _from_rdf(dataset, options)
 
 
+def frame(doc, frame_doc, options=None):
+    """jsonld.frame (ref lib/jsonld.js:425-511): expand input + frame
+    (frame in frame mode with free-floating nodes kept), run the
+    framing algorithm over the merged (or default) graph, compact with
+    framing enabled, then replace @null with null."""
+    from .context import expand_iri
+    from .frame import cleanup_null, frame_merged_or_default
+
+    options = _options_with_defaults(options)
+    options.setdefault("embed", "@once")
+    options.setdefault("explicit", False)
+    options.setdefault("requireAll", False)
+    options.setdefault("omitDefault", False)
+    options.setdefault("bnodesToClear", [])
+
+    frame_context = {}
+    if isinstance(frame_doc, dict) and "@context" in frame_doc:
+        frame_context = frame_doc["@context"]
+    active_ctx = process_context(initial_context(options), frame_context,
+                                 options) if frame_context else \
+        initial_context(options)
+    is11 = active_ctx.get("processingMode", "json-ld-1.1") == "json-ld-1.1"
+    options.setdefault("omitGraph", is11)
+    options.setdefault("pruneBlankNodeIdentifiers", is11)
+
+    expanded = expand(doc, options)
+
+    fopts = dict(options)
+    fopts["isFrame"] = True
+    fopts["keepFreeFloatingNodes"] = True
+    expanded_frame = expand(frame_doc, fopts)
+
+    # frame the default graph if the frame mentions @graph, else merged
+    frame_keys = [expand_iri(active_ctx, k, vocab=True)
+                  for k in (frame_doc or {})]
+    fopts["merged"] = "@graph" not in frame_keys
+    fopts["is11"] = is11
+
+    framed = frame_merged_or_default(expanded, expanded_frame, fopts)
+
+    copts = dict(fopts)
+    copts["graph"] = not options["omitGraph"]
+    copts["skipExpansion"] = True
+    copts["link"] = {}
+    copts["framing"] = True
+    compacted = compact(framed, frame_context or {}, copts)
+
+    copts["link"] = {}
+    return cleanup_null(compacted, copts)
+
+
 def merge(docs, ctx=None, options=None):
     """jsonld.merge (ref lib/jsonld.js:766-856): expand each doc, relabel
     bnodes per-doc with an `_:b{i}-` prefixed issuer, build one shared node
@@ -197,7 +248,7 @@ def merge(docs, ctx=None, options=None):
 
 
 __all__ = [
-    "expand", "compact", "flatten", "to_rdf", "from_rdf", "merge",
+    "expand", "compact", "flatten", "frame", "to_rdf", "from_rdf", "merge",
     "ContextResolver", "parse_nquads", "serialize_nquads",
     "relabel_blank_nodes", "create_merged_node_map", "JsonLdError",
 ]

@@ -154,6 +154,7 @@ def expand(active_ctx, element, active_property=None, options=None,
 
     # free-floating node drop (ref lib/expand.js:367-389)
     if isinstance(rval, dict) and not options.get("isFrame") and \
+            not options.get("keepFreeFloatingNodes") and \
             (active_property is None or active_property == "@graph"):
         if len(rval) == 0 or "@value" in rval or "@list" in rval:
             rval = None

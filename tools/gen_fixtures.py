@@ -375,6 +375,116 @@ CASES = [
 ]
 
 
+
+FRAME_DOC = {
+    "@context": {"@vocab": EX},
+    "@graph": [
+        {"@id": EX + "lib", "@type": "Library", "name": "The Library",
+         "contains": {"@id": EX + "book1"}},
+        {"@id": EX + "book1", "@type": "Book", "title": "Book One",
+         "creator": "Ann", "contains": {"@id": EX + "chapter1"}},
+        {"@id": EX + "chapter1", "@type": "Chapter", "title": "Ch 1"},
+        {"@id": EX + "book2", "@type": "Book", "title": "Book Two"},
+    ],
+}
+
+CASES += [
+    dict(
+        name="frame-basic-type",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@type": "Library",
+               "contains": {"@type": "Book",
+                            "contains": {"@type": "Chapter"}}},
+    ),
+    dict(
+        name="frame-wildcard",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@type": "Book"},
+    ),
+    dict(
+        name="frame-explicit",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@type": "Book",
+               "@explicit": True, "title": {}},
+    ),
+    dict(
+        name="frame-default",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@type": "Book",
+               "creator": {"@default": "unknown"}},
+    ),
+    dict(
+        name="frame-embed-never",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@type": "Library",
+               "contains": {"@embed": "@never"}},
+    ),
+    dict(
+        name="frame-require-all",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@requireAll": True,
+               "@type": "Book", "creator": {}},
+    ),
+    dict(
+        name="frame-id-match",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@id": EX + "book1"},
+    ),
+    dict(
+        name="frame-reverse",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@type": "Book",
+               "@reverse": {"contains": {}}},
+    ),
+    dict(
+        name="frame-value-pattern",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@type": "Book",
+               "title": {"@value": "Book One"}},
+    ),
+    dict(
+        name="frame-list",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX,
+                            "items": {"@id": EX + "items",
+                                      "@container": "@list"}},
+               "@id": EX + "order", "@type": "Order",
+               "items": [{"@id": EX + "i1", "@type": "Item", "sku": "a"},
+                          {"@id": EX + "i2", "@type": "Item", "sku": "b"}]},
+        frame={"@context": {"@vocab": EX,
+                            "items": {"@id": EX + "items",
+                                      "@container": "@list"}},
+               "@type": "Order"},
+    ),
+    dict(
+        name="frame-named-graph",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "g1",
+               "@graph": [{"@id": EX + "a", "@type": "T", "name": "A"}],
+               "label": "graph"},
+        frame={"@context": {"@vocab": EX}, "@type": "T"},
+    ),
+    dict(
+        name="frame-bnode-prune",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a", "@type": "T",
+               "p": {"q": "anonymous once"}},
+        frame={"@context": {"@vocab": EX}, "@type": "T"},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
@@ -402,6 +512,10 @@ def main() -> None:
             with open(os.path.join(FIXDIR, f"{name}-documents.json"), "w") as f:
                 json.dump(case["documents"], f, indent=1, sort_keys=True)
             entry["documents"] = f"{name}-documents.json"
+        if "frame" in case:
+            with open(os.path.join(FIXDIR, f"{name}-frame.json"), "w") as f:
+                json.dump(case["frame"], f, indent=1, sort_keys=True)
+            entry["frame"] = f"{name}-frame.json"
         if "options" in case:
             entry["options"] = case["options"]
         for op in ops:
@@ -410,6 +524,8 @@ def main() -> None:
                    "options": case.get("options", {})}
             if "documents" in case:
                 req["documents"] = case["documents"]
+            if "frame" in case:
+                req["frame"] = case["frame"]
             if req_op in ("flatten", "compact", "merge") and "context" in case:
                 req["context"] = case["context"]
             res = run_oracle(req)

@@ -45,6 +45,7 @@ async function main() {
     else if (req.op === 'flatten') result = await jsonld.flatten(req.input, req.context || null, opts);
     else if (req.op === 'compact') result = await jsonld.compact(req.input, req.context, opts);
     else if (req.op === 'merge') result = await jsonld.merge(req.input, req.context || null, opts);
+    else if (req.op === 'frame') result = await jsonld.frame(req.input, req.frame, opts);
     else if (req.op === 'fromRDF') {
       result = await jsonld.fromRDF(req.input, opts); // input: dataset array
     } else if (req.op === 'toRDF') {
