@@ -158,7 +158,7 @@ def frame(doc, frame_doc, options=None):
     framing algorithm over the merged (or default) graph, compact with
     framing enabled, then replace @null with null."""
     from .context import expand_iri
-    from .frame import cleanup_null, frame_merged_or_default
+    from .framing import cleanup_null, frame_merged_or_default
 
     options = _options_with_defaults(options)
     options.setdefault("embed", "@once")

@@ -444,6 +444,96 @@ FROM triples ORDER BY line
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+def q_kg_frame_kernel_path(spark, sf_dir):
+    """Distributed generic framing: each conversation's JSON-LD doc is
+    framed by the full kernel frame engine (kernel/frame.py) inside
+    Arrow-batched mapInPandas — the per-document counterpart of the
+    semi-join compilation in frame_spark.py. The frame selects
+    tool-using turns; output (conv_iri, n_matched, first_tool_iri) is
+    SQL-checkable."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from .transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf_dir=sf_dir)
+    schema = StructType([
+        StructField("conv_iri", StringType()),
+        StructField("n_matched", IntegerType()),
+        StructField("first_tool_iri", StringType()),
+    ])
+
+    def frame_convs(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        from .kernel import frame as kernel_frame
+        from .pipeline.kernel_path import build_conversation_doc
+        from .vocab import MENTION_RE, TRANSCRIPT_CONTEXT, ENT_NS, TR
+        frame_doc = {
+            "@context": dict(TRANSCRIPT_CONTEXT),
+            "@type": "Turn",
+            "@requireAll": True,  # AND: typed Turn AND has usesTool
+            "usesTool": {},
+        }
+        for pdf in batches:
+            mention_iris = pdf["text"].str.findall(MENTION_RE).apply(
+                lambda ms: [ENT_NS + "Entity" +
+                            "".join(c for c in m if c.isdigit())
+                            for m in ms])
+            pdf = pdf.assign(
+                mention_iris=mention_iris,
+                ts_lex=pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                tool=pdf["tool"].astype(object).where(
+                    pdf["tool"].notna(), None))
+            out = []
+            for conv_id, grp in pdf.groupby("conv_id", sort=False):
+                doc = build_conversation_doc(
+                    conv_id, grp.sort_values("turn_idx")
+                    .to_dict("records"))
+                framed = kernel_frame(doc, frame_doc)
+                if not isinstance(framed, dict):
+                    framed = {}
+                nodes = framed.get("@graph", [framed])
+                matched = [n for n in nodes
+                           if isinstance(n, dict) and "usesTool" in n]
+                tools = []
+                for n in matched:
+                    v = n["usesTool"]
+                    if isinstance(v, list):
+                        v = v[0] if v else None
+                    if isinstance(v, dict):
+                        v = v.get("@id")
+                    if isinstance(v, str):
+                        tools.append(v)
+                tools.sort()
+                out.append((
+                    "http://example.org/conv/" + conv_id, len(matched),
+                    tools[0] if tools else None))
+            yield pd.DataFrame(out, columns=schema.fieldNames())
+
+    return (t.repartition(16, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .mapInPandas(frame_convs, schema=schema)
+            .orderBy("conv_iri"))
+
+
+def oracle_kg_frame_kernel_path(transcripts_sql: str) -> str:
+    return f"""
+WITH transcripts AS ({transcripts_sql})
+SELECT 'http://example.org/conv/' || conv_id AS conv_iri,
+       cast(count(tool) as int) AS n_matched,
+       min(case when tool is not null then 'tool:' || tool end)
+         AS first_tool_iri
+FROM transcripts GROUP BY conv_id ORDER BY conv_iri
+"""
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -454,6 +544,7 @@ def queries() -> dict:
         "kg_conv_window": q_kg_conv_window,
         "kg_merge_sources": q_kg_merge_sources,
         "kg_nquads": q_kg_nquads,
+        "kg_frame_kernel_path": q_kg_frame_kernel_path,
         "kg_compact_conversations": q_kg_compact_conversations,
     }
 
@@ -472,6 +563,8 @@ def oracles(n_conv: int) -> dict:
             transcripts_sql(n_conv, "duckdb")),
         "kg_merge_sources": oracle_kg_merge_sources(triples_sql),
         "kg_nquads": oracle_kg_nquads(triples_sql),
+        "kg_frame_kernel_path": oracle_kg_frame_kernel_path(
+            transcripts_sql(n_conv, "duckdb")),
         # kg_compact_conversations: rows-only (JSON text oracle not
         # SQL-expressible; content verified in tests/test_kg_api.py)
     }
