@@ -287,13 +287,105 @@ ORDER BY vec_a, vec_b
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer = 8 data-derived centroids; vectors
+# are assigned to their nearest centroid cell (cos_ppm, centroid-id
+# tiebreak); queries probe their top-NPROBE cells and exact-rank the
+# union. At scale the assignment is one broadcast pass and each query
+# touches ~NPROBE/N_CELLS of the corpus.
+
+IVF_NPROBE = 2
+_CENTROID_IDS = [20, 40, 60, 80, 100, 120, 140, 160]
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v"))
+    cents = F.broadcast(
+        e.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv")))
+    scored = e.crossJoin(cents).select(
+        "vec_id", "v", "centroid_id",
+        _cos_ppm(F.col("v"), F.col("cv")).alias("c_ppm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_ppm"), F.asc("centroid_id"))
+    ranked = scored.withColumn("r", F.row_number().over(w_assign))
+    assign = (ranked.filter(F.col("r") == 1)
+              .select("vec_id", "v", F.col("centroid_id").alias("cell")))
+    probes = (ranked.filter((F.col("r") <= IVF_NPROBE) &
+                            (F.col("vec_id") < N_QUERIES))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv"),
+                      F.col("centroid_id").alias("cell")))
+    cand = (assign.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "vec_id"]))
+    scored2 = cand.select(
+        "query_id", "vec_id",
+        _cos_ppm(F.col("qv"), F.col("v")).alias("cos_ppm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_ppm"), F.asc("vec_id"))
+    return (scored2.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "vec_id", "cos_ppm")
+            .orderBy("query_id", "rank"))
+
+
+def _oracle_ann_ivf() -> str:
+    ids = ", ".join(str(i) for i in _CENTROID_IDS)
+    cos_vc = _cos_ppm_sql("e.v", "c.cv")
+    cos_qv = _cos_ppm_sql("cand.qv", "cand.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e
+  WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT e.vec_id, e.v, c.centroid_id, {cos_vc} AS c_ppm,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos_vc} DESC, c.centroid_id)
+           AS r
+  FROM e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, centroid_id AS cell FROM scored WHERE r = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS cell
+  FROM scored WHERE r <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, a.vec_id, a.v
+  FROM assign a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, {cos_qv} AS cos_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos_qv} DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, rank, vec_id, cos_ppm FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_COSINE,
     "ann_lsh_topk": _oracle_ann_lsh(),
+    "ann_ivf_topk": _oracle_ann_ivf(),
     "dedup_embedding_cosine": _oracle_neardup(),
 }

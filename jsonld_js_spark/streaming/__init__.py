@@ -1,1 +1,4 @@
-from .ingest import stream_transcript_triples, stream_mention_counts  # noqa: F401
+from .ingest import (  # noqa: F401
+    stream_conversation_sessions, stream_mention_counts,
+    stream_transcript_triples,
+)

@@ -76,3 +76,75 @@ def stream_mention_counts(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_conversation_sessions(spark: SparkSession, input_dir: str,
+                                 checkpoint_dir: str,
+                                 gap_seconds: int = 3600,
+                                 available_now: bool = True):
+    """Custom stateful operator via applyInPandasWithState: per-
+    conversation session tracking. State accumulates (n_turns,
+    min_ts, max_ts, n_mentions) per conv_id; when the event-time
+    watermark passes last_ts + gap the session closes and one summary
+    row is emitted (append mode, bounded state).
+
+    This is the applyInPandasWithState shape a 10^12-turn live feed
+    needs: state is per-conversation (the natural shuffle key), rows
+    arrive in any order within the watermark, and output is exactly
+    one row per closed conversation session.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    stream = (read_transcript_stream(spark, input_dir)
+              .withWatermark("ts", f"{gap_seconds // 2} seconds"))
+
+    output_schema = ("conv_id string, n_turns long, first_ts timestamp, "
+                     "last_ts timestamp, n_mentions long")
+    state_schema = ("n_turns long, first_ts timestamp, last_ts timestamp, "
+                    "n_mentions long")
+
+    def track(key, pdfs, state: GroupState):
+        import re
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, first_ts, last_ts, n_mentions = state.get
+            state.remove()
+            yield pd.DataFrame([
+                (conv_id, n_turns, first_ts, last_ts, n_mentions)],
+                columns=["conv_id", "n_turns", "first_ts", "last_ts",
+                         "n_mentions"])
+            return
+        n_turns = 0
+        first_ts = None
+        last_ts = None
+        n_mentions = 0
+        if state.exists:
+            n_turns, first_ts, last_ts, n_mentions = state.get
+        pat = re.compile(MENTION_RE)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_mentions += int(pdf["text"].str.count(pat).sum())
+            lo = pdf["ts"].min().to_pydatetime()
+            hi = pdf["ts"].max().to_pydatetime()
+            first_ts = lo if first_ts is None or lo < first_ts else first_ts
+            last_ts = hi if last_ts is None or hi > last_ts else last_ts
+        state.update((n_turns, first_ts, last_ts, n_mentions))
+        state.setTimeoutTimestamp(
+            int(last_ts.timestamp() * 1000) + gap_seconds * 1000)
+        return
+        yield  # pragma: no cover (generator form)
+
+    sessions = (stream.groupBy("conv_id").applyInPandasWithState(
+        track, output_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout))
+    writer = (sessions.writeStream
+              .format("memory")
+              .queryName("conversation_sessions")
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -40,3 +40,22 @@ def test_stream_mention_counts(spark, transcript_files, tmp_path):
     total = sum(r["n_mentions"] for r in rows)
     assert total > 0
     assert all(r["window"]["start"] is not None for r in rows)
+
+
+def test_stream_conversation_sessions(spark, transcript_files, tmp_path):
+    from jsonld_js_spark.streaming import stream_conversation_sessions
+    q = stream_conversation_sessions(
+        spark, transcript_files, str(tmp_path / "ckpt3"),
+        gap_seconds=600)
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM conversation_sessions").collect()
+    # conversations start hours apart, so as the watermark advances
+    # across input files earlier sessions must close and emit
+    assert rows, "no sessions closed"
+    by_conv = {r["conv_id"]: r for r in rows}
+    batch = transcripts_df(spark, n_conv=N_CONV).groupBy("conv_id").count()
+    expected = {r["conv_id"]: r["count"] for r in batch.collect()}
+    for conv_id, r in by_conv.items():
+        assert r["n_turns"] == expected[conv_id], conv_id
+        assert r["first_ts"] <= r["last_ts"]
+        assert r["n_mentions"] >= r["n_turns"]  # >=1 mention per turn
