@@ -20,7 +20,7 @@ per-bucket joins; plane count = 12 → 4096 buckets.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import functions as F
 
 N_QUERIES = 10     # query set = vec_id < 10
 TOP_K = 5
