@@ -617,35 +617,37 @@ def compact_value(active_ctx, active_property, value, options=None):
         preserve_index = "@index" in value and "@index" not in container
 
         if not preserve_index and type_ != "@none":
-            if value.get("@type") == type_:
+            # matching @type or @language/@direction from the context
+            # (ref lib/compact.js:984-999; note JS `undefined === null`
+            # is false, so an ABSENT @type never matches a null type)
+            if "@type" in value and value["@type"] == type_:
                 return value["@value"]
-            if "@language" in value and value["@language"] == language and \
-                    ("@direction" not in value or
-                     value.get("@direction") == direction):
+            if "@language" in value and value["@language"] == language \
+                    and "@direction" in value and \
+                    value["@direction"] == direction:
                 return value["@value"]
-            if "@language" not in value and "@type" not in value and \
-                    "@direction" not in value and \
-                    (language is None or not isinstance(value["@value"],
-                                                        str)):
-                if not isinstance(value["@value"], str):
-                    return value["@value"]
-                if language is None and direction is None:
-                    return value["@value"]
+            if "@language" in value and value["@language"] == language:
+                return value["@value"]
+            if "@direction" in value and value["@direction"] == direction:
+                return value["@value"]
 
-        count = len(value)
-        is_string = isinstance(value.get("@value"), str)
-        has_default_language = count <= 2 and is_string and \
-            language is not None and not get_context_value(
-                active_ctx, active_property, "_has_language")
-
-        if count == 1 and (not is_string or active_ctx.get("@language")
-                           is None or type_ == "@none"):
-            if not is_string:
-                return value["@value"]
-            if active_ctx.get("@language") is None and \
-                    active_ctx.get("@direction") is None and \
-                    language is None and direction is None:
-                return value["@value"]
+        # bare @value if: only key (or only + unpreserved @index), no
+        # default language applies (ref lib/compact.js:1001-1016)
+        key_count = len(value)
+        is_value_only_key = key_count == 1 or (
+            key_count == 2 and "@index" in value and not preserve_index)
+        # (our active-ctx dict always carries the key; the reference
+        # only has '@language' when a default language is set)
+        has_default_language = active_ctx.get("@language") is not None
+        is_value_string = isinstance(value.get("@value"), str)
+        mapping = active_ctx["mappings"].get(active_property) \
+            if active_property else None
+        has_null_mapping = mapping is not None and \
+            "@language" in mapping and mapping["@language"] is None
+        if is_value_only_key and type_ != "@none" and \
+                (not has_default_language or not is_value_string or
+                 has_null_mapping):
+            return value["@value"]
 
         rval = {}
         if "@index" in value and "@index" not in container:

@@ -485,6 +485,119 @@ CASES += [
 ]
 
 
+
+COMPACT_CTX = {
+    "@vocab": EX,
+    "knows": {"@id": EX + "knows", "@type": "@id"},
+    "label": {"@id": EX + "label", "@container": "@language"},
+    "athletes": {"@id": EX + "athletes", "@container": "@index"},
+    "post": {"@id": EX + "post", "@container": "@id"},
+    "lst": {"@id": EX + "lst", "@container": "@list"},
+    "children": {"@reverse": EX + "parent"},
+    "foaf": "http://xmlns.com/foaf/0.1/",
+}
+
+CASES += [
+    dict(
+        name="compact-language-map",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "label": [
+                    {"@value": "Queen", "@language": "en"},
+                    {"@value": "Koenigin", "@language": "de"}]}],
+        context=COMPACT_CTX,
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-index-map",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "athletes": [
+                    {"@id": EX + "p1", "@index": "guard",
+                     EX + "name": [{"@value": "A"}]},
+                    {"@id": EX + "p2", "@index": "center",
+                     EX + "name": [{"@value": "B"}]}]}],
+        context=COMPACT_CTX,
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-id-map",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "post": [
+                    {"@id": EX + "p1", EX + "title": [{"@value": "T1"}]},
+                    {"@id": EX + "p2", EX + "title": [{"@value": "T2"}]}]}],
+        context=COMPACT_CTX,
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-list",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "lst": [{"@list": [{"@value": 1}, {"@value": 2}]}]}],
+        context=COMPACT_CTX,
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-reverse",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                "@reverse": {EX + "parent": [
+                    {"@id": EX + "kid1"},
+                    {"@id": EX + "kid2", EX + "name": [{"@value": "K"}]}]}}],
+        context=COMPACT_CTX,
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-curie-pick",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                "http://xmlns.com/foaf/0.1/nick": [{"@value": "al"}],
+                EX + "plain": [{"@value": "v"}]}],
+        context=COMPACT_CTX,
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-type-coercion-value",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "knows": [{"@id": EX + "b"}],
+                EX + "typed": [{"@value": "2026-01-01",
+                                "@type": XSD + "date"}],
+                EX + "tagged": [{"@value": "bonjour",
+                                 "@language": "fr"}]}],
+        context=COMPACT_CTX,
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-graph-keyword",
+        op_override=["compact"],
+        input=[{"@id": EX + "g",
+                "@graph": [{"@id": EX + "a",
+                            EX + "name": [{"@value": "A"}]}]}],
+        context=COMPACT_CTX,
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-keyword-alias-ctx",
+        op_override=["compact"],
+        input=[{"@id": EX + "a", "@type": [EX + "T"],
+                EX + "p": [{"@value": "v"}]}],
+        context={"id": "@id", "type": "@type", "@vocab": EX},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-array-singleton",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "one": [{"@value": "single"}],
+                EX + "many": [{"@value": "x"}, {"@value": "y"}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
