@@ -66,3 +66,14 @@ def test_rerun_is_noop(spark, transcripts, tmp_path):
     stats = run_checkpointed_triples(spark, transcripts, wh,
                                      n_buckets=N_BUCKETS)
     assert stats["ran"] == 0 and stats["skipped"] == N_BUCKETS
+
+
+def test_kernel_path_checkpoint_matches(spark, transcripts, tmp_path):
+    """The generic kernel path is checkpoint/resume-capable too and
+    commits the same triple set as the vectorized path."""
+    wh = str(tmp_path / "whk")
+    run_checkpointed_triples(spark, transcripts, wh,
+                             n_buckets=3, use_kernel_path=True)
+    got = {tuple(r) for r in read_committed(spark, wh).collect()}
+    want = {tuple(r) for r in transcript_triples(transcripts).collect()}
+    assert got == want
