@@ -534,6 +534,52 @@ FROM transcripts GROUP BY conv_id ORDER BY conv_iri
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+def q_kg_fromrdf_roundtrip(spark, sf_dir):
+    """fromRDF→toRDF round-trip at scale: the triple table is grouped
+    per conversation, folded back into JSON-LD node maps by the kernel
+    (ref lib/fromRdf.js:45-271) and re-emitted (ref lib/toRdf.js) —
+    the output must equal the input triple set exactly, which the
+    oracle (the original triple derivation) verifies."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .pipeline.kernel_path import TRIPLE_SCHEMA
+
+    t = _triples(spark, sf_dir)
+    conv_of = F.when(
+        F.col("subj").rlike("^http://example.org/conv/[^/]+$"),
+        F.col("subj")).otherwise(
+        F.regexp_extract("subj", r"^(http://example.org/conv/[^/]+)/turn/",
+                         1))
+    rows = t.withColumn("conv_iri", conv_of).filter(F.col("conv_iri") != "")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        from .kernel import from_rdf, to_rdf
+        for pdf in batches:
+            out = []
+            for _conv, grp in pdf.groupby("conv_iri", sort=False):
+                quads = list(zip(grp["subj"], grp["pred"],
+                                 grp["obj_value"], grp["obj_termtype"],
+                                 grp["obj_datatype"], grp["obj_language"],
+                                 grp["graph"]))
+                quads = [(s_, p_, v_, tt,
+                          None if pd.isna(dt) else dt,
+                          None if pd.isna(lg) else lg, g_)
+                         for s_, p_, v_, tt, dt, lg, g_ in quads]
+                doc = from_rdf(quads, {"useNativeTypes": False})
+                out.extend(to_rdf(doc, {"skipCopy": True}))
+            yield pd.DataFrame(out, columns=TRIPLE_SCHEMA.fieldNames())
+
+    return (rows.repartition(16, "conv_iri")
+            .sortWithinPartitions("conv_iri")
+            .mapInPandas(roundtrip, schema=TRIPLE_SCHEMA))
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -545,6 +591,7 @@ def queries() -> dict:
         "kg_merge_sources": q_kg_merge_sources,
         "kg_nquads": q_kg_nquads,
         "kg_frame_kernel_path": q_kg_frame_kernel_path,
+        "kg_fromrdf_roundtrip": q_kg_fromrdf_roundtrip,
         "kg_compact_conversations": q_kg_compact_conversations,
     }
 
@@ -565,6 +612,8 @@ def oracles(n_conv: int) -> dict:
         "kg_nquads": oracle_kg_nquads(triples_sql),
         "kg_frame_kernel_path": oracle_kg_frame_kernel_path(
             transcripts_sql(n_conv, "duckdb")),
+        # round-trip must reproduce the original triple set exactly
+        "kg_fromrdf_roundtrip": triples_sql,
         # kg_compact_conversations: rows-only (JSON text oracle not
         # SQL-expressible; content verified in tests/test_kg_api.py)
     }

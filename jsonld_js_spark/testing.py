@@ -24,7 +24,10 @@ def quad_from_reference_json(q: dict) -> Quad:
 
     obj = q["object"]
     if obj["termType"] == "Literal":
-        dt = obj.get("datatype") or XSD_STRING
+        dt = obj.get("datatype")
+        if isinstance(dt, dict):  # raw rdf-canonize term shape
+            dt = dt.get("value")
+        dt = dt or XSD_STRING
         lang = obj.get("language") or None
     else:
         dt = None

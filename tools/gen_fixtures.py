@@ -598,6 +598,88 @@ CASES += [
 ]
 
 
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _term(value, datatype=None, language=None):
+    """Build an rdf-canonize term dict from a simple spec."""
+    if value.startswith("_:"):
+        return {"termType": "BlankNode", "value": value}
+    if datatype is None and language is None and (
+            value.startswith("http") or ":" in value.split("/")[0]):
+        return {"termType": "NamedNode", "value": value}
+    t = {"termType": "Literal", "value": value,
+         "datatype": {"termType": "NamedNode",
+                      "value": datatype or XSD + "string"}}
+    if language:
+        t["language"] = language
+        t["datatype"]["value"] = RDF_NS + "langString"
+    return t
+
+
+def _lit(value, datatype=None, language=None):
+    t = {"termType": "Literal", "value": value,
+         "datatype": {"termType": "NamedNode",
+                      "value": datatype or XSD + "string"}}
+    if language:
+        t["language"] = language
+        t["datatype"]["value"] = RDF_NS + "langString"
+    return t
+
+
+def quads(*specs):
+    """specs: (s, p, o) where o is a term dict or IRI/bnode string."""
+    out = []
+    for s_, p_, o_ in specs:
+        out.append({
+            "subject": _term(s_), "predicate": _term(p_),
+            "object": o_ if isinstance(o_, dict) else _term(o_),
+            "graph": {"termType": "DefaultGraph", "value": ""},
+        })
+    return out
+
+
+FROMRDF_LIST = quads(
+    (EX + "a", EX + "items", "_:l1"),
+    ("_:l1", RDF_NS + "first", _lit("one")),
+    ("_:l1", RDF_NS + "rest", "_:l2"),
+    ("_:l2", RDF_NS + "first", _lit("2", XSD + "integer")),
+    ("_:l2", RDF_NS + "rest", RDF_NS + "nil"),
+)
+
+FROMRDF_SHARED_LIST = quads(
+    (EX + "a", EX + "items", "_:s1"),
+    (EX + "b", EX + "items", "_:s1"),  # shared head → not a list
+    ("_:s1", RDF_NS + "first", _lit("x")),
+    ("_:s1", RDF_NS + "rest", RDF_NS + "nil"),
+)
+
+FROMRDF_TYPES = quads(
+    (EX + "a", RDF_NS + "type", EX + "T"),
+    (EX + "a", EX + "count", _lit("42", XSD + "integer")),
+    (EX + "a", EX + "score", _lit("1.1E0", XSD + "double")),
+    (EX + "a", EX + "flag", _lit("true", XSD + "boolean")),
+    (EX + "a", EX + "greeting", _lit("hola", language="es")),
+    (EX + "a", EX + "date", _lit("2026-01-01", XSD + "date")),
+)
+
+CASES += [
+    dict(name="fromrdf-list", op_override=["fromRDF"],
+         input=FROMRDF_LIST),
+    dict(name="fromrdf-shared-list", op_override=["fromRDF"],
+         input=FROMRDF_SHARED_LIST),
+    dict(name="fromrdf-native-types", op_override=["fromRDF"],
+         input=FROMRDF_TYPES,
+         options={"useNativeTypes": True}),
+    dict(name="fromrdf-typed-strings", op_override=["fromRDF"],
+         input=FROMRDF_TYPES),
+    dict(name="fromrdf-use-rdf-type", op_override=["fromRDF"],
+         input=FROMRDF_TYPES,
+         options={"useRdfType": True}),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
