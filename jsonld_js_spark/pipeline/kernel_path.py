@@ -85,7 +85,8 @@ def _shared_active_ctx():
     return _SHARED_CTX
 
 
-def _emit_conversations(pdf: pd.DataFrame) -> pd.DataFrame:
+def _emit_conversations(pdf: pd.DataFrame, doc_transform=None,
+                        quad_filter=None) -> pd.DataFrame:
     """Vectorized prep + per-conversation kernel run over one batch.
 
     Rows arrive sorted by (conv_id, turn_idx) (sortWithinPartitions
@@ -121,32 +122,45 @@ def _emit_conversations(pdf: pd.DataFrame) -> pd.DataFrame:
             for k in range(start, end)]
         doc = build_conversation_doc(cid, turns)
         del doc["@context"]  # context pre-processed (activeCtx)
+        if doc_transform is not None:
+            doc = doc_transform(doc)
         # set-semantics dedup is per-node in the node map; emit raw
-        out.extend(to_rdf(doc, options))
+        quads = to_rdf(doc, options)
+        if quad_filter is not None:
+            quads = [q for q in quads if quad_filter(q)]
+        out.extend(quads)
         start = end
     return pd.DataFrame(out, columns=TRIPLE_SCHEMA.fieldNames())
 
 
-def _batched(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    tail: pd.DataFrame | None = None
-    for pdf in batches:
-        if tail is not None:
-            pdf = pd.concat([tail, pdf], ignore_index=True)
-        if len(pdf) == 0:
-            tail = None
-            continue
-        last = pdf["conv_id"].iloc[-1]
-        head = pdf[pdf["conv_id"] != last]
-        tail = pdf[pdf["conv_id"] == last]
-        if len(head):
-            yield _emit_conversations(head)
-    if tail is not None and len(tail):
-        yield _emit_conversations(tail)
+def _batched(doc_transform=None, quad_filter=None):
+    """Build the mapInPandas function, capturing optional hooks (the
+    engine's counterpart of the reference's expansionMap/compactionMap
+    callback surface, ref lib/jsonld.js:109-117: arbitrary Python
+    callables ride the UDF closure to the executors)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                tail = None
+                continue
+            last = pdf["conv_id"].iloc[-1]
+            head = pdf[pdf["conv_id"] != last]
+            tail = pdf[pdf["conv_id"] == last]
+            if len(head):
+                yield _emit_conversations(head, doc_transform, quad_filter)
+        if tail is not None and len(tail):
+            yield _emit_conversations(tail, doc_transform, quad_filter)
+    return run
 
 
 def kernel_transcript_triples(transcripts: DataFrame,
                               num_partitions: int | None = None,
-                              dedup: bool = False) -> DataFrame:
+                              dedup: bool = False,
+                              doc_transform=None,
+                              quad_filter=None) -> DataFrame:
     """transcripts → triples via the generic JSON-LD kernel.
 
     The only shuffle is the repartition by conv_id (co-locating a
@@ -162,7 +176,8 @@ def kernel_transcript_triples(transcripts: DataFrame,
     part = (transcripts
             .repartition(n, "conv_id")
             .sortWithinPartitions("conv_id", "turn_idx"))
-    triples = part.mapInPandas(_batched, schema=TRIPLE_SCHEMA)
+    triples = part.mapInPandas(_batched(doc_transform, quad_filter),
+                               schema=TRIPLE_SCHEMA)
     if dedup:
         triples = triples.dropDuplicates(TRIPLE_SCHEMA.fieldNames())
     return triples

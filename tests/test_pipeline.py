@@ -104,3 +104,21 @@ def test_generator_matches_duckdb(spark, transcripts):
         transcripts_sql(N_CONV, "duckdb")).fetchall()}
     mine = {tuple(map(str, r)) for r in transcripts.collect()}
     assert mine == got
+
+
+def test_kernel_path_hooks(spark, transcripts):
+    """expansionMap-analog surface: Python callables ride the UDF
+    closure — a doc transform adds a property, a quad filter drops
+    text triples."""
+    def add_flag(doc):
+        doc["pipelineRun"] = "r1"
+        return doc
+
+    def no_text(quad):
+        return not quad[1].endswith("#text")
+
+    df = kernel_transcript_triples(transcripts, doc_transform=add_flag,
+                                   quad_filter=no_text)
+    preds = {r["pred"] for r in df.select("pred").distinct().collect()}
+    assert TR + "pipelineRun" in preds
+    assert TR + "text" not in preds
