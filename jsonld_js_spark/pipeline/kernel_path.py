@@ -160,22 +160,31 @@ def kernel_transcript_triples(transcripts: DataFrame,
                               num_partitions: int | None = None,
                               dedup: bool = False,
                               doc_transform=None,
-                              quad_filter=None) -> DataFrame:
+                              quad_filter=None,
+                              assume_grouped: bool = False) -> DataFrame:
     """transcripts → triples via the generic JSON-LD kernel.
 
     The only shuffle is the repartition by conv_id (co-locating a
     conversation's turns); the hot-conversation skew knob is absorbed
     because a 500-turn conversation is still tiny next to a partition.
+    With `assume_grouped=True` (valid when the source is already
+    conversation-contiguous — an Iceberg table bucketed/sorted by
+    (conv_id, turn_idx), or our generator) the shuffle is skipped
+    entirely and the whole path is narrow.
+
     The kernel's node map dedups per (node, property) via addValue
     (ref lib/util.js:249-306) and node IRIs are conversation-scoped,
     so cross-conversation duplicates cannot occur → no global dedup
     shuffle by default (dedup=True adds a dropDuplicates for
     multi-source merges).
     """
-    n = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism
-    part = (transcripts
-            .repartition(n, "conv_id")
-            .sortWithinPartitions("conv_id", "turn_idx"))
+    if assume_grouped:
+        part = transcripts
+    else:
+        n = num_partitions or             transcripts.sparkSession.sparkContext.defaultParallelism
+        part = (transcripts
+                .repartition(n, "conv_id")
+                .sortWithinPartitions("conv_id", "turn_idx"))
     triples = part.mapInPandas(_batched(doc_transform, quad_filter),
                                schema=TRIPLE_SCHEMA)
     if dedup:

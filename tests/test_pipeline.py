@@ -122,3 +122,47 @@ def test_kernel_path_hooks(spark, transcripts):
     preds = {r["pred"] for r in df.select("pred").distinct().collect()}
     assert TR + "pipelineRun" in preds
     assert TR + "text" not in preds
+
+
+def test_kernel_path_assume_grouped(spark, transcripts):
+    """Generator output is conversation-contiguous → the shuffle-free
+    variant must produce the identical triple set."""
+    want = _as_set(kernel_transcript_triples(transcripts))
+    got = _as_set(kernel_transcript_triples(
+        transcripts_df(spark, n_conv=N_CONV), assume_grouped=True))
+    assert got == want
+
+
+def test_kernel_path_conversation_spanning_batches(spark):
+    """A conversation larger than an Arrow batch must be reassembled by
+    the partition-local tail-carry (not split into partial docs)."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        from pyspark.sql import functions as F
+        big = spark.range(3000).select(
+            F.lit("conv-big").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("Turn about [[Entity"),
+                     (F.col("id") % 7).cast("string"),
+                     F.lit("]].")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            (F.lit("2026-01-01 00:00:00").cast("timestamp")).alias("ts"),
+        ).coalesce(1)
+        triples = kernel_transcript_triples(big, num_partitions=1)
+        # exactly one hasTurn edge per turn and ONE conversation node
+        n_hasturn = triples.filter(
+            F.col("pred") == TR + "hasTurn").count()
+        n_conv_nodes = triples.filter(
+            (F.col("pred").endswith("#type")) &
+            (F.col("obj_value") == TR + "Conversation")).count()
+        assert n_hasturn == 3000
+        assert n_conv_nodes == 1
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
