@@ -48,6 +48,8 @@ def _clone_active_context(active_ctx: dict) -> dict:
     child["mappings"] = dict(active_ctx["mappings"])
     child["protected"] = dict(active_ctx["protected"])
     child["inverse"] = None
+    # never share the IRI memo: the clone's mappings may diverge
+    child.pop("_iri_memo", None)
     return child
 
 
@@ -501,6 +503,9 @@ def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
         mapping["@type"] = type_
 
 
+_MISS = object()
+
+
 def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
                base: bool = False, local_ctx: dict = None,
                defined: dict = None) -> Optional[str]:
@@ -511,7 +516,23 @@ def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
         return value
     if not isinstance(value, str):
         return value
+
+    # memo on the (immutable-after-processing) active context — IRI
+    # expansion dominates kernel CPU; safe only outside the context-
+    # processing phase (local_ctx participates in term creation)
+    memo = None
+    if local_ctx is None:
+        memo = active_ctx.get("_iri_memo")
+        if memo is None:
+            memo = active_ctx["_iri_memo"] = {}
+        key = (value, vocab, base)
+        hit = memo.get(key, _MISS)
+        if hit is not _MISS:
+            return hit
+
     if is_keyword_form(value):
+        if memo is not None:
+            memo[key] = None
         return None
 
     # create dependency definitions first (during context processing)
@@ -519,6 +540,14 @@ def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
             defined is not None and not defined.get(value):
         create_term_definition(active_ctx, local_ctx, value, defined, {})
 
+    result = _expand_iri_tail(active_ctx, value, vocab, base,
+                              local_ctx, defined)
+    if memo is not None:
+        memo[key] = result
+    return result
+
+
+def _expand_iri_tail(active_ctx, value, vocab, base, local_ctx, defined):
     if vocab:
         mapping = active_ctx["mappings"].get(value)
         if mapping is not None:
