@@ -680,6 +680,36 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="tordf-generalized-rdf",
+        op_override=["toRDF"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "_:bnodeprop": "kept only when generalized",
+               "normal": "v"},
+        options={"produceGeneralizedRdf": True},
+    ),
+    dict(
+        name="tordf-bnode-predicate-skip",
+        op_override=["toRDF"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "_:bnodeprop": "dropped by default",
+               "normal": "v"},
+    ),
+    dict(
+        name="fromrdf-i18n-direction",
+        op_override=["fromRDF"],
+        input=quads(
+            (EX + "a", EX + "t",
+             _lit("xyz", "https://www.w3.org/ns/i18n#ar_rtl"))),
+        options={"rdfDirection": "i18n-datatype"},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
