@@ -77,3 +77,27 @@ def test_kernel_path_checkpoint_matches(spark, transcripts, tmp_path):
     got = {tuple(r) for r in read_committed(spark, wh).collect()}
     want = {tuple(r) for r in transcript_triples(transcripts).collect()}
     assert got == want
+
+
+def test_partial_write_without_marker_is_redone(spark, transcripts,
+                                                tmp_path):
+    """A kill between the data write and the lineage-marker rename
+    leaves an unmarked partial directory: resume must overwrite it and
+    commit exactly-once output (no duplicates from the partial)."""
+    import os
+    import shutil
+
+    wh = str(tmp_path / "wh")
+    run_checkpointed_triples(spark, transcripts, wh, n_buckets=N_BUCKETS)
+    # simulate: partition 3's marker lost, data dir left partial
+    os.remove(os.path.join(wh, "_lineage", "triples", "3.json"))
+    part_dir = os.path.join(wh, "triples", "part_id=3")
+    # corrupt the partial dir (as an interrupted write would)
+    for f in os.listdir(part_dir)[:1]:
+        os.remove(os.path.join(part_dir, f))
+    stats = run_checkpointed_triples(spark, transcripts, wh,
+                                     n_buckets=N_BUCKETS)
+    assert stats["ran"] == 1
+    got = {tuple(r) for r in read_committed(spark, wh).collect()}
+    want = {tuple(r) for r in transcript_triples(transcripts).collect()}
+    assert got == want

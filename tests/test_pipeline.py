@@ -166,3 +166,22 @@ def test_kernel_path_conversation_spanning_batches(spark):
         else:
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_salted_aggregation_splits_hot_keys(spark, transcripts):
+    """The two-phase entity count's first phase keys on
+    (surface, partition-salt): the hottest entity must be split across
+    multiple partial groups, so no reducer sees the full hot key."""
+    from pyspark.sql import functions as F
+    from jsonld_js_spark.vocab import MENTION_RE
+    surfaces = transcripts.select(
+        F.explode(F.regexp_extract_all("text", F.lit(MENTION_RE), 1))
+         .alias("surface"))
+    salted = surfaces.groupBy(
+        "surface", (F.spark_partition_id() % 16).alias("_salt"),
+    ).agg(F.count("*").alias("_c"))
+    hot = (salted.groupBy("surface")
+           .agg(F.countDistinct("_salt").alias("n_salts"),
+                F.sum("_c").alias("total"))
+           .orderBy(F.desc("total")).first())
+    assert hot["n_salts"] >= 2, hot
