@@ -32,7 +32,8 @@ def _get_type_scoped_context(active_ctx, options):
 
 
 def expand(active_ctx, element, active_property=None, options=None,
-           inside_list=False, type_scoped_context=None):
+           inside_list=False, type_scoped_context=None,
+           inside_index=False):
     """Expansion Algorithm (ref lib/expand.js:68-392)."""
     options = options or {}
 
@@ -57,7 +58,8 @@ def expand(active_ctx, element, active_property=None, options=None,
         for item in element:
             expanded = expand(active_ctx, item, active_property, options,
                               inside_list=False,
-                              type_scoped_context=type_scoped_context)
+                              type_scoped_context=type_scoped_context,
+                              inside_index=inside_index)
             if inside_list and isinstance(expanded, list):
                 expanded = {"@list": expanded}
             if expanded is None:
@@ -73,9 +75,11 @@ def expand(active_ctx, element, active_property=None, options=None,
     property_scoped_ctx = get_context_value(
         active_ctx, active_property, "@context")
 
-    # revert type-scoped context when starting a new node object
-    # (spec 5.1.2 step 7; ref lib/expand.js:174-220)
-    if active_ctx.get("previousContext") is not None:
+    # revert type-scoped context when starting a new node object —
+    # but NOT inside an index-map entry, whose key may carry a
+    # type-scoped context (ref lib/expand.js:174-199 mustRevert =
+    # !insideIndex)
+    if not inside_index and active_ctx.get("previousContext") is not None:
         keys = [k for k in element
                 if expand_iri(active_ctx, k, vocab=True) in ("@value", "@id")]
         must_revert = not (len(keys) == len(element) and len(keys) > 0)
@@ -554,7 +558,7 @@ def _expand_index_map(active_ctx, active_property, value, index_key, as_graph,
         items = value[key]
         items = items if isinstance(items, list) else [items]
         expanded = expand(item_ctx, items, active_property, options,
-                          inside_list=False)
+                          inside_list=False, inside_index=True)
         for item in expanded:
             if as_graph and not is_graph(item):
                 item = {"@graph": [item]}

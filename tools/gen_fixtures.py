@@ -710,6 +710,67 @@ CASES += [
 ]
 
 
+
+# cases modeled on the reference's own unit-test inputs
+# (tests/graph-container.js:10-150, tests/misc.js) — inputs only,
+# goldens captured from the running reference
+CASES += [
+    dict(
+        name="graph-set-container",
+        input={"@context": {"@vocab": EX,
+                            "input": {"@id": EX + "input",
+                                      "@container": ["@graph", "@set"]}},
+               "@id": EX + "a", "input": {"value": "x"}},
+    ),
+    dict(
+        name="graph-container-compact-roundtrip",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "input": {"@id": EX + "input",
+                                      "@container": "@graph"}},
+               "@id": EX + "a", "input": {"value": "x"}},
+        context={"@vocab": EX,
+                 "input": {"@id": EX + "input", "@container": "@graph"}},
+    ),
+    dict(
+        name="scoped-context-on-type-map",
+        input={"@context": {"@vocab": EX,
+                            "typemap": {"@id": EX + "typemap",
+                                        "@container": "@type"},
+                            "Alpha": {"@id": EX + "Alpha",
+                                      "@context": {"v": EX + "alphaV"}}},
+               "@id": EX + "a",
+               "typemap": {"Alpha": {"v": "scoped"}}},
+    ),
+    dict(
+        name="nested-node-reverse-roundtrip",
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@reverse": EX + "claimedBy"}},
+               "@id": EX + "a",
+               "claims": {"@id": EX + "c1", "text": "t",
+                          "sub": {"@id": EX + "c2"}}},
+    ),
+    dict(
+        name="expand-error-invalid-reverse-id",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "@reverse": {"p": {"@value": "not a node"}}},
+    ),
+    dict(
+        name="expand-error-invalid-id-type",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX}, "@id": 42},
+    ),
+    dict(
+        name="expand-error-keyword-redefine",
+        op_override=["expand-error"],
+        input={"@context": {"@id": EX + "notallowed"},
+               "x": "y"},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
