@@ -6,6 +6,6 @@ generic-document path. See SURVEY.md §7 step 1.
 
 from .api import (  # noqa: F401
     ContextResolver, JsonLdError, compact, expand, flatten, frame, from_rdf,
-    merge, parse_nquads, serialize_nquads, to_rdf,
+    link, merge, parse_nquads, serialize_nquads, to_rdf,
 )
 from .util import IdentifierIssuer  # noqa: F401

@@ -203,6 +203,16 @@ def frame(doc, frame_doc, options=None):
     return cleanup_null(compacted, copts)
 
 
+def link(doc, ctx=None, options=None):
+    """jsonld.link (ref lib/jsonld.js:528-537): connect all node
+    references in-memory = frame with a wildcard @embed:@link frame."""
+    frame_doc = {}
+    if ctx:
+        frame_doc["@context"] = ctx
+    frame_doc["@embed"] = "@link"
+    return frame(doc, frame_doc, options)
+
+
 def merge(docs, ctx=None, options=None):
     """jsonld.merge (ref lib/jsonld.js:766-856): expand each doc, relabel
     bnodes per-doc with an `_:b{i}-` prefixed issuer, build one shared node
@@ -248,7 +258,8 @@ def merge(docs, ctx=None, options=None):
 
 
 __all__ = [
-    "expand", "compact", "flatten", "frame", "to_rdf", "from_rdf", "merge",
+    "expand", "compact", "flatten", "frame", "link", "to_rdf",
+    "from_rdf", "merge",
     "ContextResolver", "parse_nquads", "serialize_nquads",
     "relabel_blank_nodes", "create_merged_node_map", "JsonLdError",
 ]

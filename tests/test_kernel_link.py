@@ -1,0 +1,47 @@
+"""jsonld.link parity (ref lib/jsonld.js:528-537 + tests/misc.js:19-28):
+@embed:@link produces in-memory circular linked nodes."""
+from __future__ import annotations
+
+from jsonld_js_spark.kernel import link
+
+EX = "http://example.com/"
+
+
+def test_link_creates_circular_references():
+    doc = {"@context": {"@vocab": EX, "knows": {"@type": "@id"}},
+           "@graph": [
+               {"@id": EX + "a", "name": "A", "knows": EX + "b"},
+               {"@id": EX + "b", "name": "B", "knows": EX + "a"}]}
+    out = link(doc, {"@vocab": EX, "knows": {"@type": "@id"}})
+    nodes = out.get("@graph", [out])
+    by_id = {}
+    for n in nodes:
+        if isinstance(n, dict) and "@id" in n:
+            by_id[n["@id"]] = n
+    a = by_id.get("a") or by_id.get(EX + "a")
+    assert a is not None
+    # follow a → b → a: must come back to the SAME object (identity)
+    b = a["knows"]
+    if isinstance(b, list):
+        b = b[0]
+    assert isinstance(b, dict)
+    back = b["knows"]
+    if isinstance(back, list):
+        back = back[0]
+    assert back is a, "link must produce identity-circular references"
+
+
+def test_link_self_reference():
+    # ref tests/misc.js:19-28 — a node referencing itself
+    doc = {"@context": {"@vocab": EX, "foo": {"@type": "@id"}},
+           "@id": EX + "self", "foo": EX + "self"}
+    out = link(doc, {"@vocab": EX, "foo": {"@type": "@id"}})
+    # the top level is a compaction wrapper (carries @context); the
+    # cycle lives on the linked node one hop in: N['foo'] is N
+    node = out["foo"]
+    if isinstance(node, list):
+        node = node[0]
+    target = node["foo"]
+    if isinstance(target, list):
+        target = target[0]
+    assert target is node, "self-link must be identity-circular"

@@ -771,6 +771,29 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="merge-empty-context",
+        op_override=["merge"],
+        input=[{"@id": EX + "m1", EX + "afoo": [{"@value": 1}]},
+               {"@id": EX + "m1", EX + "bfoo": [{"@value": 2}]}],
+        context={},
+    ),
+    dict(
+        name="js-keyword-terms",
+        input={"@context": {"valueOf": EX + "valueOf",
+                            "toString": EX + "toString",
+                            "constructor": EX + "constructor"},
+               "valueOf": "first", "toString": "second",
+               "constructor": "third"},
+    ),
+]
+# NOTE: jsonld.link output is intentionally circular (in-memory linked
+# nodes) — not JSON-serializable, so no golden fixture; kernel.link is
+# behavior-tested directly in tests/test_kernel_link.py.
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
@@ -812,7 +835,8 @@ def main() -> None:
                 req["documents"] = case["documents"]
             if "frame" in case:
                 req["frame"] = case["frame"]
-            if req_op in ("flatten", "compact", "merge") and "context" in case:
+            if req_op in ("flatten", "compact", "merge", "link") and \
+                    "context" in case:
                 req["context"] = case["context"]
             res = run_oracle(req)
             if op.endswith("-error"):

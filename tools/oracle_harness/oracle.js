@@ -46,6 +46,7 @@ async function main() {
     else if (req.op === 'compact') result = await jsonld.compact(req.input, req.context, opts);
     else if (req.op === 'merge') result = await jsonld.merge(req.input, req.context || null, opts);
     else if (req.op === 'frame') result = await jsonld.frame(req.input, req.frame, opts);
+    else if (req.op === 'link') result = await jsonld.link(req.input, req.context || null, opts);
     else if (req.op === 'fromRDF') {
       result = await jsonld.fromRDF(req.input, opts); // input: dataset array
     } else if (req.op === 'toRDF') {
