@@ -203,6 +203,26 @@ def frame(doc, frame_doc, options=None):
     return cleanup_null(compacted, copts)
 
 
+def create_node_map_api(doc, options=None):
+    """jsonld.createNodeMap (ref lib/jsonld.js:714-737 + misc.js:63-79):
+    expand, build the node map, merge all graphs into the default
+    graph, return {node_id: node}."""
+    options = _options_with_defaults(options)
+    expanded = expand(doc, options)
+    return create_merged_node_map(expanded)
+
+
+def process_context_api(active_ctx, local_ctx, options=None):
+    """jsonld.processContext (ref lib/jsonld.js:860-887): fold a local
+    context into an active context (None → initial context)."""
+    options = _options_with_defaults(options)
+    if active_ctx is None:
+        active_ctx = initial_context(options)
+    if isinstance(local_ctx, dict) and "@context" in local_ctx:
+        local_ctx = local_ctx["@context"]
+    return process_context(active_ctx, local_ctx, options)
+
+
 def link(doc, ctx=None, options=None):
     """jsonld.link (ref lib/jsonld.js:528-537): connect all node
     references in-memory = frame with a wildcard @embed:@link frame."""
@@ -259,7 +279,7 @@ def merge(docs, ctx=None, options=None):
 
 __all__ = [
     "expand", "compact", "flatten", "frame", "link", "to_rdf",
-    "from_rdf", "merge",
+    "from_rdf", "merge", "create_node_map_api", "process_context_api",
     "ContextResolver", "parse_nquads", "serialize_nquads",
     "relabel_blank_nodes", "create_merged_node_map", "JsonLdError",
 ]

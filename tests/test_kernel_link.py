@@ -45,3 +45,23 @@ def test_link_self_reference():
     if isinstance(target, list):
         target = target[0]
     assert target is node, "self-link must be identity-circular"
+
+
+def test_create_node_map_matches_reference_unit():
+    """ref tests/misc.js:63-79 expectation, verbatim."""
+    from jsonld_js_spark.kernel.api import create_node_map_api
+    doc = {"@id": "ex:1", "a:property": [{"@id": "ex:2"}]}
+    assert create_node_map_api(doc) == {
+        "ex:1": {"@id": "ex:1", "a:property": [{"@id": "ex:2"}]},
+        "ex:2": {"@id": "ex:2"},
+    }
+
+
+def test_process_context_api():
+    from jsonld_js_spark.kernel.api import process_context_api
+    ac = process_context_api(None, {"@vocab": EX, "n": EX + "n"})
+    assert ac["@vocab"] == EX
+    assert ac["mappings"]["n"]["@id"] == EX + "n"
+    ac2 = process_context_api(ac, {"m": EX + "m"})
+    assert ac2["mappings"]["m"]["@id"] == EX + "m"
+    assert "m" not in ac["mappings"]  # input context not mutated
