@@ -322,30 +322,34 @@ def _compact_graph_item(active_ctx, nest_result, item_active_property,
         compacted_item = [compacted_item]
     graph_alias = compact_iri(active_ctx, "@graph", vocab=True)
 
+    # map branch: @graph+@id always; @graph+@index only for simple
+    # graphs (ref lib/compact.js:477-499 — note the JS precedence:
+    # `@id || (@index && isSimpleGraph)`)
     if "@graph" in container and (
-            is_simple_graph(expanded_item) or "@id" not in expanded_item):
-        if "@index" in container and not is_simple_graph(expanded_item):
-            map_object = nest_result.setdefault(item_active_property, {})
-            key = expanded_item.get("@index", "@none")
-            inner = compacted_item if len(compacted_item) != 1 or \
-                not compact_arrays else compacted_item[0]
-            add_value(map_object, key, inner,
-                      property_is_array="@set" in container)
-        elif "@id" in container and not is_simple_graph(expanded_item):
-            map_object = nest_result.setdefault(item_active_property, {})
-            key = compact_iri(active_ctx, expanded_item.get("@id", "@none"),
-                              base=options.get("base")) \
-                if "@id" in expanded_item else "@none"
-            inner = compacted_item if len(compacted_item) != 1 or \
-                not compact_arrays else compacted_item[0]
-            add_value(map_object, key, inner,
-                      property_is_array="@set" in container)
+            "@id" in container or
+            ("@index" in container and is_simple_graph(expanded_item))):
+        map_object = nest_result.setdefault(item_active_property, {})
+        key = expanded_item.get("@id") if "@id" in container \
+            else expanded_item.get("@index")
+        if not key:
+            key = compact_iri(active_ctx, "@none", vocab=True)
+        inner = compacted_item if len(compacted_item) != 1 or \
+            not compact_arrays else compacted_item[0]
+        add_value(map_object, key, inner,
+                  property_is_array=(not compact_arrays or
+                                     "@set" in container))
+        return compacted_item
+    if "@graph" in container and is_simple_graph(expanded_item):
+        # simple graph, no keying container (ref :500-514); multiple
+        # values wrap in @included
+        if len(compacted_item) > 1:
+            inner = {"@included": compacted_item}
         else:
-            inner = compacted_item if len(compacted_item) != 1 or \
-                not compact_arrays else compacted_item[0]
-            add_value(nest_result, item_active_property, inner,
-                      property_is_array="@set" in container or
-                      not compact_arrays)
+            inner = compacted_item if not compact_arrays \
+                else compacted_item[0]
+        add_value(nest_result, item_active_property, inner,
+                  property_is_array=(not compact_arrays or
+                                     "@set" in container))
         return compacted_item
 
     # no @graph container: wrap explicitly

@@ -794,6 +794,63 @@ CASES += [
 # behavior-tested directly in tests/test_kernel_link.py.
 
 
+
+CASES += [
+    dict(
+        name="compact-nest-routing",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX, "meta": "@nest",
+                            "inner": {"@id": EX + "inner",
+                                      "@nest": "meta"}},
+               "@id": EX + "a", "meta": {"inner": "v"}, "outer": "w"},
+        context={"@vocab": EX, "meta": "@nest",
+                 "inner": {"@id": EX + "inner", "@nest": "meta"}},
+    ),
+    dict(
+        name="compact-no-array-compaction",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "one": [{"@value": "single"}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True, "compactArrays": False},
+    ),
+    dict(
+        name="compact-index-preserved",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "p": [{"@value": "v", "@index": "idx7"}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-graph-id-container",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@id": EX + "claims",
+                                       "@container": ["@graph", "@id"]}},
+               "@id": EX + "a",
+               "claims": {EX + "g1": {"said": "one"},
+                          EX + "g2": {"said": "two"}}},
+        context={"@vocab": EX,
+                 "claims": {"@id": EX + "claims",
+                            "@container": ["@graph", "@id"]}},
+    ),
+    dict(
+        name="compact-graph-index-container",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@id": EX + "claims",
+                                       "@container": ["@graph",
+                                                      "@index"]}},
+               "@id": EX + "a",
+               "claims": {"i1": {"said": "one"}, "i2": {"said": "two"}}},
+        context={"@vocab": EX,
+                 "claims": {"@id": EX + "claims",
+                            "@container": ["@graph", "@index"]}},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
