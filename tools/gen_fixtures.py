@@ -851,6 +851,49 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="expand-context-option",
+        op_override=["expand"],
+        input={"@id": EX + "a", "name": "NoLocalContext"},
+        options={"expandContext": {"@context": {"name": EX + "name"}}},
+    ),
+    dict(
+        name="base-option",
+        op_override=["expand"],
+        input={"@context": {"@vocab": EX,
+                            "link": {"@id": EX + "link", "@type": "@id"}},
+               "@id": "relative-doc", "link": "other-doc"},
+        options={"base": "http://base.example.org/dir/"},
+    ),
+    dict(
+        name="frame-embed-always",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@type": "Library",
+               "contains": {"@embed": "@always"}},
+    ),
+    dict(
+        name="frame-omit-graph-false",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@type": "Book"},
+        options={"omitGraph": False},
+    ),
+    dict(
+        name="frame-graph-key",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "ng",
+               "@graph": [{"@id": EX + "x", "@type": "T", "v": "inner"}],
+               "label": "named"},
+        frame={"@context": {"@vocab": EX},
+               "@graph": {"@type": "T"}},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
