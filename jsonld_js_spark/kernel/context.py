@@ -633,9 +633,10 @@ def get_inverse_context(active_ctx: dict) -> dict:
         if mapping.get("reverse"):
             container_map["@type"].setdefault("@reverse", term)
         elif mapping.get("@type") == "@none":
+            # ref lib/context.js:1258-1261: leaf key is '@none'
             container_map["@any"].setdefault("@none", term)
-            container_map["@language"].setdefault("@any", term)
-            container_map["@type"].setdefault("@any", term)
+            container_map["@language"].setdefault("@none", term)
+            container_map["@type"].setdefault("@none", term)
         elif "@type" in mapping:
             container_map["@type"].setdefault(mapping["@type"], term)
         elif mapping.get("_has_language") and mapping.get("_has_direction"):

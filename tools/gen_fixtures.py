@@ -894,6 +894,50 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="direction-compaction",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX, "@language": "ar",
+                            "@direction": "rtl"},
+               "@id": EX + "a", "t": "مرحبا"},
+        context={"@vocab": EX, "@language": "ar", "@direction": "rtl"},
+    ),
+    dict(
+        name="type-none-term",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "anyval": {"@id": EX + "anyval",
+                                       "@type": "@none"}},
+               "@id": EX + "a",
+               "anyval": [{"@value": "s"},
+                          {"@value": 4},
+                          {"@value": "typed",
+                           "@type": EX + "T"}]},
+        context={"@vocab": EX,
+                 "anyval": {"@id": EX + "anyval", "@type": "@none"}},
+        options={"skipExpansion": False},
+    ),
+    dict(
+        name="language-direction-map",
+        input={"@context": {"@vocab": EX,
+                            "label": {"@id": EX + "label",
+                                      "@container": "@language",
+                                      "@direction": "rtl"}},
+               "@id": EX + "a",
+               "label": {"ar": "مرحبا", "he": "שלום"}},
+    ),
+    dict(
+        name="set-container-type-coerce",
+        input={"@context": {"@vocab": EX,
+                            "refs": {"@id": EX + "refs", "@type": "@id",
+                                     "@container": "@set"}},
+               "@id": EX + "a", "refs": ["http://t.org/1", "http://t.org/2"]},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
