@@ -357,7 +357,8 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                 property_index = expand_iri(active_ctx, index_key, vocab=True)
             expanded_value = _expand_index_map(
                 term_ctx, key, value, "@index", as_graph, options,
-                property_index=property_index)
+                property_index=property_index,
+                property_index_name=index_key)
         elif "@id" in container and isinstance(value, dict):
             as_graph = "@graph" in container
             expanded_value = _expand_index_map(term_ctx, key, value, "@id",
@@ -377,6 +378,12 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                 next_property = None
             expanded_value = expand(term_ctx, value, next_property, options,
                                     inside_list=is_kw_list)
+        elif get_context_value(term_ctx, key, "@type") == "@json":
+            # @json capture takes the WHOLE raw value — before any
+            # container handling (ref lib/expand.js:796-801: the @json
+            # branch precedes the generic recursion, so an array value
+            # under @container:@list becomes one JSON literal)
+            expanded_value = {"@type": "@json", "@value": value}
         else:
             is_list_container = "@list" in container
             if is_list_container or "@set" in container:
@@ -386,8 +393,6 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                 expanded_value = expand(term_ctx, value,
                                         key, options,
                                         inside_list=is_list_container)
-            elif get_context_value(term_ctx, key, "@type") == "@json":
-                expanded_value = {"@type": "@json", "@value": value}
             else:
                 expanded_value = expand(term_ctx, value, key, options,
                                         inside_list=False)
@@ -543,7 +548,8 @@ def _expand_language_map(active_ctx, language_map, direction, options):
 
 
 def _expand_index_map(active_ctx, active_property, value, index_key, as_graph,
-                      options, property_index=None):
+                      options, property_index=None,
+                      property_index_name="@index"):
     """@container:@index/@id/@type maps (ref lib/expand.js:1033-1125)."""
     rval = []
     for key in sorted(value.keys()):
@@ -565,8 +571,11 @@ def _expand_index_map(active_ctx, active_property, value, index_key, as_graph,
             if index_key == "@index":
                 if expanded_key != "@none":
                     if property_index is not None:
-                        index_value = _expand_value(active_ctx, "@index", key,
-                                                    options)
+                        # the key expands as a VALUE of the named index
+                        # property, not of the @index keyword
+                        # (ref lib/expand.js:1073-1077 passes indexKey)
+                        index_value = _expand_value(
+                            active_ctx, property_index_name, key, options)
                         add_value(item, property_index, index_value,
                                   property_is_array=True, prepend=True)
                         if is_value(item) and len(item) > 2:

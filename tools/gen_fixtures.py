@@ -938,6 +938,62 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="compact-language-map-none",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "label": [
+                    {"@value": "tagged", "@language": "en"},
+                    {"@value": "untagged"}]}],
+        context={"@vocab": EX,
+                 "label": {"@id": EX + "label",
+                           "@container": "@language"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="index-set-container",
+        input={"@context": {"@vocab": EX,
+                            "p": {"@id": EX + "p",
+                                  "@container": ["@index", "@set"]}},
+               "@id": EX + "a",
+               "p": {"i1": "one", "i2": ["two", "three"]}},
+    ),
+    dict(
+        name="id-set-container",
+        input={"@context": {"@vocab": EX,
+                            "p": {"@id": EX + "p",
+                                  "@container": ["@id", "@set"]}},
+               "@id": EX + "a",
+               "p": {EX + "n1": {"v": "x"}}},
+    ),
+    dict(
+        name="json-literal-in-list",
+        input={"@context": {"@vocab": EX,
+                            "cfgs": {"@id": EX + "cfgs",
+                                     "@type": "@json",
+                                     "@container": "@list"}},
+               "@id": EX + "a",
+               "cfgs": [{"b": 1}, [2, 3], "plain", 4.5, None, True]},
+    ),
+    dict(
+        name="property-index-container",
+        input={"@context": {"@vocab": EX,
+                            "prop": {"@id": EX + "prop",
+                                     "@container": "@index",
+                                     "@index": EX + "indexProp"}},
+               "@id": EX + "a",
+               "prop": {"k1": {"@id": EX + "v1", "name": "one"}}},
+    ),
+    dict(
+        name="value-object-index-only",
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "p": {"@value": 5, "@index": "five"}},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
