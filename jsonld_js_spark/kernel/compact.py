@@ -53,6 +53,15 @@ def compact(active_ctx, active_property, element, options=None):
         rval = compact_value(active_ctx, active_property, element, options)
         return rval
 
+    # list inside a @list container compacts to a plain nested array
+    # (ref lib/compact.js:144-156)
+    if is_list(element):
+        container = get_context_value(active_ctx, active_property,
+                                      "@container") or []
+        if "@list" in container:
+            return compact(active_ctx, active_property, element["@list"],
+                           options)
+
     inside_reverse = active_property == "@reverse"
     rval = {}
 

@@ -994,6 +994,60 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="vocab-relative-to-vocab",
+        input={"@context": [{"@vocab": EX},
+                            {"@vocab": "sub/"}],
+               "@id": EX + "a", "p": "v"},
+    ),
+    dict(
+        name="null-term-blocks-vocab",
+        input={"@context": {"@vocab": EX, "hidden": None},
+               "@id": EX + "a", "hidden": "dropped", "kept": "v"},
+    ),
+    dict(
+        name="graph-set-container-multi",
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@id": EX + "claims",
+                                       "@container": ["@graph", "@set"]}},
+               "@id": EX + "a",
+               "claims": [{"said": "one"}, {"said": "two"}]},
+    ),
+    dict(
+        name="term-direction-override",
+        input={"@context": {"@vocab": EX, "@direction": "rtl",
+                            "@language": "ar",
+                            "ltr_term": {"@id": EX + "ltrTerm",
+                                         "@direction": "ltr"},
+                            "nodir": {"@id": EX + "noDir",
+                                      "@direction": None}},
+               "@id": EX + "a", "plain": "p", "ltr_term": "l",
+               "nodir": "n"},
+        options={"rdfDirection": "i18n-datatype"},
+    ),
+    dict(
+        name="reverse-index-container",
+        input={"@context": {"@vocab": EX,
+                            "rkids": {"@reverse": EX + "parent",
+                                      "@container": "@index"}},
+               "@id": EX + "a",
+               "rkids": {"i1": {"@id": EX + "k1"}}},
+    ),
+    dict(
+        name="compact-list-of-lists",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "lst": [{"@list": [{"@list": [{"@value": 1}]},
+                                         {"@list": []}]}]}],
+        context={"@vocab": EX,
+                 "lst": {"@id": EX + "lst", "@container": "@list"}},
+        options={"skipExpansion": True},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
