@@ -127,20 +127,27 @@ def expand(active_ctx, element, active_property=None, options=None,
                 "value object must not include @type with @language/@direction.",
                 "invalid value object")
         value = rval["@value"]
-        if rval.get("@type") == "@json":
+        values = [] if value is None else (
+            value if isinstance(value, list) else [value])
+        types = rval.get("@type", [])
+        types = types if isinstance(types, list) else [types]
+        if types == ["@json"]:
             pass  # any JSON value allowed
-        elif value is None:
+        elif not values:
             rval = None
-        elif isinstance(value, (dict, list)) and not options.get("isFrame"):
+        elif isinstance(value, (dict, list)) and \
+                not options.get("isFrame"):
             raise JsonLdError('"@value" value must be a scalar or null.',
                               "invalid value object value")
-        elif not isinstance(value, str) and "@language" in rval:
+        elif not all(isinstance(v, str) or is_empty_object(v)
+                     for v in values) and "@language" in rval:
+            # frame wildcards ({}) are valid language-tagged values
+            # (ref lib/expand.js:316-323)
             raise JsonLdError("only strings may be language-tagged.",
                               "invalid language-tagged value")
-        elif "@type" in rval and (
-                not isinstance(rval["@type"], str) or
-                not is_absolute_iri(rval["@type"]) or
-                rval["@type"].startswith("_:")):
+        elif not all((isinstance(t, str) and is_absolute_iri(t) and
+                      not t.startswith("_:")) or is_empty_object(t)
+                     for t in types):
             raise JsonLdError('"@type" must be an absolute IRI.',
                               "invalid typed value")
     elif isinstance(rval, dict) and "@type" in rval and \

@@ -481,12 +481,20 @@ def _value_match(pattern, value):
     """ref lib/frame.js:785-825."""
     if not isinstance(pattern, dict):
         return False
+    def _js_falsy(v):  # JS truthiness: {} and [] are truthy, 0/''/null
+        return v is None or v is False or v == "" or (
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            and v == 0)
+
     v1 = value.get("@value")
     t1 = value.get("@type")
     l1 = value.get("@language")
-    v2 = _as_array(pattern["@value"]) if pattern.get("@value") else []
-    t2 = _as_array(pattern["@type"]) if pattern.get("@type") else []
-    l2 = _as_array(pattern["@language"]) if pattern.get("@language") else []
+    v2 = _as_array(pattern["@value"]) \
+        if not _js_falsy(pattern.get("@value")) else []
+    t2 = _as_array(pattern["@type"]) \
+        if not _js_falsy(pattern.get("@type")) else []
+    l2 = _as_array(pattern["@language"]) \
+        if not _js_falsy(pattern.get("@language")) else []
 
     if not v2 and not t2 and not l2:
         return True

@@ -1048,6 +1048,83 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="compact-term-selection-by-type",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "p": [
+                    {"@value": "2026-01-01", "@type": XSD + "date"},
+                    {"@value": "plain"},
+                    {"@id": EX + "ref"}]}],
+        context={"@vocab": EX,
+                 "pdate": {"@id": EX + "p", "@type": XSD + "date"},
+                 "pref": {"@id": EX + "p", "@type": "@id"},
+                 "pplain": {"@id": EX + "p"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="compact-term-selection-by-language",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "q": [
+                    {"@value": "hallo", "@language": "de"},
+                    {"@value": "hello", "@language": "en"}]}],
+        context={"@vocab": EX,
+                 "qde": {"@id": EX + "q", "@language": "de"},
+                 "qen": {"@id": EX + "q", "@language": "en"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="graph-object-index",
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "p": {"@graph": [{"@id": EX + "x", "v": "1"}],
+                     "@index": "gidx"}},
+    ),
+    dict(
+        name="expand-error-colliding-id-alias",
+        op_override=["expand-error"],
+        input={"@context": {"id1": "@id", "id2": "@id", "@vocab": EX},
+               "id1": EX + "a", "id2": EX + "b", "p": "v"},
+    ),
+    dict(
+        name="frame-list-subframe",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX,
+                            "items": {"@id": EX + "items",
+                                      "@container": "@list"}},
+               "@graph": [
+                   {"@id": EX + "o1", "@type": "Order",
+                    "items": [{"@id": EX + "i1", "@type": "Item",
+                               "sku": "a"}]},
+                   {"@id": EX + "o2", "@type": "Order",
+                    "items": [{"@id": EX + "i2", "@type": "Widget",
+                               "sku": "b"}]}]},
+        frame={"@context": {"@vocab": EX,
+                            "items": {"@id": EX + "items",
+                                      "@container": "@list"}},
+               "@type": "Order",
+               "items": {"@list": [{"@type": "Item"}]}},
+        options={"requireAll": True},
+    ),
+    dict(
+        name="frame-language-value-pattern",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@graph": [
+                   {"@id": EX + "a", "@type": "T",
+                    "label": {"@value": "hallo", "@language": "de"}},
+                   {"@id": EX + "b", "@type": "T",
+                    "label": {"@value": "hello", "@language": "en"}}]},
+        frame={"@context": {"@vocab": EX}, "@type": "T",
+               "label": {"@value": {}, "@language": "de"}},
+        options={"requireAll": True},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
