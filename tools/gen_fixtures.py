@@ -1125,6 +1125,49 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="frame-default-null-render",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a", "@type": "T", "present": "v"},
+        frame={"@context": {"@vocab": EX}, "@type": "T",
+               "present": {}, "missing": {}},
+    ),
+    dict(
+        name="type-alias-coercion",
+        input={"@context": {"typ": "@type", "@vocab": EX},
+               "@id": EX + "a", "typ": ["T1", "T2"], "p": "v"},
+    ),
+    dict(
+        name="merge-named-graphs",
+        op_override=["merge"],
+        input=[{"@context": {"@vocab": EX}, "@id": EX + "g1",
+                "@graph": [{"@id": EX + "x", "p": "in-g1"}]},
+               {"@context": {"@vocab": EX}, "@id": EX + "x",
+                "p": "in-default"}],
+    ),
+    dict(
+        name="bnode-named-graph",
+        input={"@context": {"@vocab": EX},
+               "@graph": [{"@graph": [{"@id": EX + "in", "p": "v"}],
+                           "label": "anon graph"}]},
+    ),
+    dict(
+        name="reverse-term-compact-roundtrip",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "children": {"@reverse": EX + "parent",
+                                         "@type": "@id"}},
+               "@id": EX + "a",
+               "children": [EX + "k1", EX + "k2"]},
+        context={"@vocab": EX,
+                 "children": {"@reverse": EX + "parent", "@type": "@id"}},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
