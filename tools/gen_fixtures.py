@@ -1168,6 +1168,46 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="compact-aliased-graph",
+        op_override=["compact"],
+        input=[{"@id": EX + "a", EX + "p": [{"@value": "v"}]},
+               {"@id": EX + "b", EX + "p": [{"@value": "w"}]}],
+        context={"data": "@graph", "ident": "@id", "@vocab": EX},
+        options={"skipExpansion": True, "graph": True},
+    ),
+    dict(
+        name="language-map-direction-keys",
+        input={"@context": {"@vocab": EX,
+                            "label": {"@id": EX + "label",
+                                      "@container": "@language"}},
+               "@id": EX + "a",
+               "label": {"ar": "مرحبا"}},
+        options={"rdfDirection": "i18n-datatype"},
+    ),
+    dict(
+        name="compact-preserve-direction-value",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "t": [{"@value": "x", "@language": "ar",
+                            "@direction": "rtl"}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="expand-nested-nest",
+        input={"@context": {"@vocab": EX, "outer": "@nest",
+                            "inner": "@nest",
+                            "deep": {"@id": EX + "deep",
+                                     "@nest": "inner"}},
+               "@id": EX + "a",
+               "outer": {"inner": {"deep": "v"}}},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
