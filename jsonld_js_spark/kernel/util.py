@@ -370,13 +370,32 @@ def add_value(subject: dict, prop: str, value, *, property_is_array=False,
 # --- canonical literal lexical forms -----------------------------------------
 
 def is_double(v) -> bool:
-    return isinstance(v, float) and not isinstance(v, bool)
+    """JS `types.isDouble`: String(v) contains '.' or |v| >= 1e21
+    (ref lib/types.js:35-36). JS has no int/float distinction, so a
+    JSON `3.0` is the integer 3 to the reference — an INTEGRAL Python
+    float must therefore emit xsd:integer for parity."""
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return False
+    if isinstance(v, float):
+        import math
+        if math.isnan(v) or math.isinf(v):
+            return True
+        return not v.is_integer() or abs(v) >= 1e21
+    return abs(v) >= 1e21
 
 
 def is_integer_number(v) -> bool:
-    """JS `types.isInteger`-equivalent over parsed-JSON values: Python int
-    (non-bool) with |v| < 1e21 (ref lib/types.js:35-56, lib/toRdf.js:244)."""
-    return isinstance(v, int) and not isinstance(v, bool) and abs(v) < 1e21
+    """JS `types.isInteger`-equivalent over parsed-JSON values: any
+    non-bool number with integral value and |v| < 1e21
+    (ref lib/types.js:35-56, lib/toRdf.js:244)."""
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return False
+    if isinstance(v, float):
+        import math
+        if math.isnan(v) or math.isinf(v):
+            return False
+        return v.is_integer() and abs(v) < 1e21
+    return abs(v) < 1e21
 
 
 def canonical_double(value: float) -> str:

@@ -1208,6 +1208,17 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="integral-float-literals",
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "three": 3.0, "negzero": -0.0, "frac": 3.5,
+               "bigint_float": 1.5e20},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
