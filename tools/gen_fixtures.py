@@ -1219,6 +1219,59 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="compact-to-relative-base",
+        op_override=["compact"],
+        input=[{"@id": "http://base.org/dir/doc1",
+                "http://base.org/dir/vocab#p": [
+                    {"@id": "http://base.org/dir/sub/other"},
+                    {"@id": "http://base.org/outside"}]}],
+        context={"@base": "http://base.org/dir/",
+                 "@vocab": "http://base.org/dir/vocab#",
+                 "p": {"@id": "http://base.org/dir/vocab#p",
+                       "@type": "@id"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="relative-graph-name-skipped",
+        op_override=["toRDF"],
+        input={"@context": {"@vocab": EX},
+               "@id": "relative-graph",
+               "@graph": [{"@id": EX + "in", "p": "v"}]},
+    ),
+    dict(
+        name="reverse-alias",
+        input={"@context": {"rev": "@reverse", "@vocab": EX},
+               "@id": EX + "a",
+               "rev": {"knows": {"@id": EX + "b"}}},
+    ),
+    dict(
+        name="empty-string-values",
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "empty": "", "zero": 0, "falsy": False},
+    ),
+    dict(
+        name="frame-embed-on-list-nodes",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX,
+                            "items": {"@id": EX + "items",
+                                      "@container": "@list"}},
+               "@id": EX + "o", "@type": "Order",
+               "items": [{"@id": EX + "i1", "@type": "Item",
+                          "sku": "a"},
+                         {"@id": EX + "i2", "@type": "Item",
+                          "sku": "b"}]},
+        frame={"@context": {"@vocab": EX,
+                            "items": {"@id": EX + "items",
+                                      "@container": "@list"}},
+               "@type": "Order",
+               "items": {"@list": [{"@embed": "@never"}]}},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
