@@ -62,10 +62,12 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
     document (our file/dict-based stand-in for the reference's document
     loader; resolution happens on the Spark driver only).
     """
-    if local_ctx is None and propagate:
-        return active_ctx
-
+    # NOTE: a null local context is a RESET, not a no-op — the
+    # reference wraps null into [null] and runs the reset branch
+    # (ref lib/context.js:57-62 + util.asArray)
     ctxs = local_ctx if isinstance(local_ctx, list) else [local_ctx]
+    if len(ctxs) == 0:
+        return active_ctx
 
     rval = active_ctx
 

@@ -71,9 +71,15 @@ def expand(active_ctx, element, active_property=None, options=None,
         return rval
 
     # element is a dict ---------------------------------------------------
-    # property-scoped context (ref spec step 8; lib/expand.js:240-266)
-    property_scoped_ctx = get_context_value(
-        active_ctx, active_property, "@context")
+    # property-scoped context (ref spec step 8; lib/expand.js:202-211).
+    # ABSENT and NULL differ: a term with "@context": null RESETS the
+    # context for its values (JS undefined-vs-null again)
+    _mapping = active_ctx["mappings"].get(active_property) \
+        if isinstance(active_property, str) else None
+    has_property_scoped_ctx = _mapping is not None and \
+        "@context" in _mapping
+    property_scoped_ctx = _mapping["@context"] \
+        if has_property_scoped_ctx else None
 
     # revert type-scoped context when starting a new node object —
     # but NOT inside an index-map entry, whose key may carry a
@@ -86,7 +92,7 @@ def expand(active_ctx, element, active_property=None, options=None,
         if must_revert and "@context" not in element:
             active_ctx = _get_type_scoped_context(active_ctx, options)
 
-    if property_scoped_ctx is not None:
+    if has_property_scoped_ctx:
         active_ctx = process_context(
             active_ctx, property_scoped_ctx, options, override_protected=True)
 

@@ -1272,6 +1272,49 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="scoped-context-null-reset",
+        input={"@context": {"@vocab": EX,
+                            "isolated": {"@id": EX + "isolated",
+                                         "@context": None}},
+               "@id": EX + "a",
+               "isolated": {"unmapped": "dropped without vocab",
+                            "@id": EX + "b"},
+               "normal": "kept"},
+    ),
+    dict(
+        name="iri-schemes",
+        input={"@context": {"@vocab": EX,
+                            "ref": {"@id": EX + "ref", "@type": "@id"}},
+               "@id": "urn:uuid:1234-5678",
+               "ref": ["did:example:123", "tag:ex.org,2026:x",
+                       "mailto:a@b.org"]},
+    ),
+    dict(
+        name="base-resolution-query-fragment",
+        input={"@context": {"@base": "http://b.org/p/doc?q=1",
+                            "@vocab": EX,
+                            "r": {"@id": EX + "r", "@type": "@id"}},
+               "@id": "?q=2", "r": ["#frag", "", "../x?y#z"]},
+    ),
+    dict(
+        name="language-tag-case",
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "t": {"@value": "x", "@language": "EN-Latn-US"}},
+    ),
+    dict(
+        name="string-with-double-type",
+        input={"@context": {"@vocab": EX,
+                            "d": {"@id": EX + "d",
+                                  "@type": XSD + "double"}},
+               "@id": EX + "a", "d": ["1.5", 2]},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
