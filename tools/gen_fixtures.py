@@ -1315,6 +1315,47 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="type-scoped-propagation-stops",
+        input={"@context": {"@vocab": EX,
+                            "Widget": {"@id": EX + "Widget",
+                                       "@context": {"part": EX + "wPart"}}},
+               "@id": EX + "a", "@type": "Widget",
+               "part": "scoped-here",
+               "child": {"@id": EX + "b", "part": "not-scoped-here"}},
+    ),
+    dict(
+        name="protected-scoped-override-ok",
+        input={"@context": [{"@protected": True, "name": EX + "name"},
+                            {"@vocab": EX,
+                             "detail": {"@id": EX + "detail",
+                                        "@context": {"name": EX + "altName"}}}],
+               "@id": EX + "a", "name": "top",
+               "detail": {"name": "overridden-in-scope"}},
+    ),
+    dict(
+        name="container-language-set",
+        input={"@context": {"@vocab": EX,
+                            "label": {"@id": EX + "label",
+                                      "@container": ["@language", "@set"]}},
+               "@id": EX + "a",
+               "label": {"en": ["one", "two"]}},
+    ),
+    dict(
+        name="index-map-graph-combined",
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@id": EX + "claims",
+                                       "@container": ["@graph", "@index"],
+                                       "@index": EX + "source"}},
+               "@id": EX + "a",
+               "claims": {"src1": {"said": "x"}}},
+        op_override=["expand"],
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
