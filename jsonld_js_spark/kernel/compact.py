@@ -257,24 +257,34 @@ def compact(active_ctx, active_property, element, options=None):
                                               "@index") or "@index"
                 if index_key == "@index":
                     map_key = expanded_item.get("@index", "@none")
+                    if isinstance(compacted_item, dict):
+                        container_key = compact_iri(active_ctx, index_key,
+                                                    vocab=True)
+                        compacted_item.pop(container_key, None)
                 else:
-                    prop_iri = expand_iri(active_ctx, index_key, vocab=True)
-                    vals = expanded_item.get(prop_iri) or []
-                    if vals:
-                        first = vals[0] if isinstance(vals, list) else vals
-                        map_key = first.get("@value") if is_value(first) \
-                            else compact_iri(active_ctx, first.get("@id"),
-                                             vocab=True)
-                        if isinstance(compacted_item, dict):
-                            ck = compact_iri(active_ctx, prop_iri,
-                                             vocab=True)
-                            remaining = compacted_item.get(ck)
-                            if isinstance(remaining, list) and \
-                                    len(remaining) > 1:
-                                compacted_item[ck] = remaining[1:]
-                            elif ck in compacted_item:
-                                del compacted_item[ck]
+                    # reference quirk preserved for parity: the lookup
+                    # uses the RAW index-key string against the
+                    # COMPACTED item (ref lib/compact.js:580-598
+                    # `compactedItem[indexKey]`), which for an
+                    # IRI-valued @index never matches → key is @none
+                    # and the index property stays on the item
+                    vals = compacted_item.get(index_key) \
+                        if isinstance(compacted_item, dict) else None
+                    vals = vals if isinstance(vals, list) else (
+                        [vals] if vals is not None else [])
+                    key0 = vals[0] if vals else None
+                    if not isinstance(key0, str):
+                        map_key = None  # → @none below
                     else:
+                        map_key = key0
+                        others = vals[1:]
+                        if len(others) == 0:
+                            compacted_item.pop(index_key, None)
+                        elif len(others) == 1:
+                            compacted_item[index_key] = others[0]
+                        else:
+                            compacted_item[index_key] = others
+                    if map_key is None:
                         map_key = "@none"
             elif "@id" in container:
                 id_alias = compact_iri(active_ctx, "@id", vocab=True)

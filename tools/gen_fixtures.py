@@ -1356,6 +1356,59 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="compact-property-index-map",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "prop": {"@id": EX + "prop",
+                                     "@container": "@index",
+                                     "@index": EX + "indexProp"}},
+               "@id": EX + "a",
+               "prop": {"k1": {"@id": EX + "v1", "name": "one"},
+                        "k2": {"@id": EX + "v2", "name": "two"}}},
+        context={"@vocab": EX,
+                 "prop": {"@id": EX + "prop", "@container": "@index",
+                          "@index": EX + "indexProp"}},
+    ),
+    dict(
+        name="id-map-none-key",
+        input={"@context": {"@vocab": EX,
+                            "post": {"@id": EX + "post",
+                                     "@container": "@id"}},
+               "@id": EX + "a",
+               "post": {"@none": {"title": "anon"},
+                        EX + "p1": {"title": "T1"}}},
+    ),
+    dict(
+        name="curie-longest-prefix",
+        op_override=["compact"],
+        input=[{"@id": "http://long.org/ns/sub/x",
+                "http://long.org/ns/p": [{"@value": "v"}]}],
+        context={"short": "http://long.org/",
+                 "longer": "http://long.org/ns/",
+                 "longest": "http://long.org/ns/sub/"},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fromrdf-malformed-list",
+        op_override=["fromRDF"],
+        input=quads(
+            (EX + "a", EX + "items", "_:m1"),
+            ("_:m1", RDF_NS + "first", _lit("x")),
+            ("_:m1", RDF_NS + "rest", EX + "not-a-list-node")),
+    ),
+    dict(
+        name="type-set-container",
+        input={"@context": {"@vocab": EX,
+                            "type": {"@id": "@type",
+                                     "@container": "@set"}},
+               "@id": EX + "a", "type": ["T1"], "p": "v"},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
