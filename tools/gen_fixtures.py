@@ -1409,6 +1409,40 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="frame-requireall-with-default",
+        op_override=["frame"],
+        input=FRAME_DOC,
+        frame={"@context": {"@vocab": EX}, "@requireAll": True,
+               "@type": "Book", "title": {},
+               "creator": {"@default": "anonymous"}},
+    ),
+    dict(
+        name="direction-no-rdfdirection",
+        op_override=["expand", "toRDF"],
+        input={"@context": {"@vocab": EX, "@direction": "rtl",
+                            "@language": "ar"},
+               "@id": EX + "a", "t": "نص"},
+    ),
+    dict(
+        name="double-reverse-unwraps",
+        input={"@context": {"@vocab": EX,
+                            "children": {"@reverse": EX + "parent"}},
+               "@id": EX + "a",
+               "@reverse": {"children": {"@id": EX + "b"}}},
+    ),
+    dict(
+        name="compact-graph-option",
+        op_override=["compact"],
+        input=[{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True, "graph": True},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
