@@ -1443,6 +1443,58 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="expand-error-cyclic-terms",
+        op_override=["expand-error"],
+        input={"@context": {"a": "b:suffix", "b": "a:suffix"},
+               "a:x": "v"},
+    ),
+    dict(
+        name="expand-error-empty-term",
+        op_override=["expand-error"],
+        input={"@context": {"": EX + "empty"}, "x": "v"},
+    ),
+    dict(
+        name="expand-error-invalid-container-1.0",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX,
+                            "p": {"@id": EX + "p", "@container": "@id"}},
+               "@id": EX + "a", "p": {EX + "k": {"v": "x"}}},
+        options={"processingMode": "json-ld-1.0"},
+    ),
+    dict(
+        name="graph-index-set-container",
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@id": EX + "claims",
+                                       "@container": ["@graph", "@index",
+                                                       "@set"]}},
+               "@id": EX + "a",
+               "claims": {"i1": [{"said": "x"}, {"said": "y"}]}},
+    ),
+    dict(
+        name="frame-json-values",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX,
+                            "cfg": {"@id": EX + "cfg",
+                                    "@type": "@json"}},
+               "@id": EX + "a", "@type": "T",
+               "cfg": {"x": [1, 2]}},
+        frame={"@context": {"@vocab": EX,
+                            "cfg": {"@id": EX + "cfg",
+                                    "@type": "@json"}},
+               "@type": "T"},
+    ),
+    dict(
+        name="term-id-none-keyword",
+        input={"@context": {"@vocab": EX,
+                            "skipme": {"@id": None}},
+               "@id": EX + "a", "skipme": "dropped", "kept": "v"},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
