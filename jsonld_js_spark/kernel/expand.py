@@ -198,8 +198,12 @@ def _expand_object(active_ctx, active_property, element, rval, options,
 
         if expanded_property is None or not (
                 isinstance(expanded_property, str) and
-                (":" in expanded_property or is_keyword(expanded_property))):
-            continue  # drop keys that don't expand to keyword/IRI
+                (is_absolute_iri(expanded_property) or
+                 is_keyword(expanded_property))):
+            # drop keys that don't expand to an ABSOLUTE IRI or keyword
+            # (ref lib/expand.js:448-465 — a vocab-prepended IRI with
+            # whitespace fails isAbsoluteIri and is dropped)
+            continue
 
         if is_keyword(expanded_property):
             if expanded_parent_property == "@reverse":

@@ -57,7 +57,7 @@ _KEYWORD_FORM_RE = re.compile(r"^@[A-Za-z]+$")
 
 # absolute IRI: scheme ":" hier-part (ref lib/url.js:280-291 uses a similar
 # pragmatic regex rather than a full RFC 3987 grammar)
-_ABSOLUTE_IRI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+\-.]*):[^\s]*$")
+_ABSOLUTE_IRI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+\-.]*|_):[^\s]*$")
 
 # BCP47 (well-formed, pragmatic; ref lib/expand.js:44)
 BCP47_RE = re.compile(

@@ -1495,6 +1495,44 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="nested-properties-deep",
+        input={"@context": {"@vocab": EX, "knows": {"@type": "@id"}},
+               "@id": EX + "a",
+               "p": {"q": {"r": {"s": {"@id": EX + "deep",
+                                        "t": "bottom"}}}}},
+    ),
+    dict(
+        name="shared-bnode-subtree",
+        input={"@context": {"@vocab": EX},
+               "@graph": [
+                   {"@id": EX + "x", "p": {"@id": "_:shared", "v": "s"}},
+                   {"@id": EX + "y", "p": {"@id": "_:shared"}}]},
+    ),
+    dict(
+        name="numeric-keys-ignored",
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a", "p": "kept",
+               "not:a/valid iri": "dropped?"},
+    ),
+    dict(
+        name="value-null-dropped",
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "p": [None, "kept", None], "q": {"@value": None}},
+    ),
+    dict(
+        name="compact-index-on-node",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "p": {"@id": EX + "n", "@index": "i9", "v": "x"}},
+        context={"@vocab": EX},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
