@@ -510,7 +510,7 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                 containers.append("@id")
                 containers.append("@id@set")
                 containers.append("@type")
-                containers.append("@type@set")
+                containers.append("@set@type")  # sorted join (ref :757)
                 containers.append("@set")
             if not (isinstance(value, dict) and is_graph(value)) and \
                     not reverse and not (isinstance(value, dict) and

@@ -1533,6 +1533,43 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="term-chain-resolution",
+        input={"@context": {"b": EX + "target", "a": "b"},
+               "@id": EX + "x", "a": "via-chain"},
+    ),
+    dict(
+        name="compact-reverse-block-no-term",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                "@reverse": {EX + "parent": [{"@id": EX + "kid"}]}}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="type-set-container-roundtrip",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "contains": {"@id": EX + "contains",
+                                         "@container": ["@type", "@set"]}},
+               "@id": EX + "a",
+               "contains": {EX + "TA": {"@id": EX + "x", "v": "1"}}},
+        context={"@vocab": EX,
+                 "contains": {"@id": EX + "contains",
+                              "@container": ["@type", "@set"]}},
+    ),
+    dict(
+        name="base-null-relative-ids",
+        input={"@context": {"@base": None, "@vocab": EX,
+                            "r": {"@id": EX + "r", "@type": "@id"}},
+               "@id": "stays-relative", "r": "also-relative",
+               "p": "v"},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
