@@ -1570,6 +1570,51 @@ CASES += [
 ]
 
 
+
+CASES += [
+    dict(
+        name="language-set-term-selection",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "lab": [{"@value": "one", "@language": "en"},
+                             {"@value": "two", "@language": "en"}]}],
+        context={"@vocab": EX,
+                 "laben": {"@id": EX + "lab", "@language": "en",
+                           "@container": "@set"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="list-term-selection",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "seq": [{"@list": [{"@value": 1}, {"@value": 2}]}]}],
+        context={"@vocab": EX,
+                 "seqlist": {"@id": EX + "seq", "@container": "@list"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="index-container-strips-index",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "vals": {"@id": EX + "vals",
+                                     "@container": "@index"}},
+               "@id": EX + "a",
+               "vals": {"k": {"@value": 7, "@index": "k"}}},
+        context={"@vocab": EX,
+                 "vals": {"@id": EX + "vals", "@container": "@index"}},
+    ),
+    dict(
+        name="graph-container-none-key",
+        input={"@context": {"@vocab": EX,
+                            "claims": {"@id": EX + "claims",
+                                       "@container": ["@graph",
+                                                       "@index"]}},
+               "@id": EX + "a",
+               "claims": {"@none": {"said": "unindexed"}}},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
