@@ -87,7 +87,8 @@ def oracle_kg_flatten_nodes(triples_sql: str) -> str:
     return f"""
 WITH triples AS ({triples_sql})
 SELECT subj AS node_id, count(distinct pred) AS n_properties,
-       sum(case when pred = '{RDF_TYPE}' then 1 else 0 end) AS n_types
+       cast(sum(case when pred = '{RDF_TYPE}' then 1 else 0 end) as bigint)
+         AS n_types
 FROM triples GROUP BY subj ORDER BY node_id
 """
 
@@ -295,24 +296,30 @@ g AS (
               (PARTITION BY conv_id ORDER BY turn_idx)) as bigint) AS gap_s
   FROM transcripts
 )
-SELECT conv_id, count(*) AS n_turns, sum(gap_s) AS total_gap_s,
+SELECT conv_id, count(*) AS n_turns,
+       cast(sum(gap_s) as bigint) AS total_gap_s,
        max(gap_s) AS max_gap_s
 FROM g GROUP BY conv_id ORDER BY conv_id
 """
 
 
 # ---------------------------------------------------------------------------
-def q_kg_compact_conversations(spark, sf_dir):
+def compact_conversations_df(spark, sf_dir):
     """Compaction (general path): per-conversation compacted JSON-LD
     documents rebuilt from the triple table via the kernel inside
-    mapInPandas (ref lib/compact.js:58-672). Rows-only driver check;
-    content is pytest-verified (valid JSON, term keys, turn counts)."""
-    from typing import Iterator
+    mapInPandas (ref lib/compact.js:58-672). Returns one row per
+    conversation with the compacted JSON plus SQL-checkable counts.
 
+    Batch-boundary safety: a conversation's triples can straddle two
+    Arrow batches, so the per-batch groupby rides behind
+    `batched_by_key` (the same tail-carry the kernel path uses) —
+    without it a straddling conversation is emitted twice."""
     import pandas as pd
     from pyspark.sql.types import (
         IntegerType, LongType, StringType, StructField, StructType,
     )
+
+    from .pipeline.kernel_path import batched_by_key
 
     t = _triples(spark, sf_dir)
     conv_of = F.when(
@@ -329,35 +336,63 @@ def q_kg_compact_conversations(spark, sf_dir):
         StructField("compact_json", StringType()),
     ])
 
-    def compact_convs(batches: Iterator[pd.DataFrame]) \
-            -> Iterator[pd.DataFrame]:
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         import json as _json
 
         from .kernel import compact, from_rdf
         from .vocab import TRANSCRIPT_CONTEXT
-        for pdf in batches:
-            out = []
-            for conv_iri, grp in pdf.groupby("conv_iri", sort=False):
-                quads = [
-                    (r.subj, r.pred, r.obj_value, r.obj_termtype,
-                     r.obj_datatype, r.obj_language, r.graph)
-                    for r in grp.itertuples()]
-                doc = from_rdf(quads, {"useNativeTypes": True})
-                compacted = compact(doc, dict(TRANSCRIPT_CONTEXT))
-                # compacted flattened form: nodes under @graph (or a
-                # single node dict when only one node exists)
-                nodes = compacted.get("@graph", [compacted])
-                n_turns = sum(1 for n in nodes
-                              if isinstance(n, dict)
-                              and n.get("@type") == "Turn")
-                out.append((conv_iri, n_turns, len(quads),
-                            _json.dumps(compacted, sort_keys=True)))
-            yield pd.DataFrame(out, columns=schema.fieldNames())
+        out = []
+        for conv_iri, grp in pdf.groupby("conv_iri", sort=False):
+            quads = [
+                (r.subj, r.pred, r.obj_value, r.obj_termtype,
+                 r.obj_datatype, r.obj_language, r.graph)
+                for r in grp.itertuples()]
+            doc = from_rdf(quads, {"useNativeTypes": True})
+            compacted = compact(doc, dict(TRANSCRIPT_CONTEXT))
+            # compacted flattened form: nodes under @graph (or a
+            # single node dict when only one node exists)
+            nodes = compacted.get("@graph", [compacted])
+            n_turns = sum(1 for n in nodes
+                          if isinstance(n, dict)
+                          and n.get("@type") == "Turn")
+            out.append((conv_iri, n_turns, len(quads),
+                        _json.dumps(compacted, sort_keys=True)))
+        return pd.DataFrame(out, columns=schema.fieldNames())
 
     return (rows.repartition(16, "conv_iri")
             .sortWithinPartitions("conv_iri")
-            .mapInPandas(compact_convs, schema=schema)
+            .mapInPandas(batched_by_key("conv_iri", emit), schema=schema)
             .orderBy("conv_iri"))
+
+
+def q_kg_compact_conversations(spark, sf_dir):
+    """Driver-checked view of distributed compaction: the JSON text is
+    not SQL-expressible, but (conv_iri, n_turns, n_triples) is — those
+    go through the DuckDB oracle; the compact_json column is verified
+    in tests/test_kg_api.py against the single-node kernel."""
+    return compact_conversations_df(spark, sf_dir).select(
+        "conv_iri", "n_turns", "n_triples")
+
+
+def oracle_kg_compact_conversations(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+t AS (
+  SELECT case when regexp_matches(subj, '^http://example.org/conv/[^/]+$')
+              then subj
+              else regexp_extract(subj,
+                     '^(http://example.org/conv/[^/]+)/turn/', 1) end
+           AS conv_iri,
+         pred, obj_value
+  FROM triples
+)
+SELECT conv_iri,
+       cast(sum(case when pred = '{RDF_TYPE}'
+                      and obj_value = '{TR}Turn' then 1 else 0 end) as int)
+         AS n_turns,
+       count(*) AS n_triples
+FROM t WHERE conv_iri != '' GROUP BY conv_iri ORDER BY conv_iri
+"""
 
 
 
@@ -453,14 +488,14 @@ def q_kg_frame_kernel_path(spark, sf_dir):
     Arrow-batched mapInPandas — the per-document counterpart of the
     semi-join compilation in frame_spark.py. The frame selects
     tool-using turns; output (conv_iri, n_matched, first_tool_iri) is
-    SQL-checkable."""
-    from typing import Iterator
-
+    SQL-checkable. Tail-carry via batched_by_key protects
+    conversations straddling Arrow batch boundaries."""
     import pandas as pd
     from pyspark.sql.types import (
         IntegerType, StringType, StructField, StructType,
     )
 
+    from .pipeline.kernel_path import batched_by_key
     from .transcripts import transcripts_df
 
     t = transcripts_df(spark, sf_dir=sf_dir)
@@ -470,8 +505,7 @@ def q_kg_frame_kernel_path(spark, sf_dir):
         StructField("first_tool_iri", StringType()),
     ])
 
-    def frame_convs(batches: Iterator[pd.DataFrame]) \
-            -> Iterator[pd.DataFrame]:
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         from .kernel import frame as kernel_frame
         from .pipeline.kernel_path import build_conversation_doc
         from .vocab import MENTION_RE, TRANSCRIPT_CONTEXT, ENT_NS, TR
@@ -481,45 +515,44 @@ def q_kg_frame_kernel_path(spark, sf_dir):
             "@requireAll": True,  # AND: typed Turn AND has usesTool
             "usesTool": {},
         }
-        for pdf in batches:
-            mention_iris = pdf["text"].str.findall(MENTION_RE).apply(
-                lambda ms: [ENT_NS + "Entity" +
-                            "".join(c for c in m if c.isdigit())
-                            for m in ms])
-            pdf = pdf.assign(
-                mention_iris=mention_iris,
-                ts_lex=pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ"),
-                tool=pdf["tool"].astype(object).where(
-                    pdf["tool"].notna(), None))
-            out = []
-            for conv_id, grp in pdf.groupby("conv_id", sort=False):
-                doc = build_conversation_doc(
-                    conv_id, grp.sort_values("turn_idx")
-                    .to_dict("records"))
-                framed = kernel_frame(doc, frame_doc)
-                if not isinstance(framed, dict):
-                    framed = {}
-                nodes = framed.get("@graph", [framed])
-                matched = [n for n in nodes
-                           if isinstance(n, dict) and "usesTool" in n]
-                tools = []
-                for n in matched:
-                    v = n["usesTool"]
-                    if isinstance(v, list):
-                        v = v[0] if v else None
-                    if isinstance(v, dict):
-                        v = v.get("@id")
-                    if isinstance(v, str):
-                        tools.append(v)
-                tools.sort()
-                out.append((
-                    "http://example.org/conv/" + conv_id, len(matched),
-                    tools[0] if tools else None))
-            yield pd.DataFrame(out, columns=schema.fieldNames())
+        mention_iris = pdf["text"].str.findall(MENTION_RE).apply(
+            lambda ms: [ENT_NS + "Entity" +
+                        "".join(c for c in m if c.isdigit())
+                        for m in ms])
+        pdf = pdf.assign(
+            mention_iris=mention_iris,
+            ts_lex=pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ"),
+            tool=pdf["tool"].astype(object).where(
+                pdf["tool"].notna(), None))
+        out = []
+        for conv_id, grp in pdf.groupby("conv_id", sort=False):
+            doc = build_conversation_doc(
+                conv_id, grp.sort_values("turn_idx")
+                .to_dict("records"))
+            framed = kernel_frame(doc, frame_doc)
+            if not isinstance(framed, dict):
+                framed = {}
+            nodes = framed.get("@graph", [framed])
+            matched = [n for n in nodes
+                       if isinstance(n, dict) and "usesTool" in n]
+            tools = []
+            for n in matched:
+                v = n["usesTool"]
+                if isinstance(v, list):
+                    v = v[0] if v else None
+                if isinstance(v, dict):
+                    v = v.get("@id")
+                if isinstance(v, str):
+                    tools.append(v)
+            tools.sort()
+            out.append((
+                "http://example.org/conv/" + conv_id, len(matched),
+                tools[0] if tools else None))
+        return pd.DataFrame(out, columns=schema.fieldNames())
 
     return (t.repartition(16, "conv_id")
             .sortWithinPartitions("conv_id", "turn_idx")
-            .mapInPandas(frame_convs, schema=schema)
+            .mapInPandas(batched_by_key("conv_id", emit), schema=schema)
             .orderBy("conv_iri"))
 
 
@@ -542,12 +575,13 @@ def q_kg_fromrdf_roundtrip(spark, sf_dir):
     per conversation, folded back into JSON-LD node maps by the kernel
     (ref lib/fromRdf.js:45-271) and re-emitted (ref lib/toRdf.js) —
     the output must equal the input triple set exactly, which the
-    oracle (the original triple derivation) verifies."""
-    from typing import Iterator
-
+    oracle (the original triple derivation) verifies. Tail-carry via
+    batched_by_key: a conversation split across Arrow batches would
+    otherwise round-trip twice (duplicate triples) and break future
+    list-valued data whose rdf:first/rest chains must not split."""
     import pandas as pd
 
-    from .pipeline.kernel_path import TRIPLE_SCHEMA
+    from .pipeline.kernel_path import TRIPLE_SCHEMA, batched_by_key
 
     t = _triples(spark, sf_dir)
     conv_of = F.when(
@@ -557,27 +591,26 @@ def q_kg_fromrdf_roundtrip(spark, sf_dir):
                          1))
     rows = t.withColumn("conv_iri", conv_of).filter(F.col("conv_iri") != "")
 
-    def roundtrip(batches: Iterator[pd.DataFrame]) \
-            -> Iterator[pd.DataFrame]:
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         from .kernel import from_rdf, to_rdf
-        for pdf in batches:
-            out = []
-            for _conv, grp in pdf.groupby("conv_iri", sort=False):
-                quads = list(zip(grp["subj"], grp["pred"],
-                                 grp["obj_value"], grp["obj_termtype"],
-                                 grp["obj_datatype"], grp["obj_language"],
-                                 grp["graph"]))
-                quads = [(s_, p_, v_, tt,
-                          None if pd.isna(dt) else dt,
-                          None if pd.isna(lg) else lg, g_)
-                         for s_, p_, v_, tt, dt, lg, g_ in quads]
-                doc = from_rdf(quads, {"useNativeTypes": False})
-                out.extend(to_rdf(doc, {"skipCopy": True}))
-            yield pd.DataFrame(out, columns=TRIPLE_SCHEMA.fieldNames())
+        out = []
+        for _conv, grp in pdf.groupby("conv_iri", sort=False):
+            quads = list(zip(grp["subj"], grp["pred"],
+                             grp["obj_value"], grp["obj_termtype"],
+                             grp["obj_datatype"], grp["obj_language"],
+                             grp["graph"]))
+            quads = [(s_, p_, v_, tt,
+                      None if pd.isna(dt) else dt,
+                      None if pd.isna(lg) else lg, g_)
+                     for s_, p_, v_, tt, dt, lg, g_ in quads]
+            doc = from_rdf(quads, {"useNativeTypes": False})
+            out.extend(to_rdf(doc, {"skipCopy": True}))
+        return pd.DataFrame(out, columns=TRIPLE_SCHEMA.fieldNames())
 
     return (rows.repartition(16, "conv_iri")
             .sortWithinPartitions("conv_iri")
-            .mapInPandas(roundtrip, schema=TRIPLE_SCHEMA))
+            .mapInPandas(batched_by_key("conv_iri", emit),
+                         schema=TRIPLE_SCHEMA))
 
 
 def queries() -> dict:
@@ -614,6 +647,8 @@ def oracles(n_conv: int) -> dict:
             transcripts_sql(n_conv, "duckdb")),
         # round-trip must reproduce the original triple set exactly
         "kg_fromrdf_roundtrip": triples_sql,
-        # kg_compact_conversations: rows-only (JSON text oracle not
-        # SQL-expressible; content verified in tests/test_kg_api.py)
+        # SQL-checkable counts; the JSON text itself is verified in
+        # tests/test_kg_api.py against the single-node kernel
+        "kg_compact_conversations": oracle_kg_compact_conversations(
+            triples_sql),
     }

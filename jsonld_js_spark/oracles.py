@@ -103,7 +103,7 @@ FROM transcripts GROUP BY conv_id ORDER BY conv_id
 """,
         "kg_mentions_topk":
             _mentions_cte(n_conv) + """
-SELECT canonical_iri, sum(n_mentions) AS n_mentions
+SELECT canonical_iri, cast(sum(n_mentions) as bigint) AS n_mentions
 FROM entity_map GROUP BY canonical_iri
 ORDER BY n_mentions DESC, canonical_iri LIMIT 20
 """,

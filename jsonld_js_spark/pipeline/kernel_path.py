@@ -133,11 +133,18 @@ def _emit_conversations(pdf: pd.DataFrame, doc_transform=None,
     return pd.DataFrame(out, columns=TRIPLE_SCHEMA.fieldNames())
 
 
-def _batched(doc_transform=None, quad_filter=None):
-    """Build the mapInPandas function, capturing optional hooks (the
-    engine's counterpart of the reference's expansionMap/compactionMap
-    callback surface, ref lib/jsonld.js:109-117: arbitrary Python
-    callables ride the UDF closure to the executors)."""
+def batched_by_key(key: str, emit):
+    """Wrap a per-batch `emit(pdf) -> pdf` into a mapInPandas generator
+    that carries the partial last-`key` group across Arrow batch
+    boundaries (partition-local, deterministic).
+
+    Arrow slices a partition into fixed-size record batches with no
+    regard for group boundaries; a group whose rows straddle two
+    batches would otherwise be processed twice and emitted as
+    duplicate/partial results. Precondition (guaranteed by the
+    upstream repartition+sortWithinPartitions): rows with equal `key`
+    are contiguous within the partition.
+    """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tail: pd.DataFrame | None = None
         for pdf in batches:
@@ -146,14 +153,24 @@ def _batched(doc_transform=None, quad_filter=None):
             if len(pdf) == 0:
                 tail = None
                 continue
-            last = pdf["conv_id"].iloc[-1]
-            head = pdf[pdf["conv_id"] != last]
-            tail = pdf[pdf["conv_id"] == last]
+            last = pdf[key].iloc[-1]
+            head = pdf[pdf[key] != last]
+            tail = pdf[pdf[key] == last]
             if len(head):
-                yield _emit_conversations(head, doc_transform, quad_filter)
+                yield emit(head)
         if tail is not None and len(tail):
-            yield _emit_conversations(tail, doc_transform, quad_filter)
+            yield emit(tail)
     return run
+
+
+def _batched(doc_transform=None, quad_filter=None):
+    """Build the mapInPandas function, capturing optional hooks (the
+    engine's counterpart of the reference's expansionMap/compactionMap
+    callback surface, ref lib/jsonld.js:109-117: arbitrary Python
+    callables ride the UDF closure to the executors)."""
+    return batched_by_key(
+        "conv_id",
+        lambda pdf: _emit_conversations(pdf, doc_transform, quad_filter))
 
 
 def kernel_transcript_triples(transcripts: DataFrame,

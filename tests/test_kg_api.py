@@ -91,12 +91,78 @@ def test_compact_conversations_content(spark):
 
 
 def _compact_small(spark):
-    """Run the compaction query against a small in-memory transcript
-    set by monkey-providing sf via n_conv-equivalent dir parse."""
+    """Run the compaction pipeline (full output incl. compact_json)
+    against the small sf0.001 transcript set."""
     from jsonld_js_spark import kg_api
-    # q_kg_compact_conversations derives transcripts from sf_dir; use
-    # the sf0.001-equivalent directory name for a small run
-    return kg_api.q_kg_compact_conversations(spark, "/root/testdata/sf0.001")
+    return kg_api.compact_conversations_df(spark, "/root/testdata/sf0.001")
+
+
+def test_compact_json_matches_single_node_kernel(spark):
+    """The distributed compact_json must equal what the single-node
+    kernel produces for the same conversation's quads (the oracle for
+    the non-SQL-expressible column)."""
+    from jsonld_js_spark.kernel import compact, from_rdf
+    from jsonld_js_spark.vocab import TRANSCRIPT_CONTEXT
+
+    sf = "/root/testdata/sf0.001"
+    rows = _compact_small(spark).orderBy("conv_iri").limit(5).collect()
+    t = transcript_triples(transcripts_df(spark, sf_dir=sf))
+    for r in rows:
+        conv = r["conv_iri"]
+        from pyspark.sql import functions as F
+        quads = [(q["subj"], q["pred"], q["obj_value"], q["obj_termtype"],
+                  q["obj_datatype"], q["obj_language"], q["graph"])
+                 for q in t.filter(
+                     (F.col("subj") == conv) |
+                     F.col("subj").startswith(conv + "/turn/")).collect()]
+        doc = from_rdf(quads, {"useNativeTypes": True})
+        expect = json.dumps(compact(doc, dict(TRANSCRIPT_CONTEXT)),
+                            sort_keys=True)
+        assert r["compact_json"] == expect
+
+
+@pytest.fixture()
+def tiny_arrow_batches(spark):
+    """Force 100-row Arrow batches so conversations straddle batch
+    boundaries — the round-1 reproduced bug scenario (VERDICT #1)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "100")
+    yield
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
+def test_batch_boundary_compact(spark, tiny_arrow_batches):
+    from jsonld_js_spark import kg_api
+    sf = "/root/testdata/sf0.001"
+    df = kg_api.compact_conversations_df(spark, sf)
+    n_conv = transcripts_df(spark, sf_dir=sf) \
+        .select("conv_id").distinct().count()
+    recs = df.collect()
+    assert len(recs) == n_conv
+    assert len({r["conv_iri"] for r in recs}) == n_conv
+
+
+def test_batch_boundary_frame(spark, tiny_arrow_batches):
+    from jsonld_js_spark import kg_api
+    sf = "/root/testdata/sf0.001"
+    df = kg_api.q_kg_frame_kernel_path(spark, sf)
+    n_conv = transcripts_df(spark, sf_dir=sf) \
+        .select("conv_id").distinct().count()
+    assert df.count() == n_conv
+
+
+def test_batch_boundary_roundtrip(spark, tiny_arrow_batches):
+    from jsonld_js_spark import kg_api
+    sf = "/root/testdata/sf0.001"
+    got = kg_api.q_kg_fromrdf_roundtrip(spark, sf)
+    expect = transcript_triples(transcripts_df(spark, sf_dir=sf))
+    cols = expect.columns
+    assert (sorted(map(tuple, got.select(*cols).collect())) ==
+            sorted(map(tuple, expect.collect())))
 
 
 def test_canonical_double_three_way(spark):
