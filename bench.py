@@ -46,29 +46,25 @@ def time_query(fn, spark, sf_dir) -> tuple[float, int]:
 
 
 def flagship_run(spark, sf_dir=None, n_conv=None) -> tuple[float, int, int]:
-    """Full pipeline: generate → triples → dedup → count. Returns
-    (seconds, n_triples, n_turns)."""
+    """Full pipeline with FULL materialization (noop sink): count()
+    would let Catalyst prune the string-building away and
+    under-measure (CLAUDE.md perf rule) — the per-round headline and
+    the scaling evidence now measure the same thing. Returns
+    (seconds, n_triples, n_turns); the timed region is the
+    triples-build + write only (counts are pre-passes)."""
     from jsonld_js_spark.pipeline import transcript_triples
     from jsonld_js_spark.transcripts import transcripts_df
     t = transcripts_df(spark, sf_dir=sf_dir, n_conv=n_conv)
-    n_turns = t.count()
-    t0 = time.time()
-    n_triples = transcript_triples(t).count()
-    return time.time() - t0, n_triples, n_turns
-
-
-def _noop_run(spark, n_conv: int) -> tuple[float, int, int]:
-    """Full materialization (noop sink) — count() would let Catalyst
-    prune the string-building away and under-measure."""
-    from jsonld_js_spark.pipeline import transcript_triples
-    from jsonld_js_spark.transcripts import transcripts_df
-    t = transcripts_df(spark, n_conv=n_conv)
     n_turns = t.count()
     df = transcript_triples(t)
     n_triples = df.count()
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0, n_triples, n_turns
+
+
+def _noop_run(spark, n_conv: int) -> tuple[float, int, int]:
+    return flagship_run(spark, n_conv=n_conv)
 
 
 def scaling_evidence(sf_dir: str, sf: float) -> dict:

@@ -187,7 +187,16 @@ def kernel_transcript_triples(transcripts: DataFrame,
     With `assume_grouped=True` (valid when the source is already
     conversation-contiguous — an Iceberg table bucketed/sorted by
     (conv_id, turn_idx), or our generator) the shuffle is skipped
-    entirely and the whole path is narrow.
+    entirely and the whole path is narrow. CAUTION: the precondition
+    is not checked; if any conversation's rows straddle a PARTITION
+    boundary (tail-carry is partition-local) or appear non-contiguously
+    within one, that conversation's triples are emitted per fragment.
+    When the layout is unverified, either leave assume_grouped=False
+    (one shuffle restores the invariant) or pass dedup=True, which
+    makes fragmented emission harmless: per-turn triples are
+    fragment-local and conversation-level triples (rdf:type, hasTurn)
+    are identical across fragments, so a global dropDuplicates
+    restores the exact triple set (test_pipeline.py covers this).
 
     The kernel's node map dedups per (node, property) via addValue
     (ref lib/util.js:249-306) and node IRIs are conversation-scoped,

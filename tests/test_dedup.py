@@ -1,0 +1,75 @@
+"""Dedup operator tests: rarest-first prefix filtering (the 100 TB
+hot-shingle fix), MinHash recall on the injected near-dups, and the
+one-hash mix arithmetic staying in int64."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonld_js_spark.operators.dedup import (
+    MASK30, MIX_CONSTS, MIX_PRIME, ngram_candidates, ngram_prefixes,
+    shingles_col,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return df.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+
+
+def test_rarest_first_prefix_drops_hot_shingle_candidates(spark):
+    """A corpus-wide common 3-gram (lexicographically FIRST, so the
+    round-1 ordering put it in every prefix) must not explode the
+    candidate set under document-frequency ordering."""
+    n = 12
+    texts = [
+        "aaa aaa aaa " + " ".join(f"u{i}x{j}" for j in range(5))
+        for i in range(n)]
+    docs = _docs(spark, texts).cache()
+    lex = ngram_candidates(ngram_prefixes(docs, ordering="lex")).count()
+    df_ord = ngram_candidates(ngram_prefixes(docs, ordering="df")).count()
+    # lexicographic: the hot shingle pairs every doc with every other
+    assert lex >= n * (n - 1) // 2
+    # rarest-first: the hot shingle falls out of every prefix
+    assert df_ord < lex
+    assert df_ord == 0
+
+
+def test_prefix_filter_still_complete(spark):
+    """Rarest-first ordering must not lose true pairs: two docs with
+    J >= 0.5 always share a prefix shingle."""
+    base = " ".join(f"w{j}" for j in range(10))
+    texts = [base,                      # doc 0
+             base + " extra tail",      # doc 1: J > 0.5 with doc 0
+             " ".join(f"z{j}" for j in range(10))]  # doc 2: unrelated
+    docs = _docs(spark, texts).cache()
+    cand = {(r["doc_a"], r["doc_b"]) for r in
+            ngram_candidates(ngram_prefixes(docs)).collect()}
+    assert (0, 1) in cand
+
+
+def test_minhash_finds_injected_near_dups(spark):
+    """The corpus injects a near-copy (+100000) for every 10th doc and
+    an exact copy (+200000) for every 25th; MinHash+LSH must recover
+    the exact copies (J=1 always collides) and most near-copies."""
+    from jsonld_js_spark.operators.dedup import q_dedup_minhash_lsh
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in q_dedup_minhash_lsh(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    exact_expected = {(i, i + 200000) for i in ids if i % 25 == 0}
+    assert exact_expected <= pairs
+    near_expected = {(i, i + 100000) for i in ids if i % 10 == 0}
+    found = len(near_expected & pairs) / len(near_expected)
+    assert found >= 0.5, f"near-dup recall too low: {found}"
+
+
+def test_mix_constants_no_int64_overflow():
+    """max(a*h1 + b*h2 + c) must stay under 2^63 for any 60-bit h."""
+    h1max = h2max = MASK30
+    for a, b, c in MIX_CONSTS:
+        assert 1 <= a <= MASK30 and 1 <= b <= MASK30 and 0 <= c < 2 ** 60
+        assert a * h1max + b * h2max + c < 2 ** 63
+        assert (a * h1max + b * h2max + c) % MIX_PRIME < MIX_PRIME

@@ -133,6 +133,19 @@ def test_kernel_path_assume_grouped(spark, transcripts):
     assert got == want
 
 
+def test_kernel_path_assume_grouped_violated_dedup_recovers(spark,
+                                                            transcripts):
+    """If the contiguity precondition is violated (here: rows scattered
+    by a round-robin repartition), assume_grouped emits per-fragment
+    triples — dedup=True must still recover the exact triple set
+    (documented recovery path in kernel_transcript_triples)."""
+    want = _as_set(kernel_transcript_triples(transcripts))
+    scattered = transcripts_df(spark, n_conv=N_CONV).repartition(8)
+    got = _as_set(kernel_transcript_triples(
+        scattered, assume_grouped=True, dedup=True))
+    assert got == want
+
+
 def test_kernel_path_conversation_spanning_batches(spark):
     """A conversation larger than an Arrow batch must be reassembled by
     the partition-local tail-carry (not split into partial docs)."""
