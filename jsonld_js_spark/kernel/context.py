@@ -27,10 +27,15 @@ CONTAINER_KEYWORDS = frozenset(
 
 def initial_context(options: dict) -> dict:
     """Fresh active context (ref lib/context.js:1153-1177)."""
+    # the reference defaults the document base to '' (lib/jsonld.js
+    # _setDefaults: base: options.base || '') — an empty base still
+    # participates in RFC 3986 resolution (e.g. './' → '/')
     base = options.get("base")
+    if base is None:
+        base = ""
     return {
         "mappings": {},
-        "@base": parse_iri(base) if base else None,
+        "@base": parse_iri(base),
         "base_iri": base,
         "@vocab": None,
         "@language": None,
@@ -154,12 +159,12 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
             elif isinstance(base, str):
                 if is_absolute_iri(base):
                     rval["base_iri"] = base
-                elif rval["base_iri"] is not None:
-                    rval["base_iri"] = prepend_base(rval["base_iri"], base)
                 else:
-                    raise JsonLdError(
-                        "@base must be absolute when no base is in effect.",
-                        "invalid base IRI")
+                    # relative @base resolves against the in-effect base
+                    # (ref lib/context.js:203-206; document base defaults
+                    # to '', and prepend_base(None, x) == x matches the
+                    # reference's prependBase(null, x) after @base: null)
+                    rval["base_iri"] = prepend_base(rval["base_iri"], base)
                 rval["@base"] = parse_iri(rval["base_iri"])
             else:
                 raise JsonLdError('"@base" must be a string or null.',
@@ -178,7 +183,8 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
                 raise JsonLdError('"@vocab" must be an absolute IRI.',
                                   "invalid vocab mapping")
             else:
-                rval["@vocab"] = expand_iri(rval, value, vocab=True, base=True)
+                rval["@vocab"] = expand_iri(rval, value, vocab=True,
+                                            base=True, options=options)
 
         # @language (ref lib/context.js:241-257)
         if "@language" in ctx:
@@ -510,20 +516,30 @@ _MISS = object()
 
 def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
                base: bool = False, local_ctx: dict = None,
-               defined: dict = None) -> Optional[str]:
+               defined: dict = None, options: dict = None,
+               type_expansion: bool = False) -> Optional[str]:
     """IRI Expansion (ref lib/context.js:956-1143). Hot path — on executors
     this is driven vectorized over pandas Series against the broadcast
-    context (see jsonld_js_spark.functions.iri)."""
+    context (see jsonld_js_spark.functions.iri).
+
+    When `options` carries an `expansionMap` callable (the reference's
+    per-event callback surface, ref lib/jsonld.js:109-117), the memo is
+    bypassed (callbacks have side effects) and the hook-aware tail
+    emits `prependedIri`/`relativeIri` events
+    (ref lib/context.js:1056-1141)."""
     if value is None or is_keyword(value):
         return value
     if not isinstance(value, str):
         return value
 
+    emap = options.get("expansionMap") if options else None
+
     # memo on the (immutable-after-processing) active context — IRI
     # expansion dominates kernel CPU; safe only outside the context-
-    # processing phase (local_ctx participates in term creation)
+    # processing phase (local_ctx participates in term creation) and
+    # only without a side-effecting event callback
     memo = None
-    if local_ctx is None:
+    if local_ctx is None and emap is None:
         memo = active_ctx.get("_iri_memo")
         if memo is None:
             memo = active_ctx["_iri_memo"] = {}
@@ -542,6 +558,10 @@ def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
             defined is not None and not defined.get(value):
         create_term_definition(active_ctx, local_ctx, value, defined, {})
 
+    if emap is not None:
+        return _expand_iri_tail_mapped(active_ctx, value, vocab, base,
+                                       local_ctx, defined, options,
+                                       type_expansion)
     result = _expand_iri_tail(active_ctx, value, vocab, base,
                               local_ctx, defined)
     if memo is not None:
@@ -573,6 +593,67 @@ def _expand_iri_tail(active_ctx, value, vocab, base, local_ctx, defined):
     if base and active_ctx["base_iri"] is not None:
         return prepend_base(active_ctx["@base"], value)
     return value
+
+
+def _expand_iri_tail_mapped(active_ctx, value, vocab, base, local_ctx,
+                            defined, options, type_expansion):
+    """expand_iri tail with expansionMap events — mirrors the reference's
+    instrumented `_expandIri` (ref lib/context.js:1040-1141):
+    `prependedIri` fires when @vocab/@base prepending occurs,
+    `relativeIri` fires when the final result is not an absolute IRI.
+    A callback return of None keeps the default result (the kernel's
+    analog of the reference's `undefined` contract); any other return
+    value replaces it."""
+    emap = options["expansionMap"]
+    if vocab:
+        mapping = active_ctx["mappings"].get(value)
+        if mapping is not None:
+            return mapping.get("@id")
+
+    if len(value) > 1 and ":" in value[1:]:
+        prefix, suffix = value.split(":", 1)
+        if prefix == "_" or suffix.startswith("//"):
+            return value
+        if local_ctx is not None and prefix in local_ctx and \
+                defined is not None and not defined.get(prefix):
+            create_term_definition(active_ctx, local_ctx, prefix, defined, {})
+        pdef = active_ctx["mappings"].get(prefix)
+        if pdef and pdef.get("@id") and pdef.get("_prefix"):
+            return pdef["@id"] + suffix
+        if is_absolute_iri(value):
+            return value
+
+    result = value
+    if vocab and active_ctx["@vocab"] is not None:
+        prepended = active_ctx["@vocab"] + value
+        mapped = emap({
+            "prependedIri": {
+                "type": "@vocab", "vocab": active_ctx["@vocab"],
+                "value": value, "typeExpansion": type_expansion,
+                "result": prepended},
+            "activeCtx": active_ctx, "options": options})
+        result = prepended if mapped is None else mapped
+    elif base:
+        # the reference fires the @base event even when @base is
+        # null (result stays relative, ref lib/context.js:1080-1117)
+        if active_ctx["base_iri"] is not None:
+            prepended = prepend_base(active_ctx["@base"], value)
+        else:
+            prepended = value
+        mapped = emap({
+            "prependedIri": {
+                "type": "@base", "base": active_ctx.get("base_iri"),
+                "value": value, "typeExpansion": type_expansion,
+                "result": prepended},
+            "activeCtx": active_ctx, "options": options})
+        result = prepended if mapped is None else mapped
+
+    if isinstance(result, str) and not is_absolute_iri(result):
+        mapped = emap({"relativeIri": result, "activeCtx": active_ctx,
+                       "typeExpansion": type_expansion, "options": options})
+        if mapped is not None:
+            result = mapped
+    return result
 
 
 def get_context_value(ctx: dict, key: Optional[str], type_: str):

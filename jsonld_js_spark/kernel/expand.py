@@ -21,6 +21,18 @@ from .util import (
 _VALUE_KEYS = {"@value", "@type", "@language", "@direction", "@index"}
 
 
+def _emap(options, info):
+    """Invoke the per-event expansionMap if configured
+    (ref lib/jsonld.js:109-117, threaded through lib/expand.js:96-136,
+    :304, :352, :375, :452, :818). Python contract: the callback
+    returning None selects the default behavior (the reference's
+    `undefined`); any other return value replaces the dropped value."""
+    emap = options.get("expansionMap") if options else None
+    if emap is None:
+        return None
+    return emap(info)
+
+
 def _get_type_scoped_context(active_ctx, options):
     """Context for expanding @type values: the type-scoped context chain is
     reverted to the last non-propagated state (ref lib/expand.js:174-220 +
@@ -46,8 +58,16 @@ def expand(active_ctx, element, active_property=None, options=None,
 
     if not isinstance(element, (dict, list)):
         # scalar
-        if active_property is None or active_property == "@graph":
-            return None  # free-floating scalar dropped (lib/expand.js:128-136)
+        if not inside_list and (
+                active_property is None or
+                expand_iri(active_ctx, active_property, vocab=True,
+                           options=options) == "@graph"):
+            # free-floating scalar dropped unless custom mapped
+            # (ref lib/expand.js:92-108)
+            return _emap(options, {
+                "unmappedValue": element, "activeCtx": active_ctx,
+                "activeProperty": active_property, "options": options,
+                "insideList": inside_list})
         return _expand_value(active_ctx, active_property, element, options)
 
     if isinstance(element, list):
@@ -55,13 +75,21 @@ def expand(active_ctx, element, active_property=None, options=None,
         container = get_context_value(
             active_ctx, active_property, "@container") or []
         inside_list = inside_list or "@list" in container
-        for item in element:
+        for i, item in enumerate(element):
             expanded = expand(active_ctx, item, active_property, options,
                               inside_list=False,
                               type_scoped_context=type_scoped_context,
                               inside_index=inside_index)
             if inside_list and isinstance(expanded, list):
                 expanded = {"@list": expanded}
+            if expanded is None:
+                # dropped array element unless custom mapped
+                # (ref lib/expand.js:131-146)
+                expanded = _emap(options, {
+                    "unmappedValue": item, "activeCtx": active_ctx,
+                    "activeProperty": active_property, "parent": element,
+                    "index": i, "options": options, "expandedParent": rval,
+                    "insideList": inside_list})
             if expanded is None:
                 continue
             if isinstance(expanded, list):
@@ -71,6 +99,13 @@ def expand(active_ctx, element, active_property=None, options=None,
         return rval
 
     # element is a dict ---------------------------------------------------
+    # expand the active property BEFORE any type-scoped-context revert
+    # (ref lib/expand.js:163 — the order is observable through the
+    # expansionMap event stream)
+    expanded_active_property = expand_iri(
+        active_ctx, active_property, vocab=True,
+        options=options) if active_property else None
+
     # property-scoped context (ref spec step 8; lib/expand.js:202-211).
     # ABSENT and NULL differ: a term with "@context": null RESETS the
     # context for its values (JS undefined-vs-null again)
@@ -87,7 +122,8 @@ def expand(active_ctx, element, active_property=None, options=None,
     # !insideIndex)
     if not inside_index and active_ctx.get("previousContext") is not None:
         keys = [k for k in element
-                if expand_iri(active_ctx, k, vocab=True) in ("@value", "@id")]
+                if expand_iri(active_ctx, k, vocab=True,
+                              options=options) in ("@value", "@id")]
         must_revert = not (len(keys) == len(element) and len(keys) > 0)
         if must_revert and "@context" not in element:
             active_ctx = _get_type_scoped_context(active_ctx, options)
@@ -107,7 +143,8 @@ def expand(active_ctx, element, active_property=None, options=None,
     # (ref lib/expand.js:226-248)
     type_key = None
     for key in sorted(element.keys()):
-        if expand_iri(active_ctx, key, vocab=True) == "@type":
+        if expand_iri(active_ctx, key, vocab=True,
+                      options=options) == "@type":
             if type_key is None:
                 type_key = key
             types = element[key]
@@ -120,7 +157,8 @@ def expand(active_ctx, element, active_property=None, options=None,
 
     rval = {}
     _expand_object(active_ctx, active_property, element, rval, options,
-                   inside_list, type_key, type_scoped_context)
+                   inside_list, type_key, type_scoped_context,
+                   expanded_active_property)
 
     # value-object validation (ref lib/expand.js:268-331)
     if "@value" in rval:
@@ -140,7 +178,12 @@ def expand(active_ctx, element, active_property=None, options=None,
         if types == ["@json"]:
             pass  # any JSON value allowed
         elif not values:
-            rval = None
+            # null @value dropped unless custom mapped
+            # (ref lib/expand.js:299-316)
+            rval = _emap(options, {
+                "unmappedValue": rval, "activeCtx": active_ctx,
+                "activeProperty": active_property, "element": element,
+                "options": options, "insideList": inside_list})
         elif isinstance(value, (dict, list)) and \
                 not options.get("isFrame"):
             raise JsonLdError('"@value" value must be a scalar or null.',
@@ -167,43 +210,71 @@ def expand(active_ctx, element, active_property=None, options=None,
         if "@set" in rval:
             rval = rval["@set"]
     if isinstance(rval, dict) and "@language" in rval and len(rval) == 1:
-        rval = None  # lone @language dropped (ref lib/expand.js:350-365)
+        # lone @language dropped unless custom mapped
+        # (ref lib/expand.js:350-365)
+        rval = _emap(options, {
+            "unmappedValue": rval, "activeCtx": active_ctx,
+            "activeProperty": active_property, "element": element,
+            "options": options, "insideList": inside_list})
 
-    # free-floating node drop (ref lib/expand.js:367-389)
+    # free-floating node drop unless custom mapped
+    # (ref lib/expand.js:367-389)
     if isinstance(rval, dict) and not options.get("isFrame") and \
             not options.get("keepFreeFloatingNodes") and \
             (active_property is None or active_property == "@graph"):
-        if len(rval) == 0 or "@value" in rval or "@list" in rval:
-            rval = None
-        elif len(rval) == 1 and "@id" in rval:
-            rval = None
+        if len(rval) == 0 or "@value" in rval or "@list" in rval or \
+                (len(rval) == 1 and "@id" in rval):
+            rval = _emap(options, {
+                "unmappedValue": rval, "activeCtx": active_ctx,
+                "activeProperty": active_property, "options": options,
+                "insideList": inside_list})
     return rval
 
 
 def _expand_object(active_ctx, active_property, element, rval, options,
-                   inside_list, type_key, type_scoped_context):
-    """Per-key expansion loop (ref lib/expand.js:411-917)."""
+                   inside_list, type_key, type_scoped_context,
+                   expanded_parent_property=None):
+    """Per-key expansion loop (ref lib/expand.js:411-917).
+    `expanded_parent_property` is the dispatcher's pre-revert expansion
+    of the active property (ref expandedActiveProperty param)."""
     nests = []
     unexpanded_language = None
     unexpanded_direction = None
 
-    expanded_parent_property = expand_iri(
-        active_ctx, active_property, vocab=True) if active_property else None
+    # JSON-literal type detection (ref lib/expand.js:430-434): expand
+    # the FIRST @type value vocab-only with typeExpansion — with an
+    # expansionMap installed this call is also part of the reference's
+    # observable event stream
+    is_json_type = False
+    if type_key is not None and element.get(type_key):
+        tv = element[type_key]
+        tv0 = tv[0] if isinstance(tv, list) and tv else tv
+        is_json_type = expand_iri(
+            active_ctx, tv0, vocab=True, options=options,
+            type_expansion=True) == "@json"
 
     for key in sorted(element.keys()):
         if key == "@context":
             continue
         value = element[key]
-        expanded_property = expand_iri(active_ctx, key, vocab=True)
+        expanded_property = expand_iri(active_ctx, key, vocab=True,
+                                       options=options)
 
         if expanded_property is None or not (
                 isinstance(expanded_property, str) and
                 (is_absolute_iri(expanded_property) or
                  is_keyword(expanded_property))):
             # drop keys that don't expand to an ABSOLUTE IRI or keyword
-            # (ref lib/expand.js:448-465 — a vocab-prepended IRI with
-            # whitespace fails isAbsoluteIri and is dropped)
-            continue
+            # unless custom mapped (ref lib/expand.js:448-465 — a
+            # vocab-prepended IRI with whitespace fails isAbsoluteIri
+            # and is dropped)
+            expanded_property = _emap(options, {
+                "unmappedProperty": key, "activeCtx": active_ctx,
+                "activeProperty": active_property, "parent": element,
+                "options": options, "insideList": inside_list,
+                "value": value, "expandedParent": rval})
+            if expanded_property is None:
+                continue
 
         if is_keyword(expanded_property):
             if expanded_parent_property == "@reverse":
@@ -225,7 +296,8 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                         if isinstance(v, dict) and len(v) == 0:
                             out.append(v)
                         elif isinstance(v, str):
-                            out.append(expand_iri(active_ctx, v, base=True))
+                            out.append(expand_iri(active_ctx, v, base=True,
+                                                  options=options))
                         else:
                             raise JsonLdError('"@id" must be a string.',
                                               "invalid @id value")
@@ -235,7 +307,8 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                                   "invalid @id value")
             else:
                 add_value(rval, "@id",
-                          expand_iri(active_ctx, value, base=True))
+                          expand_iri(active_ctx, value, base=True,
+                                     options=options))
             continue
 
         # @type (ref lib/expand.js:523-548) — expanded with type-scoped ctx
@@ -267,17 +340,14 @@ def _expand_object(active_ctx, active_property, element, rval, options,
             add_value(rval, "@graph", expanded, value_is_array=True)
             continue
 
-        # @value (ref lib/expand.js:581-596)
+        # @value (ref lib/expand.js:581-593): JSON literals keep the raw
+        # value uncoerced; validation happens in the dispatcher
         if expanded_property == "@value":
-            if isinstance(value, (dict, list)) and \
-                    not options.get("isFrame") and \
-                    get_context_value(active_ctx, key, "@type") != "@json" and \
-                    get_context_value(active_ctx, active_property,
-                                      "@type") != "@json":
-                # still allowed when the *type key* says @json — checked by
-                # caller validation; here accept and validate later
-                pass
-            add_value(rval, "@value", value, value_is_array=False)
+            if is_json_type and \
+                    active_ctx["processingMode"] != "json-ld-1.0":
+                rval["@value"] = value
+            else:
+                add_value(rval, "@value", value, value_is_array=False)
             continue
 
         # @language (ref lib/expand.js:597-623)
@@ -371,7 +441,8 @@ def _expand_object(active_ctx, active_property, element, rval, options,
             index_key = get_context_value(term_ctx, key, "@index") or "@index"
             property_index = None
             if index_key != "@index":
-                property_index = expand_iri(active_ctx, index_key, vocab=True)
+                property_index = expand_iri(active_ctx, index_key,
+                                            vocab=True, options=options)
             expanded_value = _expand_index_map(
                 term_ctx, key, value, "@index", as_graph, options,
                 property_index=property_index,
@@ -415,7 +486,16 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                                         inside_list=False)
 
         if expanded_value is None and expanded_property != "@value":
-            continue
+            # dropped null value unless custom mapped
+            # (ref lib/expand.js:814-833)
+            expanded_value = _emap(options, {
+                "unmappedValue": value, "expandedProperty": expanded_property,
+                "activeCtx": term_ctx, "activeProperty": active_property,
+                "parent": element, "options": options,
+                "insideList": inside_list, "key": key,
+                "expandedParent": rval})
+            if expanded_value is None:
+                continue
 
         # @list coercion (ref lib/expand.js:835-842)
         if expanded_property != "@list" and not is_list(expanded_value) and \
@@ -462,12 +542,14 @@ def _expand_object(active_ctx, active_property, element, rval, options,
             else [nested_values]
         for nv in nested_values:
             if not isinstance(nv, dict) or any(
-                    expand_iri(active_ctx, k, vocab=True) == "@value"
+                    expand_iri(active_ctx, k, vocab=True,
+                               options=options) == "@value"
                     for k in nv):
                 raise JsonLdError("nested value must be a node object.",
                                   "invalid @nest value")
             _expand_object(active_ctx, active_property, nv, rval, options,
-                           inside_list, type_key, type_scoped_context)
+                           inside_list, type_key, type_scoped_context,
+                           expanded_parent_property)
 
 
 def _expand_type(type_ctx, value, rval, options):
@@ -477,12 +559,15 @@ def _expand_type(type_ctx, value, rval, options):
     out = []
     for v in vals:
         if isinstance(v, str):
-            out.append(expand_iri(type_ctx, v, vocab=True, base=True))
+            out.append(expand_iri(type_ctx, v, vocab=True, base=True,
+                                  options=options, type_expansion=True))
         elif options.get("isFrame") and isinstance(v, dict) and len(v) == 0:
             out.append(v)
         elif isinstance(v, dict) and "@default" in v and options.get("isFrame"):
             out.append({"@default": expand_iri(type_ctx, v["@default"],
-                                               vocab=True, base=True)})
+                                               vocab=True, base=True,
+                                               options=options,
+                                               type_expansion=True)})
         else:
             raise JsonLdError('"@type" value must be a string.',
                               "invalid type value")
@@ -506,21 +591,25 @@ def _expand_value(active_ctx, active_property, value, options):
 
     # @id / @type active properties expand to bare IRIs
     # (ref lib/expand.js:936-944)
-    expanded_property = expand_iri(active_ctx, active_property, vocab=True) \
+    expanded_property = expand_iri(active_ctx, active_property, vocab=True,
+                                   options=options) \
         if isinstance(active_property, str) else active_property
     if expanded_property == "@id" and isinstance(value, str):
-        return expand_iri(active_ctx, value, base=True)
+        return expand_iri(active_ctx, value, base=True, options=options)
     if expanded_property == "@type" and isinstance(value, str):
-        return expand_iri(active_ctx, value, vocab=True, base=True)
+        return expand_iri(active_ctx, value, vocab=True, base=True,
+                          options=options, type_expansion=True)
 
     type_ = get_context_value(active_ctx, active_property, "@type")
 
     # @id coercion (automatic for @graph) (ref lib/expand.js:949-958)
     if (type_ == "@id" or expanded_property == "@graph") and \
             isinstance(value, str):
-        return {"@id": expand_iri(active_ctx, value, base=True)}
+        return {"@id": expand_iri(active_ctx, value, base=True,
+                                  options=options)}
     if type_ == "@vocab" and isinstance(value, str):
-        return {"@id": expand_iri(active_ctx, value, vocab=True, base=True)}
+        return {"@id": expand_iri(active_ctx, value, vocab=True, base=True,
+                                  options=options)}
 
     # do not expand other keyword values (ref lib/expand.js:960-963)
     if is_keyword(expanded_property):
@@ -544,7 +633,8 @@ def _expand_language_map(active_ctx, language_map, direction, options):
     """@container:@language maps (ref lib/expand.js:1000-1031)."""
     rval = []
     for key in sorted(language_map.keys()):
-        expanded_key = expand_iri(active_ctx, key, vocab=True)
+        expanded_key = expand_iri(active_ctx, key, vocab=True,
+                                  options=options)
         vals = language_map[key]
         vals = vals if isinstance(vals, list) else [vals]
         for item in vals:
@@ -577,7 +667,7 @@ def _expand_index_map(active_ctx, active_property, value, index_key, as_graph,
         if ctx is not None:
             item_ctx = process_context(active_ctx, ctx, options,
                                        propagate=False)
-        expanded_key = expand_iri(item_ctx, key, vocab=True)
+        expanded_key = expand_iri(item_ctx, key, vocab=True, options=options)
         items = value[key]
         items = items if isinstance(items, list) else [items]
         expanded = expand(item_ctx, items, active_property, options,
@@ -603,7 +693,8 @@ def _expand_index_map(active_ctx, active_property, value, index_key, as_graph,
                         item["@index"] = key
             elif index_key == "@id":
                 if expanded_key != "@none" and "@id" not in item:
-                    item["@id"] = expand_iri(active_ctx, key, base=True)
+                    item["@id"] = expand_iri(active_ctx, key, base=True,
+                                             options=options)
             elif index_key == "@type":
                 if expanded_key != "@none":
                     types = item.get("@type", [])

@@ -86,7 +86,8 @@ def _shared_active_ctx():
 
 
 def _emit_conversations(pdf: pd.DataFrame, doc_transform=None,
-                        quad_filter=None) -> pd.DataFrame:
+                        quad_filter=None,
+                        expansion_map=None) -> pd.DataFrame:
     """Vectorized prep + per-conversation kernel run over one batch.
 
     Rows arrive sorted by (conv_id, turn_idx) (sortWithinPartitions
@@ -107,6 +108,12 @@ def _emit_conversations(pdf: pd.DataFrame, doc_transform=None,
 
     options = {"activeCtx": _shared_active_ctx(), "skipCopy": True,
                "processingMode": "json-ld-1.1"}
+    if expansion_map is not None:
+        # per-event callback inside kernel expansion
+        # (ref lib/jsonld.js:109-117); NOTE: disables the IRI memo on
+        # this worker's shared context — use doc_transform/quad_filter
+        # for hot-path rewrites and reserve this for event-level hooks
+        options["expansionMap"] = expansion_map
     out: list[tuple] = []
     n = len(conv_ids)
     start = 0
@@ -163,14 +170,15 @@ def batched_by_key(key: str, emit):
     return run
 
 
-def _batched(doc_transform=None, quad_filter=None):
+def _batched(doc_transform=None, quad_filter=None, expansion_map=None):
     """Build the mapInPandas function, capturing optional hooks (the
     engine's counterpart of the reference's expansionMap/compactionMap
     callback surface, ref lib/jsonld.js:109-117: arbitrary Python
     callables ride the UDF closure to the executors)."""
     return batched_by_key(
         "conv_id",
-        lambda pdf: _emit_conversations(pdf, doc_transform, quad_filter))
+        lambda pdf: _emit_conversations(pdf, doc_transform, quad_filter,
+                                        expansion_map))
 
 
 def kernel_transcript_triples(transcripts: DataFrame,
@@ -178,6 +186,7 @@ def kernel_transcript_triples(transcripts: DataFrame,
                               dedup: bool = False,
                               doc_transform=None,
                               quad_filter=None,
+                              expansion_map=None,
                               assume_grouped: bool = False) -> DataFrame:
     """transcripts → triples via the generic JSON-LD kernel.
 
@@ -211,8 +220,9 @@ def kernel_transcript_triples(transcripts: DataFrame,
         part = (transcripts
                 .repartition(n, "conv_id")
                 .sortWithinPartitions("conv_id", "turn_idx"))
-    triples = part.mapInPandas(_batched(doc_transform, quad_filter),
-                               schema=TRIPLE_SCHEMA)
+    triples = part.mapInPandas(
+        _batched(doc_transform, quad_filter, expansion_map),
+        schema=TRIPLE_SCHEMA)
     if dedup:
         triples = triples.dropDuplicates(TRIPLE_SCHEMA.fieldNames())
     return triples

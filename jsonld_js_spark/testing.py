@@ -178,3 +178,31 @@ def compare_triple_sets(mine: Iterable[Sequence],
             "precision": precision, "recall": recall, "mapping": mapping,
             "missing": sorted(b - _apply_mapping(a, mapping))[:10],
             "extra": sorted(_apply_mapping(a, mapping) - b)[:10]}
+
+
+def event_logging_map(events: list):
+    """expansionMap callback that appends normalized event records —
+    the same normalization the oracle harness applies to the
+    reference's event stream (tools/oracle_harness/oracle.js
+    'expandEvents'), so fixture tests can compare sequences exactly."""
+    def emap(info):
+        if "unmappedProperty" in info:
+            events.append({"kind": "unmappedProperty",
+                           "key": info["unmappedProperty"]})
+        elif "relativeIri" in info:
+            events.append({"kind": "relativeIri",
+                           "value": info["relativeIri"],
+                           "typeExpansion": bool(info.get("typeExpansion"))})
+        elif "prependedIri" in info:
+            p = info["prependedIri"]
+            prefix = p.get("vocab") if p["type"] == "@vocab" else p.get("base")
+            events.append({"kind": "prependedIri", "type": p["type"],
+                           "prefix": "" if prefix is None else prefix,
+                           "value": p["value"],
+                           "typeExpansion": bool(p.get("typeExpansion")),
+                           "result": p["result"]})
+        else:
+            events.append({"kind": "unmappedValue",
+                           "value": info.get("unmappedValue")})
+        return None
+    return emap

@@ -1612,6 +1612,150 @@ CASES += [
                "@id": EX + "a",
                "claims": {"@none": {"said": "unindexed"}}},
     ),
+    # ----- expansionMap event-stream parity (ref lib/jsonld.js:109-117;
+    # scenarios mined from ref tests/misc.js:482-1700) -----------------
+    dict(
+        name="emap-unmapped-term",
+        op_override=["expandEvents"],
+        input={"@context": {"definedTerm": "https://example.com#definedTerm"},
+               "definedTerm": "is defined", "testUndefined": "is undefined"},
+    ),
+    dict(
+        name="emap-unmapped-nested",
+        op_override=["expandEvents"],
+        input={"@context": {"definedTerm": "https://example.com#definedTerm"},
+               "definedTerm": {"testUndefined": "is undefined"}},
+    ),
+    dict(
+        name="emap-relative-id",
+        op_override=["expandEvents"],
+        input={"@context": {"definedTerm": "https://example.com#definedTerm"},
+               "@id": "relativeiri", "definedTerm": "is defined"},
+    ),
+    dict(
+        name="emap-relative-id-nested",
+        op_override=["expandEvents"],
+        input={"@context": {"definedTerm": "https://example.com#definedTerm"},
+               "@id": "urn:absoluteIri",
+               "definedTerm": {"@id": "relativeiri"}},
+    ),
+    dict(
+        name="emap-relative-aliased-id",
+        op_override=["expandEvents"],
+        input={"@context": {"id": "@id",
+                            "definedTerm": "https://example.com#definedTerm"},
+               "id": "relativeiri", "definedTerm": "is defined"},
+    ),
+    dict(
+        name="emap-relative-type",
+        op_override=["expandEvents"],
+        input={"@context": {"definedTerm": "https://example.com#definedTerm"},
+               "id": "urn:absoluteiri", "@type": "relativeiri",
+               "definedTerm": "is defined"},
+    ),
+    dict(
+        name="emap-relative-type-scoped",
+        op_override=["expandEvents"],
+        input={"@context": {
+                   "definedType": {
+                       "@id": "https://example.com#definedType",
+                       "@context": {
+                           "definedTerm": "https://example.com#definedTerm"}}},
+               "id": "urn:absoluteiri", "@type": "definedType",
+               "definedTerm": {"@type": "relativeiri"}},
+    ),
+    dict(
+        name="emap-relative-multi-types",
+        op_override=["expandEvents"],
+        input={"@context": {"definedTerm": "https://example.com#definedTerm"},
+               "id": "urn:absoluteiri",
+               "@type": ["relativeiri", "anotherRelativeiri"],
+               "definedTerm": "is defined"},
+    ),
+    dict(
+        name="emap-relative-aliased-type",
+        op_override=["expandEvents"],
+        input={"@context": {"type": "@type",
+                            "definedTerm": "https://example.com#definedTerm"},
+               "id": "urn:absoluteiri", "type": "relativeiri",
+               "definedTerm": "is defined"},
+    ),
+    dict(
+        name="emap-base-dot-slash",
+        op_override=["expandEvents"],
+        input={"@context": {"@base": "./"}, "@id": "relativeiri"},
+    ),
+    dict(
+        name="emap-vocab-dot-slash",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": "./"}, "@type": "relativeiri"},
+    ),
+    dict(
+        name="emap-prepended-vocab",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": "http://example.com/"},
+               "term": "termValue"},
+    ),
+    dict(
+        name="emap-prepended-vocab-type",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": "http://example.com/"},
+               "@type": "relativeIri"},
+    ),
+    dict(
+        name="emap-prepended-base-id",
+        op_override=["expandEvents"],
+        input={"@context": {"@base": "http://example.com/"},
+               "@id": "relativeIri"},
+    ),
+    dict(
+        name="emap-free-floating-node",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "only-id"},
+    ),
+    dict(
+        name="emap-null-value-drop",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a", "dropped": None, "kept": "v"},
+    ),
+    dict(
+        name="emap-lone-language",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "prop": {"@language": "en"}},
+    ),
+    dict(
+        name="emap-empty-value",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "prop": {"@value": None}},
+    ),
+    dict(
+        name="emap-dropped-array-element",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "prop": [{"@value": None}, "kept"]},
+    ),
+    dict(
+        name="emap-json-literal-type",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": EX, "jt": "@json"},
+               "@id": EX + "a",
+               "meta": {"@type": "jt", "@value": {"deep": [1, None]}}},
+    ),
+    dict(
+        name="emap-mixed-graph",
+        op_override=["expandEvents"],
+        input={"@context": {"@vocab": "http://example.com/",
+                            "definedTerm": "https://example.com#definedTerm"},
+               "@graph": [
+                   {"@id": "rel-a", "definedTerm": "x",
+                    "other": "vocab-mapped"},
+                   {"@id": "urn:b", "@type": "relType",
+                    "un mapped key": "dropped?"},
+                   "free floating scalar"]},
+    ),
 ]
 
 

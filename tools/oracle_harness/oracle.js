@@ -41,7 +41,36 @@ async function main() {
   }}, req.options || {});
   let result;
   try {
-    if (req.op === 'expand') result = await jsonld.expand(req.input, opts);
+    if (req.op === 'expandEvents') {
+      // capture the expansionMap event stream (lib/jsonld.js:109-117);
+      // events are normalized to JSON-safe records. NOTE the lone-
+      // @language site calls expansionMap(rval, info) (lib/expand.js:352)
+      // — there `info` IS rval, hence the `in` fallback.
+      const events = [];
+      opts.expansionMap = info => {
+        if (info.unmappedProperty !== undefined) {
+          events.push({kind: 'unmappedProperty', key: info.unmappedProperty});
+        } else if (info.relativeIri !== undefined) {
+          events.push({kind: 'relativeIri', value: info.relativeIri,
+                       typeExpansion: !!info.typeExpansion});
+        } else if (info.prependedIri !== undefined) {
+          const p = info.prependedIri;
+          const rawPrefix = p.type === '@vocab' ? p.vocab : p.base;
+          events.push({kind: 'prependedIri', type: p.type,
+                       prefix: rawPrefix == null ? '' : rawPrefix,
+                       value: p.value, typeExpansion: !!p.typeExpansion,
+                       result: p.result});
+        } else {
+          const v = ('unmappedValue' in info) ? info.unmappedValue : info;
+          events.push({kind: 'unmappedValue',
+                       value: v === undefined ? null : v});
+        }
+        return undefined;
+      };
+      const expanded = await jsonld.expand(req.input, opts);
+      result = {expanded, events};
+    }
+    else if (req.op === 'expand') result = await jsonld.expand(req.input, opts);
     else if (req.op === 'flatten') result = await jsonld.flatten(req.input, req.context || null, opts);
     else if (req.op === 'compact') result = await jsonld.compact(req.input, req.context, opts);
     else if (req.op === 'merge') result = await jsonld.merge(req.input, req.context || null, opts);
