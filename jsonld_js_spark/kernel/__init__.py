@@ -9,3 +9,7 @@ from .api import (  # noqa: F401
     link, merge, parse_nquads, serialize_nquads, to_rdf,
 )
 from .util import IdentifierIssuer  # noqa: F401
+from .loaders import (  # noqa: F401
+    as_context_loader, build_headers, http_document_loader, jsonld_get,
+    parse_link_header,
+)
