@@ -6,7 +6,8 @@ generic-document path. See SURVEY.md §7 step 1.
 
 from .api import (  # noqa: F401
     ContextResolver, JsonLdError, compact, expand, flatten, frame, from_rdf,
-    link, merge, parse_nquads, serialize_nquads, to_rdf,
+    link, merge, parse_nquads, register_rdf_parser, serialize_nquads, to_rdf,
+    unregister_rdf_parser,
 )
 from .util import IdentifierIssuer  # noqa: F401
 from .loaders import (  # noqa: F401

@@ -143,12 +143,39 @@ def to_rdf(doc, options=None):
     return dataset
 
 
+# RDF dataset parsers by content-type (ref lib/jsonld.js:988-1015
+# registerRDFParser/unregisterRDFParser + :614-640 format dispatch)
+_RDF_PARSERS = {
+    "application/n-quads": parse_nquads,
+    "application/nquads": parse_nquads,
+}
+
+
+def register_rdf_parser(content_type: str, parser) -> None:
+    """Register `parser(input) -> quads` for a content-type
+    (ref lib/jsonld.js:1000-1002)."""
+    _RDF_PARSERS[content_type] = parser
+
+
+def unregister_rdf_parser(content_type: str) -> None:
+    """(ref lib/jsonld.js:1009-1011)"""
+    _RDF_PARSERS.pop(content_type, None)
+
+
 def from_rdf(dataset, options=None):
-    """jsonld.fromRDF (ref lib/jsonld.js:614-662). `dataset` may be an
-    N-Quads string or a list of quad tuples."""
+    """jsonld.fromRDF (ref lib/jsonld.js:614-662). `dataset` may be a
+    list of quad tuples, or a string in any registered format —
+    a string with no explicit format defaults to N-Quads."""
     options = _options_with_defaults(options)
-    if isinstance(dataset, str):
-        dataset = parse_nquads(dataset)
+    if "format" not in options and isinstance(dataset, str):
+        options["format"] = "application/n-quads"
+    fmt = options.get("format")
+    if fmt:
+        parser = _RDF_PARSERS.get(fmt)
+        if parser is None:
+            raise JsonLdError(f"Unknown input format: {fmt}.",
+                              "unknown format")
+        dataset = parser(dataset)
     return _from_rdf(dataset, options)
 
 

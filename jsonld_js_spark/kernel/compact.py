@@ -28,8 +28,19 @@ def compact(active_ctx, active_property, element, options=None):
 
     if isinstance(element, list):
         rval = []
-        for item in element:
+        for i, item in enumerate(element):
             compacted = compact(active_ctx, active_property, item, options)
+            if compacted is None:
+                # dropped null unless custom mapped — the reference's
+                # compactionMap callback surface
+                # (ref lib/compact.js:77-89, lib/jsonld.js:114-117);
+                # a None return keeps the default drop
+                cmap = options.get("compactionMap")
+                if cmap is not None:
+                    compacted = cmap({
+                        "unmappedValue": item, "activeCtx": active_ctx,
+                        "activeProperty": active_property,
+                        "parent": element, "index": i, "options": options})
             if compacted is not None:
                 rval.append(compacted)
         if compact_arrays and len(rval) == 1:

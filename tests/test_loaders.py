@@ -197,3 +197,37 @@ def test_expand_through_http_loader():
     out2 = expand(doc2, {"contextResolver": resolver})
     assert out2 == [{"@id": "http://e.com/me",
                      "http://xmlns.com/foaf/0.1/name": [{"@value": "Bob"}]}]
+
+
+# --- RDF parser registry (ref lib/jsonld.js:988-1015) ---------------------
+
+def test_rdf_parser_registry():
+    from jsonld_js_spark.kernel import (
+        from_rdf, register_rdf_parser, unregister_rdf_parser,
+    )
+    # string defaults to N-Quads
+    doc = from_rdf('<http://e.com/s> <http://e.com/p> "v" .\n')
+    assert doc == [{"@id": "http://e.com/s",
+                    "http://e.com/p": [{"@value": "v"}]}]
+
+    # custom content-type: a TSV parser producing quad tuples
+    def tsv_parser(text):
+        out = []
+        for line in text.strip().split("\n"):
+            s, p, v = line.split("\t")
+            out.append((s, p, v, "Literal",
+                        "http://www.w3.org/2001/XMLSchema#string",
+                        None, ""))
+        return out
+
+    register_rdf_parser("text/tab-separated-values", tsv_parser)
+    try:
+        doc2 = from_rdf("http://e.com/s\thttp://e.com/p\tv",
+                        {"format": "text/tab-separated-values"})
+        assert doc2 == doc
+    finally:
+        unregister_rdf_parser("text/tab-separated-values")
+
+    with pytest.raises(JsonLdError) as e:
+        from_rdf("x", {"format": "text/unknown"})
+    assert e.value.code == "unknown format"
