@@ -138,8 +138,14 @@ def to_rdf(doc, options=None):
     else:
         expanded = expand(doc, options)
     dataset = _to_rdf(expanded, options)
-    if options.get("format") == "application/n-quads":
-        return serialize_nquads(dataset)
+    fmt = options.get("format")
+    if fmt:
+        # deprecated 'application/nquads' alias supported, anything
+        # else is an error (ref lib/jsonld.js:693-706)
+        if fmt in ("application/n-quads", "application/nquads"):
+            return serialize_nquads(dataset)
+        raise JsonLdError(f"Unknown output format: {fmt}.",
+                          "unknown format")
     return dataset
 
 

@@ -437,7 +437,12 @@ def _rdf_to_object(quad, use_native_types: bool, rdf_direction):
             rval["@type"] = datatype
         return rval
     if datatype == RDF_JSON_LITERAL:
-        rval["@value"] = parse_json(obj_value)
+        try:
+            rval["@value"] = parse_json(obj_value)
+        except Exception as e:
+            # ref lib/fromRdf.js:302-306
+            raise JsonLdError("Invalid JSON literal.",
+                              "invalid JSON literal") from e
         rval["@type"] = "@json"
         return rval
     if datatype != XSD_STRING:

@@ -403,7 +403,13 @@ def q_kg_merge_sources(spark, sf_dir):
     union the transcript KG, the customer graph, and the events graph
     into one default graph with GLOBAL set-semantics dedup — the
     cross-source case where document-local dedup is not enough.
-    Output: per-predicate stats of the merged graph."""
+    Output: per-predicate stats of the merged graph.
+
+    Production note: this derivation recomputes all three source DAGs
+    because the driver gate must be self-contained; at 100 TB the
+    merge reads the already-committed triples tables
+    (checkpoint.read_committed) and only pays the union + dedup
+    shuffle (uniform full-row key, map-side partial agg)."""
     t = _triples(spark, sf_dir).select("subj", "pred", "obj_value",
                                        "obj_termtype", "obj_datatype")
     c = q_kg_customer_graph(spark, sf_dir)

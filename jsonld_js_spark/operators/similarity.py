@@ -241,7 +241,15 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos_ppm >= {NEARDUP_PPM}),
     LSH-blocked then exactly verified. The corpus injects exact vector
     copies (vec_id+100000 for vec_id % 20 == 0) so output is
-    non-trivial."""
+    non-trivial.
+
+    RECALL BOUND: blocking requires FULL 12-bit signature equality, so
+    a true near-dup pair is found only if no hyperplane separates the
+    two vectors; at the 0.999 threshold the per-plane flip probability
+    is arccos(0.999)/pi ≈ 1.4%, giving expected recall ≥ (1-0.014)^12
+    ≈ 0.84 for threshold-grazing pairs (exact copies are always
+    found). Multi-band OR-blocking would raise recall at the cost of
+    more candidates."""
     e = _emb(spark, sf_dir).select(
         "vec_id", _vec_d(F.col("embedding")).alias("v"))
     dup = (e.filter(F.col("vec_id") % 20 == 0)
@@ -290,11 +298,15 @@ ORDER BY vec_a, vec_b
 
 
 # ---------------------------------------------------------------------------
-# IVF-style ANN: coarse quantizer = 8 data-derived centroids; vectors
-# are assigned to their nearest centroid cell (cos_ppm, centroid-id
-# tiebreak); queries probe their top-NPROBE cells and exact-rank the
-# union. At scale the assignment is one broadcast pass and each query
-# touches ~NPROBE/N_CELLS of the corpus.
+# IVF-style ANN: coarse quantizer = 8 FIXED data rows standing in for
+# trained centroids (a k-means pass would replace _CENTROID_IDS with
+# learned vectors; the plan shape — broadcast centroids, cell
+# assignment, NPROBE probing, exact re-rank — is what this operator
+# demonstrates and is unchanged by training). Vectors are assigned to
+# their nearest centroid cell (cos_ppm, centroid-id tiebreak); queries
+# probe their top-NPROBE cells and exact-rank the union. At scale the
+# assignment is one broadcast pass and each query touches
+# ~NPROBE/N_CELLS of the corpus.
 
 IVF_NPROBE = 2
 _CENTROID_IDS = [20, 40, 60, 80, 100, 120, 140, 160]

@@ -1744,6 +1744,38 @@ CASES += [
                "@id": EX + "a",
                "meta": {"@type": "jt", "@value": {"deep": [1, None]}}},
     ),
+    # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
+    # Object.prototype properties in JS — the reference special-cases
+    # them; in Python they are ordinary dict keys, but the OUTPUT must
+    # match exactly
+    dict(
+        name="js-keywords-top",
+        op_override=["expand", "compact"],
+        input={"@context": {"valueOf": "http://example.org/valueOf",
+                            "toString": "http://example.org/toString"},
+               "valueOf": "first", "toString": "second"},
+        context={"valueOf": "http://example.org/valueOf",
+                 "toString": "http://example.org/toString"},
+    ),
+    dict(
+        name="js-keywords-scoped",
+        op_override=["expand"],
+        input={"@context": {
+                   "@version": 1.1,
+                   "ex:thing": {
+                       "@context": {
+                           "valueOf": "http://example.org/valueOf",
+                           "toString": "http://example.org/toString"}}},
+               "ex:thing": {"valueOf": "first", "toString": "second"}},
+    ),
+    dict(
+        name="js-keywords-frame",
+        op_override=["frame"],
+        input={"@context": {"@vocab": "http://example.org/"},
+               "toString": {"valueOf": "thing"}},
+        frame={"@context": {"@vocab": "http://example.org/"},
+               "toString": {}},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
