@@ -73,3 +73,25 @@ def test_mix_constants_no_int64_overflow():
         assert 1 <= a <= MASK30 and 1 <= b <= MASK30 and 0 <= c < 2 ** 60
         assert a * h1max + b * h2max + c < 2 ** 63
         assert (a * h1max + b * h2max + c) % MIX_PRIME < MIX_PRIME
+
+
+def test_dedup_clusters_transitive(spark):
+    """Every 50th doc has BOTH a near-copy (+100000) and an exact copy
+    (+200000); all three must land in one component labeled by the
+    original (min) doc_id — transitivity that pairwise output lacks."""
+    from jsonld_js_spark.operators.dedup import q_dedup_clusters
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in q_dedup_clusters(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    triples_checked = 0
+    for i in ids:
+        if i % 50 == 0 and (i + 100000) in labels and (i + 200000) in labels:
+            # same component; label is the component MIN so it can be
+            # smaller than i when template-similar originals also match
+            assert labels[i + 100000] == labels[i + 200000] == labels[i]
+            assert labels[i] <= i
+            triples_checked += 1
+    assert triples_checked > 0
+    # labels are canonical: every cluster_id is itself a member doc
+    assert set(labels.values()) <= set(labels)
