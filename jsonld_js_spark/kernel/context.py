@@ -124,6 +124,11 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
             if ctx["@version"] != 1.1:
                 raise JsonLdError("Unsupported JSON-LD version: " +
                                   str(ctx["@version"]), "invalid @version value")
+            if active_ctx.get("processingMode") == "json-ld-1.0":
+                # ref lib/context.js:182-189
+                raise JsonLdError(
+                    f"@version: {ctx['@version']} not compatible with "
+                    "json-ld-1.0.", "processing mode conflict")
             rval["processingMode"] = "json-ld-1.1"
 
         # @import (JSON-LD 1.1; ref lib/context.js:302-364)

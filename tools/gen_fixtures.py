@@ -1744,6 +1744,101 @@ CASES += [
                "@id": EX + "a",
                "meta": {"@type": "jt", "@value": {"deep": [1, None]}}},
     ),
+    # round-2 adversarial mining: spec corners not covered above -----
+    dict(
+        name="term-cycle-error",
+        op_override=["expand-error"],
+        input={"@context": {"a": "b:x", "b": "a:y"}, "a:p": "v"},
+    ),
+    dict(
+        name="version-11-in-10-mode-error",
+        op_override=["expand-error"],
+        input={"@context": {"@version": 1.1, "t": EX + "t"}, "t": "v"},
+        options={"processingMode": "json-ld-1.0"},
+    ),
+    dict(
+        name="empty-vocab-resolves-base",
+        input={"@context": {"@base": "http://base.org/doc", "@vocab": ""},
+               "@id": "http://base.org/doc", "term": "v"},
+    ),
+    dict(
+        name="null-id-term-dropped",
+        input={"@context": {"dropped": None, "kept": EX + "kept"},
+               "@id": EX + "a", "dropped": "gone", "kept": "v"},
+    ),
+    dict(
+        name="nested-nest-alias",
+        input={"@context": {"@vocab": EX, "meta": "@nest",
+                            "inner": {"@nest": "meta"}},
+               "@id": EX + "a",
+               "meta": {"inner": "v", "direct": "w"}},
+    ),
+    dict(
+        name="type-map-id-coercion-keys",
+        input={"@context": {"@vocab": EX,
+                            "byType": {"@id": EX + "byType",
+                                       "@container": "@type"}},
+               "@id": EX + "a",
+               "byType": {"Alpha": {"p": "x"}, "ex:Beta": {"p": "y"}}},
+    ),
+    dict(
+        name="json-in-list",
+        input={"@context": {"@vocab": EX,
+                            "jl": {"@id": EX + "jl", "@type": "@json",
+                                   "@container": "@list"}},
+               "@id": EX + "a", "jl": [{"k": 1}, [2, 3]]},
+    ),
+    dict(
+        name="list-of-lists-11",
+        input={"@context": {"@vocab": EX,
+                            "ll": {"@id": EX + "ll",
+                                   "@container": "@list"}},
+               "@id": EX + "a", "ll": [["x", "y"], ["z"]]},
+    ),
+    dict(
+        name="value-with-index",
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "p": {"@value": 5, "@index": "i0"}},
+    ),
+    dict(
+        name="rdf-direction-i18n",
+        op_override=["expand", "toRDF"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "p": {"@value": "hello", "@language": "en",
+                     "@direction": "rtl"}},
+        options={"rdfDirection": "i18n-datatype"},
+    ),
+    dict(
+        name="protected-same-redefinition-ok",
+        input={"@context": [
+                   {"@protected": True, "t": {"@id": EX + "t"}},
+                   {"t": {"@id": EX + "t"}}],
+               "@id": EX + "a", "t": "v"},
+    ),
+    dict(
+        name="compact-to-relative-false",
+        op_override=["compact"],
+        input=[{"@id": "http://base.org/dir/doc1",
+                EX + "link": [{"@id": "http://base.org/dir/other"}]}],
+        context={"@base": "http://base.org/dir/",
+                 "link": {"@id": EX + "link", "@type": "@id"}},
+        options={"skipExpansion": True, "compactToRelative": False,
+                 "base": "http://base.org/dir/"},
+    ),
+    dict(
+        name="keyword-form-term-ignored",
+        input={"@context": {"@ignoreMe": EX + "x", "t": EX + "t"},
+               "@id": EX + "a", "t": "v", "@ignoreMe": "dropped"},
+    ),
+    dict(
+        name="graph-reverse-combined",
+        input={"@context": {"@vocab": EX,
+                            "claimedBy": {"@reverse": EX + "claims"}},
+               "@id": EX + "a",
+               "claimedBy": {"@id": EX + "b", "p": "v"}},
+    ),
     # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
     # Object.prototype properties in JS — the reference special-cases
     # them; in Python they are ordinary dict keys, but the OUTPUT must
