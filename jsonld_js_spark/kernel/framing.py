@@ -203,8 +203,10 @@ def _frame(state, subjects, frame, parent, property):  # noqa: C901
         # defaults (ref :268-295)
         for prop in sorted(frame.keys()):
             if prop == "@type":
-                if not isinstance(frame[prop][0], dict) or \
-                        "@default" not in frame[prop][0]:
+                # JS frame[prop][0] on [] is undefined → not an object
+                # (ref lib/frame.js:271-275)
+                first = frame[prop][0] if frame[prop] else None
+                if not isinstance(first, dict) or "@default" not in first:
                     continue
             elif is_keyword(prop):
                 continue

@@ -1839,6 +1839,73 @@ CASES += [
                "@id": EX + "a",
                "claimedBy": {"@id": EX + "b", "p": "v"}},
     ),
+    dict(
+        name="frame-embed-last-legacy",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@graph": [
+                   {"@id": EX + "a", "knows": [{"@id": EX + "c"}]},
+                   {"@id": EX + "b", "knows": [{"@id": EX + "c"}]},
+                   {"@id": EX + "c", "name": "shared"}]},
+        frame={"@context": {"@vocab": EX},
+               "@type": [], "knows": {}},
+        options={"processingMode": "json-ld-1.0", "embed": "@last"},
+    ),
+    dict(
+        name="frame-embed-boolean-legacy",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@graph": [
+                   {"@id": EX + "a", "knows": [{"@id": EX + "c"}]},
+                   {"@id": EX + "c", "name": "shared"}]},
+        frame={"@context": {"@vocab": EX}, "knows": {}},
+        options={"processingMode": "json-ld-1.0", "embed": False},
+    ),
+    dict(
+        name="frame-default-null",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a", "present": "v"},
+        frame={"@context": {"@vocab": EX},
+               "present": {}, "missing": {"@default": "@null"}},
+    ),
+    dict(
+        name="fromrdf-use-rdf-type",
+        op_override=["fromRDF"],
+        input=[{"subject": {"termType": "NamedNode", "value": EX + "a"},
+                "predicate": {"termType": "NamedNode",
+                              "value": "http://www.w3.org/1999/02/"
+                                       "22-rdf-syntax-ns#type"},
+                "object": {"termType": "NamedNode", "value": EX + "T"},
+                "graph": {"termType": "DefaultGraph", "value": ""}}],
+        options={"useRdfType": True},
+    ),
+    dict(
+        name="context-direction-language-map",
+        input={"@context": {"@vocab": EX, "@direction": "rtl",
+                            "lm": {"@id": EX + "lm",
+                                   "@container": ["@language", "@set"]}},
+               "@id": EX + "a",
+               "lm": {"ar": ["x", "y"], "@none": "z"}},
+    ),
+    dict(
+        name="compact-reverse-property",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "claimedBy": {"@reverse": EX + "claims"}},
+               "@id": EX + "a",
+               "claimedBy": [{"@id": EX + "b"}, {"@id": EX + "c"}]},
+        context={"@vocab": EX,
+                 "claimedBy": {"@reverse": EX + "claims"}},
+    ),
+    dict(
+        name="frame-included",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a", "name": "root",
+               "@included": [{"@id": EX + "x", "name": "inc"}]},
+        frame={"@context": {"@vocab": EX}, "@included": {}},
+    ),
     # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
     # Object.prototype properties in JS — the reference special-cases
     # them; in Python they are ordinary dict keys, but the OUTPUT must
