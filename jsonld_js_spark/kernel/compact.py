@@ -190,13 +190,10 @@ def compact(active_ctx, active_property, element, options=None):
             add_value(rval, alias, expanded_value)
             continue
 
-        # @graph on a node object (named graph contents)
-        if expanded_property == "@graph" and not is_graph(element):
-            compacted_value = compact(active_ctx, active_property,
-                                      expanded_value, options)
-            alias = compact_iri(active_ctx, "@graph", vocab=True)
-            add_value(rval, alias, compacted_value)
-            continue
+        # NOTE: '@graph' is NOT special-cased — it flows through the
+        # generic per-item loop (ref lib/compact.js:350-355 only skips
+        # keywords OTHER than @graph/@list/@included) and the final
+        # isArray rule keeps it an array always (ref :651-662)
 
         # empty array → preserve with property-as-array
         if isinstance(expanded_value, list) and len(expanded_value) == 0:
@@ -233,20 +230,21 @@ def compact(active_ctx, active_property, element, options=None):
             if is_list(expanded_item):
                 if not isinstance(compacted_item, list):
                     compacted_item = [compacted_item]
-                if "@list" not in container:
-                    alias = compact_iri(active_ctx, "@list", vocab=True)
-                    wrapped = {alias: compacted_item}
-                    if "@index" in expanded_item:
-                        idx_alias = compact_iri(active_ctx, "@index",
-                                                vocab=True)
-                        wrapped[idx_alias] = expanded_item["@index"]
-                    compacted_item = wrapped
-                    add_value(nest_result, item_active_property,
-                              compacted_item, property_is_array=True)
-                else:
+                if "@list" in container:
                     add_value(nest_result, item_active_property,
                               compacted_item, value_is_array=True)
-                continue
+                    continue
+                # wrap using @list alias and FALL THROUGH to the shared
+                # map/array logic (ref lib/compact.js:441-470: no
+                # continue — a wrapped list participates in container
+                # maps and in the singleton-unwrap rule)
+                alias = compact_iri(active_ctx, "@list", vocab=True)
+                wrapped = {alias: compacted_item}
+                if "@index" in expanded_item:
+                    idx_alias = compact_iri(active_ctx, "@index",
+                                            vocab=True)
+                    wrapped[idx_alias] = expanded_item["@index"]
+                compacted_item = wrapped
 
             if is_graph_item:
                 compacted_item = _compact_graph_item(
@@ -335,9 +333,14 @@ def compact(active_ctx, active_property, element, options=None):
                 add_value(map_object, map_key, compacted_item,
                           property_is_array=as_array)
             else:
+                # array iff: compactArrays off, @set/@list container,
+                # empty-array item, or the EXPANDED property is
+                # @list/@graph (ref lib/compact.js:651-662)
                 as_array = not compact_arrays or "@set" in container or \
                     "@list" in container or \
-                    item_active_property in ("@graph", "@list")
+                    (isinstance(compacted_item, list) and
+                     len(compacted_item) == 0) or \
+                    expanded_property in ("@list", "@graph")
                 add_value(nest_result, item_active_property, compacted_item,
                           property_is_array=as_array)
 
@@ -415,6 +418,11 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
     """IRI Compaction (ref lib/compact.js:688-957)."""
     if iri is None:
         return iri
+    if not isinstance(iri, str):
+        # GIGO parity: the reference's JS duck-typing passes a
+        # non-string "IRI" (e.g. the array @type of a malformed value
+        # object) through every branch unchanged (verified vs node)
+        return iri
     if is_keyword(iri):
         # keyword alias
         inverse = get_inverse_context(active_ctx)
@@ -434,6 +442,16 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                     not is_graph(value):
                 containers.append("@index")
                 containers.append("@index@set")
+            # ANY non-value, non-graph object — node objects AND list
+            # objects — is an @id/@type-map candidate, and these
+            # candidates precede the @list/@set ones
+            # (ref lib/compact.js:755-758)
+            if isinstance(value, dict) and not is_value(value) and \
+                    not is_graph(value):
+                containers.append("@id")
+                containers.append("@id@set")
+                containers.append("@type")
+                containers.append("@set@type")  # sorted join (ref :757)
             type_or_language = "@language"
             type_or_language_value = "@null"
 
@@ -487,7 +505,11 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                     else:
                         type_or_language_value = common_language
                 else:
-                    type_or_language_value = "@any"
+                    # an empty list matches any @list-container term
+                    # regardless of type/language (ref lib/compact.js:
+                    # 775-780: typeOrLanguage '@any', value '@none')
+                    type_or_language = "@any"
+                    type_or_language_value = "@none"
             elif isinstance(value, dict) and is_graph(value):
                 if "@index" in value:
                     containers.extend(["@graph@index", "@graph@index@set"])
@@ -516,12 +538,13 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                     type_or_language = "@type"
                     type_or_language_value = value["@type"]
             else:
+                # @id/@type-map candidates were already added above for
+                # object values; a bare IRI (value=None, e.g. a node's
+                # @type entry) gets just @set/@none here, so
+                # @type-container terms are NOT selected for it
+                # (ref lib/compact.js:843-847)
                 type_or_language = "@type"
                 type_or_language_value = "@id"
-                containers.append("@id")
-                containers.append("@id@set")
-                containers.append("@type")
-                containers.append("@set@type")  # sorted join (ref :757)
                 containers.append("@set")
             if not (isinstance(value, dict) and is_graph(value)) and \
                     not reverse and not (isinstance(value, dict) and

@@ -515,6 +515,15 @@ def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
                                   "invalid type mapping")
         mapping["@type"] = type_
 
+    # @type-container terms default their type mapping to @id and only
+    # allow @id/@vocab (ref lib/context.js:771-784)
+    if "@type" in mapping["@container"]:
+        mapping.setdefault("@type", "@id")
+        if mapping["@type"] not in ("@id", "@vocab"):
+            raise JsonLdError(
+                "container: @type requires @type to be @id or @vocab.",
+                "invalid type mapping")
+
 
 _MISS = object()
 

@@ -675,6 +675,16 @@ def _expand_index_map(active_ctx, active_property, value, index_key, as_graph,
         for item in expanded:
             if as_graph and not is_graph(item):
                 item = {"@graph": [item]}
+            # a value object cannot take a non-@language/@type/@index
+            # map key (ref lib/expand.js:1101-1107: raw indexKey — for
+            # property-indexed maps that is the custom term name)
+            raw_index_key = property_index_name if property_index is not None \
+                else index_key
+            if index_key != "@type" and is_value(item) and \
+                    raw_index_key not in ("@language", "@type", "@index"):
+                raise JsonLdError(
+                    "Attempt to add illegal key to value object: "
+                    f'"{raw_index_key}".', "invalid value object")
             if index_key == "@index":
                 if expanded_key != "@none":
                     if property_index is not None:

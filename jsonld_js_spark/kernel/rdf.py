@@ -24,7 +24,8 @@ from .util import (
     RDF_NIL, RDF_LANGSTRING, RDF_JSON_LITERAL, XSD_STRING, XSD_BOOLEAN,
     XSD_INTEGER, XSD_DOUBLE, canonical_double, canonical_integer,
     is_absolute_iri, is_blank_node_id, is_keyword, is_value, is_list,
-    is_double, is_integer_number, jcs_canonicalize, parse_json,
+    is_double, is_integer_number, jcs_canonicalize, js_parse_float,
+    parse_json,
 )
 
 I18N_NS = "https://www.w3.org/ns/i18n#"
@@ -131,7 +132,9 @@ def _object_to_rdf(item, dataset, graph_term, issuer, options):
             return ("true" if value else "false", "Literal",
                     datatype or XSD_BOOLEAN, None)
         if is_double(value) or datatype == XSD_DOUBLE:
-            return (canonical_double(float(value)), "Literal",
+            if not is_double(value):
+                value = js_parse_float(value)  # NaN on junk, like JS
+            return (canonical_double(value), "Literal",
                     datatype or XSD_DOUBLE, None)
         if is_integer_number(value):
             return (canonical_integer(value), "Literal",

@@ -239,30 +239,40 @@ def prepend_base(base, iri: str) -> str:
 
 def remove_base(base, iri: str) -> str:
     """Make `iri` relative to `base` where possible (ref lib/url.js:155-223).
-    Used only by compaction."""
+    Used only by compaction.
+
+    JS semantics preserved exactly: the base ROOT is always
+    `protocol + '//' + authority` for any non-empty base — so a
+    scheme-less base (e.g. the '/' that '@base: \"./\"' resolves to)
+    yields root '//', which a path-only IRI never starts with, and the
+    IRI is returned unrelativized. The keep-last-segment guard uses JS
+    truthiness on fragment/query ('' counts as absent)."""
     if base is None:
         return iri
     if isinstance(base, str):
         base_parsed = parse_iri(base)
     else:
         base_parsed = base
+    href_empty = not (base_parsed["scheme"] or
+                      base_parsed["authority"] is not None or
+                      base_parsed["path"] or
+                      base_parsed["query"] is not None or
+                      base_parsed["fragment"] is not None)
     root = ""
-    if base_parsed["scheme"]:
-        root += base_parsed["scheme"] + ":"
-    if base_parsed["authority"] is not None:
-        root += "//" + base_parsed["authority"]
+    if not href_empty:
+        root = ((base_parsed["scheme"] + ":") if base_parsed["scheme"]
+                else "") + "//" + (base_parsed["authority"] or "")
+    elif iri.find("//") != 0:
+        # support network-path reference with empty base
+        root = "//"
     if not iri.startswith(root):
         return iri
-    base_path = base_parsed["path"]
-    parsed = parse_iri(iri)
-    if parsed["scheme"] != base_parsed["scheme"] or \
-            parsed["authority"] != base_parsed["authority"]:
-        return iri
-    base_segs = base_path.split("/")
-    iri_segs = parsed["path"].split("/")
-    keep = 1 if parsed["fragment"] is not None or parsed["query"] is not None \
-        else 0
-    while base_segs and len(iri_segs) > keep:
+    rel = parse_iri(iri[len(root):])
+    base_segs = remove_dot_segments(base_parsed["path"]).split("/")
+    iri_segs = remove_dot_segments(rel["path"]).split("/")
+    # do not remove the last segment unless there is a hash or query
+    last = 0 if (rel["fragment"] or rel["query"]) else 1
+    while base_segs and len(iri_segs) > last:
         if base_segs[0] != iri_segs[0]:
             break
         base_segs.pop(0)
@@ -272,10 +282,10 @@ def remove_base(base, iri: str) -> str:
         base_segs.pop()  # last segment is the base document name
         rval += "../" * len(base_segs)
     rval += "/".join(iri_segs)
-    if parsed["query"] is not None:
-        rval += "?" + parsed["query"]
-    if parsed["fragment"] is not None:
-        rval += "#" + parsed["fragment"]
+    if rel["query"] is not None:
+        rval += "?" + rel["query"]
+    if rel["fragment"] is not None:
+        rval += "#" + rel["fragment"]
     if rval == "":
         rval = "./"
     return rval
@@ -398,15 +408,40 @@ def is_integer_number(v) -> bool:
     return abs(v) < 1e21
 
 
+def js_parse_float(value) -> float:
+    """JS parseFloat semantics: longest valid numeric prefix, NaN on
+    junk (ref lib/toRdf.js:238-240 falls back to parseFloat for
+    non-number @values with a double datatype)."""
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        return float(value)
+    if not isinstance(value, str):
+        return float("nan")
+    m = re.match(r"\s*[+-]?(Infinity|\d+\.?\d*(?:[eE][+-]?\d+)?"
+                 r"|\.\d+(?:[eE][+-]?\d+)?)", value)
+    if not m:
+        return float("nan")
+    text = m.group(0).strip()
+    if text.endswith("Infinity"):
+        return float("-inf") if text.startswith("-") else float("inf")
+    # trim a dangling exponent marker JS would ignore ('1e' → 1)
+    while text and text[-1] in "eE+-.":
+        text = text[:-1]
+    try:
+        return float(text)
+    except ValueError:
+        return float("nan")
+
+
 def canonical_double(value: float) -> str:
     """Canonical xsd:double lexical form, byte-identical to the reference's
     `value.toExponential(15).replace(/(\\d)0*e\\+?/, '$1E')`
     (ref lib/toRdf.js:237-243). e.g. 1.1 → '1.1E0', 1.0 → '1.0E0',
-    4e-7 → '4.0E-7', 123.45 → '1.2345E2'."""
+    4e-7 → '4.0E-7', 123.45 → '1.2345E2'. NaN/Infinity mirror JS
+    toExponential output, not XSD canonical INF."""
     if math.isnan(value):
         return "NaN"
     if math.isinf(value):
-        return "INF" if value > 0 else "-INF"
+        return "Infinity" if value > 0 else "-Infinity"
     if value == 0:
         value = 0.0  # JS toExponential drops the sign of -0
     s = f"{value:.15e}"  # e.g. '1.100000000000000e+00'

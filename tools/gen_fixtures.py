@@ -1906,6 +1906,96 @@ CASES += [
                "@included": [{"@id": EX + "x", "name": "inc"}]},
         frame={"@context": {"@vocab": EX}, "@included": {}},
     ),
+    # cases minimized from tools/difftest.py fuzz findings ------------
+    dict(
+        name="fuzz-graph-singleton-array",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "@graph": [{"p": "x"}]},
+        context={"@vocab": EX},
+    ),
+    dict(
+        name="fuzz-list-singleton-unwrap",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "p": [{"@list": [{"@value": 1}, {"@value": 2}]}],
+                EX + "q": [{"@list": []}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fuzz-empty-graph-preserved",
+        op_override=["compact"],
+        input=[{"@id": EX + "a", "@graph": [],
+                EX + "p": [{"@value": "v"}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fuzz-base-dot-slash-compact",
+        op_override=["expand", "compact"],
+        input={"@context": {"@base": "./", "@vocab": EX},
+               "@id": "relative-x", "p": "v"},
+        context={"@base": "./", "@vocab": EX},
+    ),
+    dict(
+        name="fuzz-type-container-defaults-id",
+        input={"@context": {"@base": "http://base.org/",
+                            "epsi": {"@id": EX + "epsi",
+                                     "@container": "@type"}},
+               "@id": "http://base.org/a", "epsi": "plain"},
+    ),
+    dict(
+        name="fuzz-type-container-bad-type-error",
+        op_override=["expand-error"],
+        input={"@context": {"zeta": {"@id": EX + "zeta",
+                                     "@container": "@type",
+                                     "@type": "@json"}},
+               "zeta": {"T": {"@id": EX + "x"}}},
+    ),
+    dict(
+        name="fuzz-type-container-term-not-selected-for-type",
+        op_override=["compact"],
+        input=[{"@id": EX + "a", "@type": [EX + "alpha"]}],
+        context={"alpha": {"@container": "@type", "@id": EX + "alpha"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fuzz-id-map-value-object-error",
+        op_override=["expand-error"],
+        input={"@context": {"delta": {"@id": EX + "delta",
+                                      "@container": "@id",
+                                      "@type": XSD + "double"}},
+               "@id": EX + "d",
+               "delta": {EX + "k": 42}},
+    ),
+    dict(
+        name="fuzz-double-datatype-string-value",
+        op_override=["toRDF"],
+        input=[{"@id": EX + "a",
+                EX + "p": [{"@value": "", "@type": XSD + "double"},
+                           {"@value": "junk", "@type": XSD + "double"},
+                           {"@value": "2.5", "@type": XSD + "double"}]}],
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fuzz-empty-list-selects-list-term",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "p": [{"@list": []}, {"@value": True}]}],
+        context={"plist": {"@id": EX + "p", "@container": "@list"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fuzz-list-into-id-map-none",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "p": [{"@value": 1}, {"@list": [{"@value": 2}]}]}],
+        context={"pid": {"@id": EX + "p", "@container": "@id",
+                         "@language": None}},
+        options={"skipExpansion": True},
+    ),
     # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
     # Object.prototype properties in JS — the reference special-cases
     # them; in Python they are ordinary dict keys, but the OUTPUT must

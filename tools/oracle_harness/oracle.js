@@ -1,6 +1,7 @@
 // Conformance oracle: runs the reference jsonld.js on a JSON request.
 // Usage: node oracle.js <request.json>   → writes JSON result to stdout
 // request: {op: expand|flatten|toRDF|compact|fromRDF|merge, input, context?, options?}
+// batch:   {op: "batch", requests: [request, ...]} → {ok, results: [...]}
 const util = require('/root/reference/lib/util.js');
 // The fork comments out rdf-canonize's IdentifierIssuer; restore the public contract.
 class IdentifierIssuer {
@@ -31,16 +32,15 @@ function termToJson(t) {
   return o;
 }
 
-async function main() {
-  const req = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+async function runOne(req) {
   const opts = Object.assign({documentLoader: async url => {
     if (req.documents && req.documents[url]) {
       return {contextUrl: null, documentUrl: url, document: req.documents[url]};
     }
     throw new Error('loading document failed: ' + url);
   }}, req.options || {});
-  let result;
   try {
+    let result;
     if (req.op === 'expandEvents') {
       // capture the expansionMap event stream (lib/jsonld.js:109-117);
       // events are normalized to JSON-safe records. NOTE the lone-
@@ -85,9 +85,22 @@ async function main() {
         object: termToJson(q.object), graph: termToJson(q.graph),
       }));
     } else throw new Error('bad op ' + req.op);
-    process.stdout.write(JSON.stringify({ok: true, result}));
+    return {ok: true, result};
   } catch (e) {
-    process.stdout.write(JSON.stringify({ok: false, error: e.message, code: (e.details && e.details.code) || e.code || null}));
+    return {ok: false, error: e.message, code: (e.details && e.details.code) || e.code || null};
+  }
+}
+
+async function main() {
+  const req = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+  if (req.op === 'batch') {
+    const results = [];
+    for (const sub of req.requests) {
+      results.push(await runOne(sub));
+    }
+    process.stdout.write(JSON.stringify({ok: true, results}));
+  } else {
+    process.stdout.write(JSON.stringify(await runOne(req)));
   }
 }
 main();
