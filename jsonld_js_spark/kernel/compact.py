@@ -17,7 +17,7 @@ from .context import (
 from .util import (
     JsonLdError, is_keyword, is_absolute_iri, add_value, is_value, is_list,
     is_graph, is_simple_graph, is_subject, is_subject_reference,
-    remove_base, parse_iri,
+    remove_base, parse_iri, prepend_base,
 )
 
 
@@ -390,8 +390,9 @@ def _compact_graph_item(active_ctx, nest_result, item_active_property,
                not compact_arrays else compacted_item[0]}
     if "@id" in expanded_item:
         id_alias = compact_iri(active_ctx, "@id", vocab=True)
-        wrapped[id_alias] = compact_iri(active_ctx, expanded_item["@id"],
-                                        base=options.get("base"))
+        # the graph's @id is copied RAW — no IRI compaction/
+        # relativization (ref lib/compact.js:529-536)
+        wrapped[id_alias] = expanded_item["@id"]
     if "@index" in expanded_item:
         idx_alias = compact_iri(active_ctx, "@index", vocab=True)
         wrapped[idx_alias] = expanded_item["@index"]
@@ -607,9 +608,21 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                 f"prefix {term}.", "IRI confused with prefix")
 
     if not vocab:
-        eff_base = base if base is not None else active_ctx.get("base_iri")
-        if eff_base:
-            return remove_base(parse_iri(eff_base), iri)
+        # compact relative to base (exact port of lib/compact.js
+        # :941-952): if any processed context SET @base, relativize
+        # against prependBase(options.base, ctx @base) — with
+        # @base:null preserving the IRI; otherwise against the
+        # API-level base option alone (default '' → effectively no
+        # relativization, see remove_base root rule). Under
+        # compactToRelative:false callers pass base=None with no ctx
+        # flag consulted... the ctx flag still applies per reference.
+        if active_ctx.get("_ctx_has_base"):
+            if not active_ctx.get("base_iri"):
+                return iri  # @base: null (JS falsy) keeps IRI absolute
+            return remove_base(
+                parse_iri(prepend_base(base or "",
+                                       active_ctx["base_iri"])), iri)
+        return remove_base(parse_iri(base or ""), iri)
     return iri
 
 

@@ -37,6 +37,11 @@ def initial_context(options: dict) -> dict:
         "mappings": {},
         "@base": parse_iri(base),
         "base_iri": base,
+        # True once any processed context explicitly sets @base —
+        # compaction's base-relative tail branches on it
+        # (ref compact.js:941-952 `'@base' in activeCtx`: the key only
+        # exists when a context set it)
+        "_ctx_has_base": False,
         "@vocab": None,
         "@language": None,
         "@direction": None,
@@ -157,6 +162,7 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
 
         # @base (ref lib/context.js:200-218): only honored on a root context
         if "@base" in ctx:
+            rval["_ctx_has_base"] = True
             base = ctx["@base"]
             if base is None:
                 rval["@base"] = None

@@ -239,11 +239,28 @@ def _frame(state, subjects, frame, parent, property):  # noqa: C901
         state["subjectStack"].pop()
 
 
+def _js_falsy(v) -> bool:
+    """JS truthiness for the cleanupNull array filter: false, 0, '',
+    null, NaN are dropped; empty dicts/lists are TRUTHY in JS."""
+    if v is None or v is False:
+        return True
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, (int, float)):
+        return v == 0 or v != v  # 0, -0, NaN
+    if isinstance(v, str):
+        return v == ""
+    return False
+
+
 def cleanup_null(input_, options):
-    """@null → null, removing from arrays (ref lib/frame.js:333-367)."""
+    """@null → null, removing from arrays (ref lib/frame.js:333-367).
+    QUIRK MIRRORED: the reference filters with `v => v` (:338), which
+    drops ALL JS-falsy values — false, 0, '' — from framed arrays, not
+    just nulls (verified against node)."""
     if isinstance(input_, list):
         return [v for v in (cleanup_null(i, options) for i in input_)
-                if v is not None]
+                if not _js_falsy(v)]
     if input_ == "@null":
         return None
     if isinstance(input_, dict):

@@ -52,12 +52,16 @@ def create_node_map(input_, graphs: dict, graph: str,
             list_["@list"].append(input_)
         return
 
-    if is_list(input_):
+    if list_ is not None and is_list(input_):
         result = {"@list": []}
         create_node_map(input_["@list"], graphs, graph, issuer, name, result)
-        if list_ is not None:
-            list_["@list"].append(result)
+        list_["@list"].append(result)
         return
+    # a bare list object OUTSIDE a list context falls through to the
+    # subject path (ref lib/nodeMap.js:77: the isList branch is gated
+    # on `list &&`): there isBlankNode() is false for it, so its name
+    # is JS `undefined` — it lands under the literal 'undefined' key
+    # with no @id in serialized output. Mirrored below.
 
     # node object ---------------------------------------------------------
     # relabel bnode @type values first (ref lib/nodeMap.js:87-94)
@@ -72,11 +76,18 @@ def create_node_map(input_, graphs: dict, graph: str,
 
     if name is None:
         name = input_.get("@id")
-        if name is None or is_blank_node_id(name):
+        if is_list(input_):
+            # JS-undefined name quirk (see gate above): keyed under
+            # 'undefined', node carries no @id
+            name = "undefined"
+        elif name is None or is_blank_node_id(name):
             name = issuer.get_id(name)
 
     subjects = graphs.setdefault(graph, {})
-    subject = subjects.setdefault(name, {"@id": name})
+    if name == "undefined" and is_list(input_):
+        subject = subjects.setdefault(name, {})
+    else:
+        subject = subjects.setdefault(name, {"@id": name})
 
     if list_ is not None:
         list_["@list"].append({"@id": name})
@@ -131,6 +142,11 @@ def create_node_map(input_, graphs: dict, graph: str,
         if is_blank_node_id(property_):
             prop_out = issuer.get_id(property_)
 
+        # ensure property is added for empty arrays (ref :176-180)
+        if isinstance(objects, list) and len(objects) == 0:
+            add_value(subject, prop_out, [], property_is_array=True)
+            continue
+
         if property_ == "@type":
             for type_ in (objects if isinstance(objects, list) else [objects]):
                 add_value(subject, "@type", type_, property_is_array=True,
@@ -143,12 +159,18 @@ def create_node_map(input_, graphs: dict, graph: str,
         for o in objects:
             if isinstance(o, dict) and not is_value(o) and not is_list(o):
                 # node or subject reference (ref lib/nodeMap.js:182-205)
+                if "@id" in o and not o["@id"]:
+                    continue  # skip null/empty @id (JS falsy, ref :190-192)
                 id_ = o.get("@id")
                 if id_ is None or is_blank_node_id(id_):
                     id_ = issuer.get_id(id_)
-                create_node_map(o, graphs, graph, issuer, id_)
+                # add the reference BEFORE recursing — a re-embedded
+                # subject's recursion may add more values to THIS
+                # subject's property, and insertion order is observable
+                # in flatten output (ref lib/nodeMap.js:197-201)
                 add_value(subject, prop_out, {"@id": id_},
                           property_is_array=True, allow_duplicate=False)
+                create_node_map(o, graphs, graph, issuer, id_)
             elif is_list(o):
                 result = {"@list": []}
                 create_node_map(o["@list"], graphs, graph, issuer, name,

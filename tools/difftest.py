@@ -164,8 +164,31 @@ def run_reference_batch(requests: list[dict]) -> list[dict]:
     return json.loads(out.stdout)["results"]
 
 
+def random_frame(seed: int, doc: dict) -> dict:
+    rng = random.Random(seed * 31 + 7)
+    ctx = doc.get("@context") or {}
+    frame: dict = {"@context": ctx}
+    terms = [k for k in ctx
+             if isinstance(k, str) and not k.startswith("@")]
+    r = rng.random()
+    if r < 0.35:
+        frame["@type"] = rng.choice(terms + [EX + "Type", "relType"]) \
+            if terms else EX + "Type"
+    elif r < 0.8 and terms:
+        frame[rng.choice(terms)] = {}
+    if rng.random() < 0.3:
+        frame["@explicit"] = rng.random() < 0.5
+    if rng.random() < 0.25:
+        frame["@requireAll"] = rng.random() < 0.5
+    if rng.random() < 0.25:
+        frame["@embed"] = rng.choice(["@once", "@always", "@never"])
+    return frame
+
+
 def run_mine(op: str, doc, context=None):
-    from jsonld_js_spark.kernel import JsonLdError, compact, expand, to_rdf
+    from jsonld_js_spark.kernel import (
+        JsonLdError, compact, expand, flatten, frame, to_rdf,
+    )
     try:
         if op == "expand":
             return {"ok": True, "result": expand(doc)}
@@ -173,6 +196,10 @@ def run_mine(op: str, doc, context=None):
             return {"ok": True, "result": to_rdf(doc)}
         if op == "compact":
             return {"ok": True, "result": compact(doc, context)}
+        if op == "flatten":
+            return {"ok": True, "result": flatten(doc, None)}
+        if op == "frame":
+            return {"ok": True, "result": frame(doc, context)}
         raise AssertionError(op)
     except JsonLdError as e:
         return {"ok": False, "code": e.code}
@@ -206,17 +233,20 @@ def main(n_docs: int, seed0: int) -> int:
     for start in range(0, n_docs, batch):
         seeds = list(range(seed0 + start, seed0 + min(start + batch, n_docs)))
         docs = [random_doc(s) for s in seeds]
+        frames = [random_frame(s, d) for s, d in zip(seeds, docs)]
         reqs = []
-        for d in docs:
+        for d, fr in zip(docs, frames):
             reqs.append({"op": "expand", "input": d, "options": {}})
             reqs.append({"op": "toRDF", "input": d, "options": {}})
             reqs.append({"op": "compact", "input": d,
                          "context": d.get("@context") or {},
                          "options": {}})
+            reqs.append({"op": "flatten", "input": d, "options": {}})
+            reqs.append({"op": "frame", "input": d, "frame": fr,
+                         "options": {}})
         refs = run_reference_batch(reqs)
         for i, (seed, doc) in enumerate(zip(seeds, docs)):
-            ref_ex, ref_rdf, ref_c = refs[3 * i], refs[3 * i + 1], \
-                refs[3 * i + 2]
+            ref_ex, ref_rdf, ref_c, ref_fl, ref_fr = refs[5 * i:5 * i + 5]
             mine_ex = run_mine("expand", doc)
             ok = True
             why = ""
@@ -257,6 +287,35 @@ def main(n_docs: int, seed0: int) -> int:
                         f"{json.dumps(ref_c['result'], sort_keys=True)[:1500]}"
                         f"\nmine="
                         f"{json.dumps(mine_c['result'], sort_keys=True)[:1500]}")
+            if ok:
+                mine_fl = run_mine("flatten", doc)
+                if ref_fl["ok"] != mine_fl["ok"]:
+                    ok, why = False, (
+                        f"flatten ok-mismatch ref={str(ref_fl)[:300]} "
+                        f"mine={str(mine_fl)[:300]}")
+                elif ref_fl["ok"] and ref_fl["result"] != mine_fl["result"]:
+                    ok, why = False, (
+                        f"flatten diff\nref ="
+                        f"{json.dumps(ref_fl['result'], sort_keys=True)[:1500]}"
+                        f"\nmine="
+                        f"{json.dumps(mine_fl['result'], sort_keys=True)[:1500]}")
+            # a reference INTERNAL crash (TypeError etc. → no JsonLdError
+            # code) is undefined behavior, not a contract to mirror
+            ref_internal_crash = (not ref_fr["ok"] and
+                                  ref_fr.get("code") is None)
+            if ok and not ref_internal_crash:
+                mine_fr = run_mine("frame", doc, frames[i])
+                if ref_fr["ok"] != mine_fr["ok"]:
+                    ok, why = False, (
+                        f"frame ok-mismatch ref={str(ref_fr)[:300]} "
+                        f"mine={str(mine_fr)[:300]}")
+                elif ref_fr["ok"] and ref_fr["result"] != mine_fr["result"]:
+                    ok, why = False, (
+                        f"frame={json.dumps(frames[i], sort_keys=True)[:300]}\n"
+                        f"frame diff\nref ="
+                        f"{json.dumps(ref_fr['result'], sort_keys=True)[:1500]}"
+                        f"\nmine="
+                        f"{json.dumps(mine_fr['result'], sort_keys=True)[:1500]}")
             if not ok:
                 mismatches += 1
                 print(f"== MISMATCH seed={seed}: {why}")
