@@ -322,13 +322,21 @@ class IdentifierIssuer:
 
 # --- JSON-LD value equality + set-semantics insert ---------------------------
 
+def _js_strict_eq(a, b) -> bool:
+    """JS === for scalars: false !== 0 and true !== 1, unlike Python's
+    bool/int equality."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    return a == b
+
+
 def compare_values(v1, v2) -> bool:
     """JSON-LD value equality (ref lib/util.js:385-409)."""
     if v1 is v2 or v1 == v2 and type(v1) is type(v2):
         if not isinstance(v1, dict):
             return True
     if is_value(v1) and is_value(v2) and \
-            v1.get("@value") == v2.get("@value") and \
+            _js_strict_eq(v1.get("@value"), v2.get("@value")) and \
             v1.get("@type") == v2.get("@type") and \
             v1.get("@language") == v2.get("@language") and \
             v1.get("@index") == v2.get("@index"):

@@ -1996,6 +1996,60 @@ CASES += [
                          "@language": None}},
         options={"skipExpansion": True},
     ),
+    dict(
+        name="fuzz-frame-drops-falsy-values",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "c",
+               "p": [False, 0, "", 1, "x", True]},
+        frame={"@context": {"@vocab": EX}},
+    ),
+    dict(
+        name="fuzz-flatten-reembed-order",
+        op_override=["flatten", "expand"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "p": {"@id": EX + "b",
+                     "back": {"@id": EX + "a", "p": "tail-value"}}},
+    ),
+    dict(
+        name="fuzz-flatten-empty-property",
+        op_override=["flatten"],
+        input=[{"@id": EX + "a", EX + "p": [], EX + "q": [{"@value": 1}]}],
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fuzz-graph-object-id-raw",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "g": [{"@id": "http://base.org/dir/sub",
+                            "@graph": [{"@id": EX + "n",
+                                        EX + "p": [{"@value": 1}]}]}]}],
+        context={"@base": "http://base.org/dir/"},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fuzz-ctx-base-relativizes-compact",
+        op_override=["compact"],
+        input=[{"@id": "http://base.org/dir/doc-x",
+                EX + "p": [{"@value": 1}]}],
+        context={"@base": "http://base.org/dir/other"},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fuzz-base-null-keeps-absolute",
+        op_override=["compact"],
+        input=[{"@id": "http://base.org/dir/doc-x",
+                EX + "p": [{"@value": 1}]}],
+        context=[{"@base": "http://base.org/dir/"}, {"@base": None}],
+        options={"skipExpansion": True},
+    ),
+    dict(
+        name="fuzz-bare-list-in-graph",
+        op_override=["expand", "flatten"],
+        input={"@context": {"g": {"@id": EX + "g",
+                                  "@container": ["@graph", "@index"]}},
+               "g": {"k0": {"@list": ["x", "y"]}}},
+    ),
     # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
     # Object.prototype properties in JS — the reference special-cases
     # them; in Python they are ordinary dict keys, but the OUTPUT must
