@@ -76,30 +76,35 @@ def compact(active_ctx, active_property, element, options=None):
     inside_reverse = active_property == "@reverse"
     rval = {}
 
-    # revert type-scoped context for new node objects
-    if active_ctx.get("previousContext") is not None:
-        if not is_value(element) and not is_subject_reference(element):
-            ctx = active_ctx
-            while ctx.get("previousContext") is not None:
-                ctx = ctx["previousContext"]
-            active_ctx = ctx
+    # original context BEFORE revert/property-scoped/type-scoped
+    # application (ref lib/compact.js:163-165 inputCtx): property- and
+    # type-scoped context LOOKUPS and @type-value compaction use it
+    input_ctx = active_ctx
 
-    # property-scoped context
-    property_scoped_ctx = get_context_value(active_ctx, active_property,
+    # revert type-scoped context for new node objects — SINGLE step
+    # (ref :167-169 + context.js:1391-1396 revertToPreviousContext)
+    if not is_value(element) and not is_subject_reference(element):
+        prev = active_ctx.get("previousContext")
+        if prev is not None:
+            active_ctx = prev
+
+    # property-scoped context, looked up on input_ctx (ref :172-182)
+    property_scoped_ctx = get_context_value(input_ctx, active_property,
                                             "@context")
     if property_scoped_ctx is not None:
         active_ctx = process_context(active_ctx, property_scoped_ctx,
                                      options, override_protected=True)
 
-    # type-scoped contexts, applied for sorted compacted types
+    # type-scoped contexts: type IRIs compacted against the CURRENT ctx
+    # prior to overlay, scoped-context values looked up on input_ctx
+    # (ref :195-217)
     if "@type" in element:
         types = element["@type"]
         types = types if isinstance(types, list) else [types]
-        compacted_types = sorted(
-            compact_iri(active_ctx, t, vocab=True) for t in types
-            if isinstance(t, str))
-        for ctype in compacted_types:
-            ctx = get_context_value(active_ctx, ctype, "@context")
+        type_context = active_ctx
+        for t in sorted(t for t in types if isinstance(t, str)):
+            ctype = compact_iri(type_context, t, vocab=True)
+            ctx = get_context_value(input_ctx, ctype, "@context")
             if ctx is not None:
                 active_ctx = process_context(active_ctx, ctx, options,
                                              propagate=False)
@@ -124,11 +129,13 @@ def compact(active_ctx, active_property, element, options=None):
             continue
 
         if expanded_property == "@type":
+            # type values resolve against the ORIGINAL (pre-scoped)
+            # context (ref lib/compact.js:246-253 uses inputCtx)
             if isinstance(expanded_value, str):
-                compacted_value = compact_iri(active_ctx, expanded_value,
+                compacted_value = compact_iri(input_ctx, expanded_value,
                                               vocab=True)
             else:
-                compacted_value = [compact_iri(active_ctx, t, vocab=True)
+                compacted_value = [compact_iri(input_ctx, t, vocab=True)
                                    for t in expanded_value]
                 if len(compacted_value) == 1 and compact_arrays:
                     container = get_context_value(active_ctx, "@type",

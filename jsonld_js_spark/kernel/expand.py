@@ -34,13 +34,13 @@ def _emap(options, info):
 
 
 def _get_type_scoped_context(active_ctx, options):
-    """Context for expanding @type values: the type-scoped context chain is
-    reverted to the last non-propagated state (ref lib/expand.js:174-220 +
-    spec 'revertTypeScopedContext'). We track it via previousContext."""
-    ctx = active_ctx
-    while ctx.get("previousContext") is not None:
-        ctx = ctx["previousContext"]
-    return ctx
+    """Revert a type-scoped context — SINGLE step, like the reference's
+    revertToPreviousContext (ref lib/expand.js:196-199 +
+    lib/context.js:1391-1396), not a walk to the chain root: with
+    @propagate:false contexts stacked under type-scoped ones the outer
+    terms must survive one revert."""
+    prev = active_ctx.get("previousContext")
+    return prev if prev is not None else active_ctx
 
 
 def expand(active_ctx, element, active_property=None, options=None,
@@ -452,7 +452,10 @@ def _expand_object(active_ctx, active_property, element, rval, options,
             expanded_value = _expand_index_map(term_ctx, key, value, "@id",
                                                as_graph, options)
         elif "@type" in container and isinstance(value, dict):
-            expanded_value = _expand_index_map(term_ctx, key, value, "@type",
+            # @type containers revert the type-scoped context before
+            # expanding the map (ref lib/expand.js:768-779)
+            reverted = term_ctx.get("previousContext") or term_ctx
+            expanded_value = _expand_index_map(reverted, key, value, "@type",
                                                False, options)
         elif expanded_property in ("@list", "@set"):
             # recurse into the @list/@set keyword with the OUTER active

@@ -74,6 +74,17 @@ def random_context(rng: random.Random) -> dict:
     if rng.random() < 0.2:
         ctx["nested"] = {"@id": EX + "nested",
                          "@context": {"inner": EX + "inner"}}
+    if rng.random() < 0.2:
+        # TYPE-scoped context: applies when a node has @type TypedThing
+        ctx["TypedThing"] = {
+            "@id": EX + "TypedThing",
+            "@context": {"scoped": EX + "scoped",
+                         "alpha": EX + "scoped-alpha"}}
+    if rng.random() < 0.15:
+        ctx["meta"] = "@nest"
+        ctx["nest_t"] = {"@id": EX + "nest_t", "@nest": "meta"}
+    if rng.random() < 0.1:
+        ctx["@propagate"] = rng.random() < 0.5
     return ctx
 
 
@@ -124,8 +135,10 @@ def random_node(rng, depth) -> dict:
     elif r < 0.65:
         node["@id"] = rng.choice(["relative-x", "_:bn" + str(rng.randint(0, 2))])
     if rng.random() < 0.4:
-        t = rng.choice(["alpha", EX + "Type", "relType"])
+        t = rng.choice(["alpha", EX + "Type", "relType", "TypedThing"])
         node["@type"] = [t, EX + "T2"] if rng.random() < 0.3 else t
+    if rng.random() < 0.12:
+        node["meta"] = {"nest_t": "nested-v", "scoped": "sv"}
     for name in rng.sample(TERM_NAMES, rng.randint(1, 4)):
         if name in ("id", "type"):
             continue

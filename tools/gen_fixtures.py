@@ -2050,6 +2050,29 @@ CASES += [
                                   "@container": ["@graph", "@index"]}},
                "g": {"k0": {"@list": ["x", "y"]}}},
     ),
+    dict(
+        name="fuzz-propagate-false-type-compact",
+        op_override=["expand", "compact"],
+        input={"@context": {"@propagate": False, "@vocab": EX,
+                            "TypedThing": {
+                                "@id": EX + "TypedThing",
+                                "@context": {"scoped": EX + "scoped"}}},
+               "@id": EX + "a", "@type": "TypedThing", "scoped": "v"},
+        context={"@propagate": False, "@vocab": EX,
+                 "TypedThing": {
+                     "@id": EX + "TypedThing",
+                     "@context": {"scoped": EX + "scoped"}}},
+    ),
+    dict(
+        name="fuzz-type-map-reverts-scoped-ctx",
+        input={"@context": {"@propagate": False, "@vocab": EX,
+                            "beta": {"@id": EX + "beta"},
+                            "delta": {"@id": EX + "delta",
+                                      "@container": "@type"}},
+               "@id": EX + "d",
+               "delta": {"@none": {"@id": EX + "c",
+                                   "beta": "dropped-after-revert"}}},
+    ),
     # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
     # Object.prototype properties in JS — the reference special-cases
     # them; in Python they are ordinary dict keys, but the OUTPUT must
