@@ -118,15 +118,30 @@ def expand(active_ctx, element, active_property=None, options=None,
 
     # revert type-scoped context when starting a new node object —
     # but NOT inside an index-map entry, whose key may carry a
-    # type-scoped context (ref lib/expand.js:174-199 mustRevert =
-    # !insideIndex)
-    if not inside_index and active_ctx.get("previousContext") is not None:
-        keys = [k for k in element
-                if expand_iri(active_ctx, k, vocab=True,
-                              options=options) in ("@value", "@id")]
-        must_revert = not (len(keys) == len(element) and len(keys) > 0)
-        if must_revert and "@context" not in element:
-            active_ctx = _get_type_scoped_context(active_ctx, options)
+    # type-scoped context. EXACT port of ref lib/expand.js:174-199:
+    # the value/subject-reference probe only runs for elements with
+    # <= 2 keys and no @context (and its expandIri events against the
+    # type-scoped ctx are part of the observable callback stream)
+    must_revert = not inside_index
+    ts_ctx = type_scoped_context or (
+        active_ctx if active_ctx.get("previousContext") is not None
+        else None)
+    keys_sorted = sorted(element.keys())
+    if must_revert and ts_ctx is not None and len(keys_sorted) <= 2 and \
+            "@context" not in keys_sorted:
+        for key in keys_sorted:
+            expanded_prop = expand_iri(ts_ctx, key, vocab=True,
+                                       options=options)
+            if expanded_prop == "@value":
+                # value found: use the type-scoped ctx to expand it
+                must_revert = False
+                active_ctx = ts_ctx
+                break
+            if expanded_prop == "@id" and len(keys_sorted) == 1:
+                must_revert = False  # subject reference: do not revert
+                break
+    if must_revert:
+        active_ctx = _get_type_scoped_context(active_ctx, options)
 
     if has_property_scoped_ctx:
         active_ctx = process_context(
@@ -660,58 +675,69 @@ def _expand_language_map(active_ctx, language_map, direction, options):
 def _expand_index_map(active_ctx, active_property, value, index_key, as_graph,
                       options, property_index=None,
                       property_index_name="@index"):
-    """@container:@index/@id/@type maps (ref lib/expand.js:1033-1125)."""
+    """@container:@index/@id/@type maps — exact port of
+    ref lib/expand.js:1033-1125. Ordering is observable through the
+    expansionMap stream: items are expanded BEFORE the key; only @type
+    maps apply key-scoped contexts, and those PERSIST for subsequent
+    keys (the reference reassigns activeCtx in the loop)."""
     rval = []
+    is_type_index = index_key == "@type"
     for key in sorted(value.keys()):
-        ctx = None
-        if index_key in ("@id", "@type"):
+        if is_type_index:
             ctx = get_context_value(active_ctx, key, "@context")
-        item_ctx = active_ctx
-        if ctx is not None:
-            item_ctx = process_context(active_ctx, ctx, options,
-                                       propagate=False)
-        expanded_key = expand_iri(item_ctx, key, vocab=True, options=options)
+            if ctx is not None:
+                active_ctx = process_context(active_ctx, ctx, options,
+                                             propagate=False)
+
         items = value[key]
         items = items if isinstance(items, list) else [items]
-        expanded = expand(item_ctx, items, active_property, options,
+        expanded = expand(active_ctx, items, active_property, options,
                           inside_list=False, inside_index=True)
+
+        # expand the key AFTER the items (ref :1057-1078); for
+        # property-indexed maps the key expands as a VALUE of the named
+        # index property
+        if property_index is not None:
+            if key == "@none":
+                expanded_key = "@none"
+            else:
+                expanded_key = _expand_value(active_ctx,
+                                             property_index_name, key,
+                                             options)
+        else:
+            expanded_key = expand_iri(active_ctx, key, vocab=True,
+                                      options=options)
+
+        out_key = key
+        if index_key == "@id":
+            # expand document relative (ref :1081-1084)
+            out_key = expand_iri(active_ctx, key, base=True,
+                                 options=options)
+        elif is_type_index:
+            out_key = expanded_key
+
+        raw_index_key = property_index_name if property_index is not None \
+            else index_key
         for item in expanded:
             if as_graph and not is_graph(item):
                 item = {"@graph": [item]}
-            # a value object cannot take a non-@language/@type/@index
-            # map key (ref lib/expand.js:1101-1107: raw indexKey — for
-            # property-indexed maps that is the custom term name)
-            raw_index_key = property_index_name if property_index is not None \
-                else index_key
-            if index_key != "@type" and is_value(item) and \
-                    raw_index_key not in ("@language", "@type", "@index"):
-                raise JsonLdError(
-                    "Attempt to add illegal key to value object: "
-                    f'"{raw_index_key}".', "invalid value object")
-            if index_key == "@index":
-                if expanded_key != "@none":
-                    if property_index is not None:
-                        # the key expands as a VALUE of the named index
-                        # property, not of the @index keyword
-                        # (ref lib/expand.js:1073-1077 passes indexKey)
-                        index_value = _expand_value(
-                            active_ctx, property_index_name, key, options)
-                        add_value(item, property_index, index_value,
-                                  property_is_array=True, prepend=True)
-                        if is_value(item) and len(item) > 2:
-                            raise JsonLdError(
-                                "invalid value object with property-index.",
-                                "invalid value object")
-                    elif "@index" not in item:
-                        item["@index"] = key
-            elif index_key == "@id":
-                if expanded_key != "@none" and "@id" not in item:
-                    item["@id"] = expand_iri(active_ctx, key, base=True,
-                                             options=options)
-            elif index_key == "@type":
+            if is_type_index:
                 if expanded_key != "@none":
                     types = item.get("@type", [])
                     types = types if isinstance(types, list) else [types]
-                    item["@type"] = [expanded_key] + types
+                    item["@type"] = [out_key] + types
+            elif is_value(item) and \
+                    raw_index_key not in ("@language", "@type", "@index"):
+                # value objects cannot take non-@language/@type/@index
+                # map keys (ref :1101-1107, raw indexKey)
+                raise JsonLdError(
+                    "Attempt to add illegal key to value object: "
+                    f'"{raw_index_key}".', "invalid value object")
+            elif property_index is not None:
+                if expanded_key != "@none":
+                    add_value(item, property_index, expanded_key,
+                              property_is_array=True, prepend=True)
+            elif expanded_key != "@none" and index_key not in item:
+                item[index_key] = out_key
             rval.append(item)
     return rval

@@ -202,7 +202,14 @@ def run_mine(op: str, doc, context=None):
     from jsonld_js_spark.kernel import (
         JsonLdError, compact, expand, flatten, frame, to_rdf,
     )
+    from jsonld_js_spark.testing import event_logging_map
     try:
+        if op == "expandEvents":
+            events = []
+            expanded = expand(doc, {"expansionMap":
+                                    event_logging_map(events)})
+            return {"ok": True,
+                    "result": {"expanded": expanded, "events": events}}
         if op == "expand":
             return {"ok": True, "result": expand(doc)}
         if op == "toRDF":
@@ -329,6 +336,19 @@ def main(n_docs: int, seed0: int) -> int:
                         f"{json.dumps(ref_fr['result'], sort_keys=True)[:1500]}"
                         f"\nmine="
                         f"{json.dumps(mine_fr['result'], sort_keys=True)[:1500]}")
+            # expansionMap event-stream parity (exact sequence)
+            if ok and ref_ex["ok"] and os.environ.get("DIFFTEST_EVENTS"):
+                ev_ref = run_reference_batch([{
+                    "op": "expandEvents", "input": doc, "options": {}}])[0]
+                ev_mine = run_mine("expandEvents", doc)
+                if ev_ref["ok"] and ev_mine["ok"] and \
+                        ev_ref["result"]["events"] != \
+                        ev_mine["result"]["events"]:
+                    ok, why = False, (
+                        f"event-stream diff\nref ="
+                        f"{json.dumps(ev_ref['result']['events'])[:1200]}"
+                        f"\nmine="
+                        f"{json.dumps(ev_mine['result']['events'])[:1200]}")
             if not ok:
                 mismatches += 1
                 print(f"== MISMATCH seed={seed}: {why}")
