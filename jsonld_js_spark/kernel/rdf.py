@@ -404,8 +404,36 @@ _DOUBLE_RE = re.compile(
     r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([Ee][+-]?[0-9]+)?$")
 
 
+def _js_is_numeric(v) -> bool:
+    """JS types.isNumeric: !isNaN(parseFloat(v)) && isFinite(v) — the
+    WHOLE string must be a finite number AND have a numeric prefix."""
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, (int, float)):
+        return v == v and v not in (float("inf"), float("-inf"))
+    if not isinstance(v, str):
+        return False
+    pf = js_parse_float(v)
+    if pf != pf or pf in (float("inf"), float("-inf")):
+        return False
+    s = v.strip()
+    if s == "":
+        return False
+    try:
+        n = float(s)
+    except ValueError:
+        return False
+    return n == n and n not in (float("inf"), float("-inf"))
+
+
 def _rdf_to_object(quad, use_native_types: bool, rdf_direction):
-    """Literal/term → JSON-LD value object (ref lib/fromRdf.js:281-347)."""
+    """Literal/term → JSON-LD value object — exact port of
+    ref lib/fromRdf.js:281-347. Notables: JSON literals parse (and
+    bogus ones raise) UNCONDITIONALLY; under useNativeTypes the four
+    xsd core types never emit @type, even when conversion fails
+    (unconvertible 'true'/'42'-style strings stay strings, untyped);
+    integers convert only when parseInt round-trips exactly; the i18n
+    direction split only applies when useNativeTypes is off."""
     _, _, obj_value, obj_termtype, obj_datatype, obj_language, _ = quad
     if obj_termtype in ("NamedNode", "BlankNode"):
         return {"@id": obj_value}
@@ -414,6 +442,37 @@ def _rdf_to_object(quad, use_native_types: bool, rdf_direction):
         rval["@language"] = obj_language
         return rval
     datatype = obj_datatype or XSD_STRING
+    if datatype == RDF_JSON_LITERAL:
+        datatype = "@json"
+        try:
+            rval["@value"] = parse_json(obj_value)
+        except Exception as e:
+            # ref lib/fromRdf.js:298-307
+            raise JsonLdError("JSON literal could not be parsed.",
+                              "invalid JSON literal") from e
+    if use_native_types:
+        v = rval["@value"]
+        if datatype == XSD_BOOLEAN:
+            if v == "true":
+                rval["@value"] = True
+            elif v == "false":
+                rval["@value"] = False
+        elif _js_is_numeric(v):
+            if datatype == XSD_INTEGER and isinstance(v, str):
+                m = re.match(r"\s*[+-]?\d+", v)
+                if m:
+                    i = int(m.group(0))
+                    # parseInt(v,10).toFixed(0) === v; >2^53 ints lose
+                    # precision in JS and never round-trip
+                    if abs(i) < 2 ** 53 and str(i) == v:
+                        rval["@value"] = i
+            elif datatype == XSD_DOUBLE and isinstance(v, str):
+                rval["@value"] = js_parse_float(v)
+        # do not add native type for the xsd core four
+        if datatype not in (XSD_BOOLEAN, XSD_INTEGER, XSD_DOUBLE,
+                            XSD_STRING):
+            rval["@type"] = datatype
+        return rval
     if rdf_direction == "i18n-datatype" and datatype.startswith(I18N_NS):
         lang_dir = datatype[len(I18N_NS):]
         lang, _, direction = lang_dir.partition("_")
@@ -422,30 +481,7 @@ def _rdf_to_object(quad, use_native_types: bool, rdf_direction):
         if direction:
             rval["@direction"] = direction
         return rval
-    if use_native_types:
-        if datatype == XSD_BOOLEAN:
-            if obj_value == "true":
-                rval["@value"] = True
-                return rval
-            if obj_value == "false":
-                rval["@value"] = False
-                return rval
-        elif datatype == XSD_INTEGER and _INTEGER_RE.match(obj_value):
-            rval["@value"] = int(obj_value)
-            return rval
-        elif datatype == XSD_DOUBLE and _DOUBLE_RE.match(obj_value):
-            rval["@value"] = float(obj_value)
-            return rval
-        if datatype != XSD_STRING:
-            rval["@type"] = datatype
-        return rval
-    if datatype == RDF_JSON_LITERAL:
-        try:
-            rval["@value"] = parse_json(obj_value)
-        except Exception as e:
-            # ref lib/fromRdf.js:302-306
-            raise JsonLdError("Invalid JSON literal.",
-                              "invalid JSON literal") from e
+    if datatype == "@json":
         rval["@type"] = "@json"
         return rval
     if datatype != XSD_STRING:

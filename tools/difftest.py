@@ -166,6 +166,161 @@ def random_doc(seed: int) -> dict:
 
 # ---------------------------------------------------------------------------
 
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD_TYPES = ["string", "integer", "double", "boolean", "dateTime"]
+
+
+def random_quads(seed: int):
+    """Random RDF dataset exercising fromRDF: typed/lang literals,
+    JSON literals, rdf:type edges, well-formed and CORRUPTED
+    rdf:first/rest list chains, shared references, named graphs.
+    Returns (reference-JSON quads, kernel tuples, options)."""
+    rng = random.Random(seed * 7 + 3)
+    quads = []
+
+    def iri(n):
+        return EX + n
+
+    def lit(rng):
+        r = rng.random()
+        if r < 0.3:
+            return (rng.choice(["v", "", "true", "42", "junk"]),
+                    XSD + rng.choice(XSD_TYPES), None)
+        if r < 0.45:
+            return (str(rng.randint(-5, 5)), XSD + "integer", None)
+        if r < 0.55:
+            return (rng.choice(["2.5E0", "NaN", "abc"]), XSD + "double",
+                    None)
+        if r < 0.65:
+            return (rng.choice(["true", "false", "yes"]), XSD + "boolean",
+                    None)
+        if r < 0.75:
+            return ("hello", RDF_NS + "langString",
+                    rng.choice(["en", "DE-de"]))
+        if r < 0.85:
+            return (rng.choice(['{"a":1}', '[1,2]', 'bogus']),
+                    RDF_NS + "JSON", None)
+        return ("plain", XSD + "string", None)
+
+    def obj(rng):
+        r = rng.random()
+        if r < 0.35:
+            return ("NamedNode", iri(rng.choice("abcd")), None, None)
+        if r < 0.5:
+            return ("BlankNode", "_:b" + str(rng.randint(0, 4)), None, None)
+        value, dt, lang = lit(rng)
+        return ("Literal", value, dt, lang)
+
+    graphs = ["", iri("g1"), "_:bg"]
+    n = rng.randint(3, 10)
+    for _ in range(n):
+        g = rng.choice(graphs) if rng.random() < 0.3 else ""
+        s = rng.choice([iri(rng.choice("abcd")),
+                        "_:b" + str(rng.randint(0, 4))])
+        if rng.random() < 0.2:
+            p, (tt, v, dt, lang) = RDF_NS + "type", (
+                "NamedNode", iri(rng.choice(["T", "U"])), None, None)
+        else:
+            p = iri("p" + str(rng.randint(0, 3)))
+            tt, v, dt, lang = obj(rng)
+        quads.append((s, p, v, tt, dt, lang, g))
+
+    # list chain, possibly corrupted
+    if rng.random() < 0.8:
+        cells = ["_:l" + str(i) for i in range(rng.randint(1, 4))]
+        g = ""
+        quads.append((iri("a"), iri("plist"), cells[0], "BlankNode",
+                      None, None, g))
+        for i, c in enumerate(cells):
+            first_tt, first_v, first_dt, first_lang = obj(rng) \
+                if rng.random() < 0.4 else (
+                    "Literal", str(i), XSD + "integer", None)
+            quads.append((c, RDF_NS + "first", first_v, first_tt,
+                          first_dt, first_lang, g))
+            rest = cells[i + 1] if i + 1 < len(cells) else RDF_NS + "nil"
+            quads.append((c, RDF_NS + "rest", rest,
+                          "BlankNode" if rest.startswith("_:")
+                          else "NamedNode", None, None, g))
+        r = rng.random()
+        if r < 0.25:
+            # corrupt: extra reference into the middle of the chain
+            quads.append((iri("b"), iri("pref"), cells[-1], "BlankNode",
+                          None, None, g))
+        elif r < 0.4 and len(cells) > 1:
+            # corrupt: duplicate rdf:first on a cell
+            quads.append((cells[0], RDF_NS + "first", "dup", "Literal",
+                          XSD + "string", None, g))
+
+    seen = set()
+    deduped = []
+    for q in quads:
+        if q not in seen:
+            seen.add(q)
+            deduped.append(q)
+
+    def term(tt, v, dt=None, lang=None):
+        t = {"termType": tt, "value": v}
+        if tt == "Literal":
+            t["datatype"] = {"termType": "NamedNode",
+                             "value": dt or XSD + "string"}
+            if lang:
+                t["language"] = lang
+        return t
+
+    ref_quads = []
+    for s, p, v, tt, dt, lang, g in deduped:
+        ref_quads.append({
+            "subject": term("BlankNode" if s.startswith("_:")
+                            else "NamedNode", s),
+            "predicate": term("NamedNode", p),
+            "object": term(tt, v, dt, lang),
+            "graph": ({"termType": "DefaultGraph", "value": ""} if g == ""
+                      else term("BlankNode" if g.startswith("_:")
+                                else "NamedNode", g)),
+        })
+    opts = {}
+    if rng.random() < 0.5:
+        opts["useNativeTypes"] = True
+    if rng.random() < 0.2:
+        opts["useRdfType"] = True
+    return ref_quads, deduped, opts
+
+
+def run_fromrdf_sweep(n_docs: int, seed0: int) -> int:
+    from jsonld_js_spark.kernel import JsonLdError, from_rdf
+    mismatches = 0
+    batch = 50
+    for start in range(0, n_docs, batch):
+        seeds = list(range(seed0 + start, seed0 + min(start + batch, n_docs)))
+        cases = [random_quads(s) for s in seeds]
+        refs = run_reference_batch([
+            {"op": "fromRDF", "input": rq, "options": opts}
+            for rq, _, opts in cases])
+        for seed, (rq, tuples, opts), ref in zip(seeds, cases, refs):
+            try:
+                mine = {"ok": True, "result": from_rdf(tuples, dict(opts))}
+            except JsonLdError as e:
+                mine = {"ok": False, "code": e.code}
+            if ref["ok"] != mine["ok"]:
+                if not ref["ok"] and ref.get("code") is None:
+                    continue  # reference internal crash — undefined
+                mismatches += 1
+                print(f"== FROMRDF MISMATCH seed={seed}: ok "
+                      f"ref={str(ref)[:300]} mine={str(mine)[:300]}")
+            elif ref["ok"] and ref["result"] != mine["result"]:
+                mismatches += 1
+                print(f"== FROMRDF MISMATCH seed={seed}:\nref ="
+                      f"{json.dumps(ref['result'], sort_keys=True)[:1200]}"
+                      f"\nmine="
+                      f"{json.dumps(mine['result'], sort_keys=True)[:1200]}")
+                print("   quads:", json.dumps(tuples)[:1200])
+        print(f"  [{min(start + batch, n_docs)}/{n_docs}] "
+              f"fromRDF mismatches={mismatches}")
+    print("DIFFTEST-FROMRDF", "FAIL" if mismatches else "OK",
+          f"cases={n_docs} mismatches={mismatches}")
+    return 1 if mismatches else 0
+
+
 def run_reference_batch(requests: list[dict]) -> list[dict]:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
@@ -361,6 +516,9 @@ def main(n_docs: int, seed0: int) -> int:
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    args = [a for a in sys.argv[1:] if a != "--fromrdf"]
+    n = int(args[0]) if args else 200
+    s0 = int(args[1]) if len(args) > 1 else 0
+    if "--fromrdf" in sys.argv:
+        sys.exit(run_fromrdf_sweep(n, s0))
     sys.exit(main(n, s0))

@@ -2073,6 +2073,36 @@ CASES += [
                "delta": {"@none": {"@id": EX + "c",
                                    "beta": "dropped-after-revert"}}},
     ),
+    dict(
+        name="fuzz-fromrdf-native-types",
+        op_override=["fromRDF"],
+        input=[
+            {"subject": {"termType": "NamedNode", "value": EX + "a"},
+             "predicate": {"termType": "NamedNode", "value": EX + "p"},
+             "object": {"termType": "Literal", "value": v,
+                        "datatype": {"termType": "NamedNode",
+                                     "value": XSD + dt}},
+             "graph": {"termType": "DefaultGraph", "value": ""}}
+            for v, dt in [("true", "boolean"), ("yes", "boolean"),
+                          ("42", "boolean"), ("7", "integer"),
+                          ("007", "integer"), ("5.0", "integer"),
+                          ("junk", "integer"), ("2.5", "double"),
+                          ("abc", "double"), ("x", "dateTime")]],
+        options={"useNativeTypes": True},
+    ),
+    dict(
+        name="fuzz-fromrdf-json-literal-always-parsed",
+        op_override=["fromRDF"],
+        input=[
+            {"subject": {"termType": "NamedNode", "value": EX + "a"},
+             "predicate": {"termType": "NamedNode", "value": EX + "p"},
+             "object": {"termType": "Literal", "value": "[1,2]",
+                        "datatype": {"termType": "NamedNode",
+                                     "value": "http://www.w3.org/1999/02/"
+                                              "22-rdf-syntax-ns#JSON"}},
+             "graph": {"termType": "DefaultGraph", "value": ""}}],
+        options={},
+    ),
     # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
     # Object.prototype properties in JS — the reference special-cases
     # them; in Python they are ordinary dict keys, but the OUTPUT must
