@@ -235,3 +235,111 @@ ORACLES = {
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
 }
+
+
+# ---------------------------------------------------------------------------
+# fixed-token chunking — the pre-tokenization pass of a training/RAG
+# pipeline: every document explodes into overlapping CHUNK_TOKENS-token
+# windows at CHUNK_STRIDE. Narrow plan (no shuffle): one scan, one
+# split, one explode — at 100 TB this is scan-bandwidth-bound and
+# embarrassingly partition-parallel; the orderBy exists only for the
+# deterministic driver gate.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def q_text_chunks(spark, sf_dir):
+    """Overlapping fixed-token chunks per document: (doc_id, chunk_idx,
+    n_chunk_tokens, chunk_hash). Chunk boundaries are token offsets
+    0, STRIDE, 2·STRIDE… < n_tokens; the final window clamps."""
+    d = _docs(spark, sf_dir)
+    norm = _norm(F.col("text"))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    n_chunks = (F.floor((n - 1) / CHUNK_STRIDE) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * CHUNK_STRIDE + 1,
+                                     CHUNK_TOKENS)).alias("chunk_text")))
+    return (d.select("doc_id", F.explode(chunks).alias("c"))
+            .select("doc_id",
+                    F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.size(F.split(F.col("c.chunk_text"), " "))
+                    .alias("n_chunk_tokens"),
+                    hash60(F.col("c.chunk_text")).alias("chunk_hash"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+ORACLE_TEXT_CHUNKS = f"""
+WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, cast(floor((len(toks)-1) / {CHUNK_STRIDE})
+                              as bigint) + 1)) AS i
+  FROM d
+),
+c AS (
+  SELECT doc_id, cast(i as int) AS chunk_idx,
+         array_to_string(list_slice(toks, cast(i*{CHUNK_STRIDE}+1 as bigint),
+                                    cast(i*{CHUNK_STRIDE}+{CHUNK_TOKENS}
+                                         as bigint)), ' ') AS chunk_text
+  FROM idx
+)
+SELECT doc_id, chunk_idx,
+       len(string_split(chunk_text, ' ')) AS n_chunk_tokens,
+       {hash60_sql('chunk_text')} AS chunk_hash
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# composed corpus curation: quality + language + exact-dedup-canonical
+# in one pass — the operators above wired into the end-to-end training
+# corpus filter. Scale shape: two narrow scoring scans (fused by
+# Catalyst into one), one md5-keyed aggregation for canonical-copy
+# election (uniform key, map-side combine), broadcast-sized joins at
+# sf, shuffle joins on doc_id at 100 TB.
+QF_MIN_SCORE_PPM = 350000
+
+
+def q_corpus_quality_filter(spark, sf_dir):
+    """Keep documents that (a) score >= {QF_MIN_SCORE_PPM} ppm, (b)
+    language-ID as 'en', and (c) are the canonical (min doc_id) copy
+    of their exact-duplicate group."""
+    d = _docs(spark, sf_dir)
+    quality = q_text_quality(spark, sf_dir).select("doc_id",
+                                                   "quality_score_ppm")
+    langid = q_text_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    fp = d.select("doc_id", F.md5(_norm(F.col("text"))).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return (fp.join(canon, "fp")
+            .filter(F.col("doc_id") == F.col("canonical_doc_id"))
+            .join(quality, "doc_id").join(langid, "doc_id")
+            .filter((F.col("quality_score_ppm") >= QF_MIN_SCORE_PPM) &
+                    (F.col("lang_pred") == "en"))
+            .select("doc_id", "lang_pred", "quality_score_ppm")
+            .orderBy("doc_id"))
+
+
+ORACLE_CORPUS_FILTER = f"""
+WITH q AS (SELECT * FROM ({ORACLE_TEXT_QUALITY.replace("ORDER BY doc_id", "")})),
+l AS (SELECT * FROM ({ORACLE_TEXT_LANGID.replace("ORDER BY doc_id", "")})),
+fps AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+canon AS (SELECT fp, min(doc_id) AS canonical_doc_id FROM fps GROUP BY fp)
+SELECT q.doc_id, l.lang_pred, q.quality_score_ppm
+FROM q JOIN l ON l.doc_id = q.doc_id
+JOIN fps ON fps.doc_id = q.doc_id
+JOIN canon ON canon.fp = fps.fp
+WHERE fps.doc_id = canon.canonical_doc_id
+  AND q.quality_score_ppm >= {QF_MIN_SCORE_PPM}
+  AND l.lang_pred = 'en'
+ORDER BY q.doc_id
+"""
+
+QUERIES["text_chunks"] = q_text_chunks
+QUERIES["corpus_quality_filter"] = q_corpus_quality_filter
+ORACLES["text_chunks"] = ORACLE_TEXT_CHUNKS
+ORACLES["corpus_quality_filter"] = ORACLE_CORPUS_FILTER
