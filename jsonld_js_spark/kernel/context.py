@@ -14,6 +14,7 @@ only do dict lookups. Nothing in this module touches Spark.
 from __future__ import annotations
 
 import copy
+import re
 from typing import Callable, Optional
 
 from .util import (
@@ -226,20 +227,34 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
         # caller passes the effective propagate flag.
         if "@propagate" in ctx:
             value = ctx["@propagate"]
+            if active_ctx.get("processingMode") == "json-ld-1.0":
+                # ref lib/context.js:285-291
+                raise JsonLdError(
+                    "@propagate not compatible with json-ld-1.0.",
+                    "invalid context entry")
             if not isinstance(value, bool):
                 raise JsonLdError("@propagate must be boolean.",
                                   "invalid @propagate value")
 
         # term definitions
+        protected_default = ctx.get("@protected", False)
         defined = {
             "@base": True, "@direction": True, "@import": True,
-            "@language": True, "@propagate": True, "@protected": True,
+            "@language": True, "@propagate": True,
+            # REFERENCE BUG MIRRORED (lib/context.js:367): '@protected'
+            # is stored in `defined` with its RAW boolean — the key
+            # loop then treats a '@protected': false entry as an
+            # in-progress term definition and throws 'cyclic IRI
+            # mapping' (verified against node)
+            "@protected": bool(protected_default),
             "@version": True, "@vocab": True,
         }
-        protected_default = ctx.get("@protected", False)
         for key in ctx:
             if key in defined:
-                continue
+                if defined[key]:
+                    continue
+                raise JsonLdError("Cyclical context definition detected.",
+                                  "cyclic IRI mapping")
             create_term_definition(
                 rval, ctx, key, defined, options,
                 override_protected=override_protected,
@@ -313,7 +328,10 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str,
         if not isinstance(reverse, str):
             raise JsonLdError("@reverse value must be a string.",
                               "invalid IRI mapping")
-        if is_keyword_form(reverse):
+        if not is_keyword(reverse) and is_keyword_form(reverse):
+            # '@'-reserved NON-keyword values are ignored with a
+            # warning; actual keywords fall through and fail the
+            # absolute-IRI check (ref lib/context.js:567-577)
             defined[term] = True
             del active_ctx["mappings"][term]
             return
@@ -345,6 +363,18 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str,
             if iri == "@context":
                 raise JsonLdError("@id cannot equal @context.",
                                   "invalid keyword alias")
+            # a term that itself looks like an IRI/CURIE must expand to
+            # its own definition (ref lib/context.js:625-638)
+            if re.search(r"(?::[^:])|/", term):
+                term_defined = dict(defined)
+                term_defined[term] = True
+                term_iri = expand_iri(active_ctx, term, vocab=True,
+                                      local_ctx=local_ctx,
+                                      defined=term_defined)
+                if term_iri != iri:
+                    raise JsonLdError(
+                        "term in form of IRI must expand to definition.",
+                        "invalid IRI mapping")
             mapping["@id"] = iri
             mapping["_prefix"] = (
                 not mapping["_term_has_colon"] and simple_term and
@@ -404,35 +434,51 @@ def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
     mode10 = active_ctx["processingMode"] == "json-ld-1.0"
 
     if "@container" in value:
-        container = value["@container"]
-        container = container if isinstance(container, list) else [container]
-        allowed = {"@list", "@set", "@index", "@id", "@type", "@language",
-                   "@graph"}
-        if not all(c in allowed for c in container):
+        raw = value["@container"]
+        if isinstance(raw, str):
+            container = [raw]
+        elif isinstance(raw, list):
+            container = raw
+        elif not raw:
+            container = []
+        else:
             raise JsonLdError("Invalid @container value.",
                               "invalid container mapping")
+        # exact port of ref lib/context.js:735-798
+        valid_containers = ["@list", "@set", "@index", "@language"]
+        is_valid = True
         has_set = "@set" in container
-        has_list = "@list" in container
-        if mode10:
-            if len(container) != 1 or container[0] not in (
-                    "@list", "@set", "@index", "@language"):
-                raise JsonLdError("Invalid 1.0 @container.",
-                                  "invalid container mapping")
+        if not mode10:
+            valid_containers += ["@graph", "@id", "@type"]
+            if "@list" in container:
+                if len(container) != 1:
+                    raise JsonLdError(
+                        "@container with @list must have no other values.",
+                        "invalid container mapping")
+            elif "@graph" in container:
+                if any(c not in ("@graph", "@id", "@index", "@set")
+                       for c in container):
+                    raise JsonLdError(
+                        "@container with @graph must have no other values "
+                        "than @id, @index, @set.",
+                        "invalid container mapping")
+            else:
+                # any other combination is only X or [X, @set]
+                is_valid = is_valid and \
+                    len(container) <= (2 if has_set else 1)
         else:
-            if "@graph" in container and any(
-                    c not in ("@graph", "@id", "@index", "@set")
-                    for c in container):
-                raise JsonLdError("@graph container restriction violated.",
-                                  "invalid container mapping")
-            if has_list and len(container) != 1:
-                raise JsonLdError("@list cannot be combined.",
-                                  "invalid container mapping")
-            if has_set and not all(c == "@set" or c != "@list"
-                                   for c in container):
-                raise JsonLdError("@set/@list cannot be combined.",
-                                  "invalid container mapping")
-        if mapping["reverse"] and not set(container).issubset(
-                {"@index", "@set"}):
+            # 1.0: a single string from the 1.0-valid set
+            is_valid = is_valid and not isinstance(raw, list)
+            is_valid = is_valid and len(container) <= 1
+        is_valid = is_valid and all(c in valid_containers
+                                    for c in container)
+        is_valid = is_valid and not (has_set and "@list" in container)
+        if not is_valid:
+            raise JsonLdError(
+                "@container value must be one of: "
+                + ", ".join(valid_containers), "invalid container mapping")
+        if mapping["reverse"] and not all(c in ("@index", "@set")
+                                          for c in container):
             raise JsonLdError("reverse term container must be @index/@set.",
                               "invalid reverse property")
         mapping["@container"] = sorted(container)

@@ -286,6 +286,103 @@ def random_quads(seed: int):
     return ref_quads, deduped, opts
 
 
+def random_adversarial_context(seed: int):
+    """Random context built from valid AND invalid term-definition
+    fragments — stress for createTermDefinition's validation paths
+    (ref lib/context.js:437-940) with error-code parity."""
+    rng = random.Random(seed * 13 + 11)
+    ctx: dict = {}
+    if rng.random() < 0.4:
+        ctx["@vocab"] = rng.choice([EX, "", "./", None, 5])
+    if rng.random() < 0.25:
+        ctx["@language"] = rng.choice(["en", "", None, 7, "EN-latn-us"])
+    if rng.random() < 0.2:
+        ctx["@version"] = rng.choice([1.1, 1.0, "1.1", 2])
+    if rng.random() < 0.15:
+        ctx["@propagate"] = rng.choice([True, False, "yes"])
+    fragments = [
+        ("t1", EX + "t1"),
+        ("t2", {"@id": EX + "t2", "@prefix": rng.choice([True, False, "x"])}),
+        ("t3", {"@id": rng.choice([EX + "t3", None, 5, "@kw"]),
+                "@type": rng.choice(["@id", "@vocab", "@json", "@none",
+                                     XSD + "integer", "_:b0", 5, "rel"])}),
+        ("t4", {"@container": rng.choice(
+            ["@list", "@set", ["@list", "@set"], ["@graph", "@list"],
+             "@index", ["@index", "@id"], "@unknown", 5,
+             ["@type"], ["@type", "@set"]])}),
+        ("t5", {"@reverse": rng.choice(
+            [EX + "rev", "@id", 5]),
+            **({"@container": rng.choice(["@set", "@list", "@index"])}
+               if rng.random() < 0.5 else {})}),
+        ("t6", {"@id": EX + "t6",
+                "@language": rng.choice(["en", None, 5]),
+                **({"@direction": rng.choice(["ltr", "rtl", "up", None])}
+                   if rng.random() < 0.5 else {})}),
+        ("t7", {"@id": EX + "t7", "@nest": rng.choice(
+            ["@nest", "meta", "@id", 5])}),
+        ("t8", {"@id": EX + "t8",
+                "@index": rng.choice(["k", "@bad", 5]),
+                **({"@container": "@index"} if rng.random() < 0.6 else {})}),
+        ("@type", rng.choice([{"@container": "@set"},
+                              {"@container": "@list"},
+                              {"@protected": True},
+                              EX + "alias-target"])),
+        ("", EX + "empty-term"),
+        ("t9", rng.choice([True, 5, []])),
+        ("pref", {"@id": EX + "p#", "@prefix": True}),
+        ("pref:suf", {"@id": EX + "other"}),
+    ]
+    for name, frag in rng.sample(fragments, rng.randint(1, 5)):
+        ctx[name] = frag
+    if rng.random() < 0.3:
+        ctx = [{"@protected": rng.random() < 0.5, "tp": EX + "tp"}, ctx]
+    doc = {"@context": ctx,
+           "t1": "v", "t3": "w", "t4": ["a", "b"],
+           "pref:x": "y", "tp": "z"}
+    opts = {}
+    if rng.random() < 0.2:
+        opts["processingMode"] = "json-ld-1.0"
+    return doc, opts
+
+
+def run_context_sweep(n_docs: int, seed0: int) -> int:
+    from jsonld_js_spark.kernel import JsonLdError, expand
+    mismatches = 0
+    batch = 50
+    for start in range(0, n_docs, batch):
+        seeds = list(range(seed0 + start, seed0 + min(start + batch, n_docs)))
+        cases = [random_adversarial_context(s) for s in seeds]
+        refs = run_reference_batch([
+            {"op": "expand", "input": doc, "options": opts}
+            for doc, opts in cases])
+        for seed, (doc, opts), ref in zip(seeds, cases, refs):
+            try:
+                mine = {"ok": True, "result": expand(doc, dict(opts))}
+            except JsonLdError as e:
+                mine = {"ok": False, "code": e.code}
+            except Exception as e:
+                mine = {"ok": False, "code": f"INTERNAL:{type(e).__name__}"}
+            if not ref["ok"] and ref.get("code") is None:
+                continue  # reference internal crash — undefined behavior
+            if ref["ok"] != mine["ok"] or \
+                    (ref["ok"] and ref["result"] != mine["result"]):
+                mismatches += 1
+                print(f"== CTX MISMATCH seed={seed}: ref={str(ref)[:400]}\n"
+                      f"   mine={str(mine)[:400]}\n"
+                      f"   doc: {json.dumps(doc, sort_keys=True)[:800]}")
+            elif not ref["ok"] and ref.get("code") != mine.get("code"):
+                # both raised — codes can differ when multiple invalid
+                # fragments race and the engines validate in different
+                # orders; informational only
+                print(f"  (code-diff seed={seed}: ref={ref.get('code')!r} "
+                      f"mine={mine.get('code')!r})")
+        print(f"  [{min(start + batch, n_docs)}/{n_docs}] "
+              f"ctx mismatches={mismatches}")
+    print("DIFFTEST-CTX", "FAIL" if mismatches else "OK",
+          f"cases={n_docs} mismatches={mismatches}")
+    return 1 if mismatches else 0
+
+
 def run_fromrdf_sweep(n_docs: int, seed0: int) -> int:
     from jsonld_js_spark.kernel import JsonLdError, from_rdf
     mismatches = 0
@@ -516,9 +613,11 @@ def main(n_docs: int, seed0: int) -> int:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--fromrdf"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 200
     s0 = int(args[1]) if len(args) > 1 else 0
     if "--fromrdf" in sys.argv:
         sys.exit(run_fromrdf_sweep(n, s0))
+    if "--contexts" in sys.argv:
+        sys.exit(run_context_sweep(n, s0))
     sys.exit(main(n, s0))

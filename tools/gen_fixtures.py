@@ -2103,6 +2103,38 @@ CASES += [
              "graph": {"termType": "DefaultGraph", "value": ""}}],
         options={},
     ),
+    dict(
+        name="fuzz-protected-false-cyclic-quirk",
+        op_override=["expand-error"],
+        input={"@context": {"@protected": False, "t": EX + "t"},
+               "t": "v"},
+    ),
+    dict(
+        name="fuzz-reverse-keyword-error",
+        op_override=["expand-error"],
+        input={"@context": {"t5": {"@reverse": "@id"}}, "t5": "v"},
+    ),
+    dict(
+        name="fuzz-propagate-10-error",
+        op_override=["expand-error"],
+        input={"@context": {"@propagate": True, "t": EX + "t"}, "t": "v"},
+        options={"processingMode": "json-ld-1.0"},
+    ),
+    dict(
+        name="fuzz-container-pair-without-set-error",
+        op_override=["expand-error"],
+        input={"@context": {"t4": {"@id": EX + "t4",
+                                   "@container": ["@index", "@id"]}},
+               "t4": {"k": "v"}},
+    ),
+    dict(
+        name="fuzz-iri-form-term-must-match",
+        op_override=["expand-error"],
+        input={"@context": {"pref": {"@id": EX + "p#", "@prefix": True},
+                            "pref:suf": {"@id": EX + "other"},
+                            "t2": {"@id": EX + "t2"}},
+               "pref:x": "y"},
+    ),
     # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
     # Object.prototype properties in JS — the reference special-cases
     # them; in Python they are ordinary dict keys, but the OUTPUT must
