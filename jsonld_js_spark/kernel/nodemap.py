@@ -236,21 +236,36 @@ def flatten(expanded) -> list:
 
 
 def relabel_blank_nodes(element, issuer: IdentifierIssuer | None = None):
-    """Rewrite every blank-node label via the issuer
-    (ref lib/util.js:365-369,440-464)."""
+    """Rewrite blank-node labels via the issuer — exact port of
+    ref lib/util.js:365-369 + _labelBlankNodes:440-464: list objects
+    recurse only into @list; a blank NODE (graphTypes.isBlankNode —
+    bnode @id OR no @id at all on a non-value/set/list object) gets its
+    @id (re)issued, so anonymous nodes GAIN labels; keys recurse in
+    SORTED order (issuer sequence is observable in merge output)."""
     issuer = issuer or IdentifierIssuer("_:b")
+
+    def _is_blank_node(v):
+        if not isinstance(v, dict):
+            return False
+        if "@id" in v:
+            return isinstance(v["@id"], str) and v["@id"].startswith("_:")
+        return len(v) == 0 or not ("@value" in v or "@set" in v or
+                                   "@list" in v)
 
     def _relabel(el):
         if isinstance(el, list):
             return [_relabel(e) for e in el]
+        if isinstance(el, dict) and is_list(el):
+            out = dict(el)
+            out["@list"] = _relabel(out["@list"])
+            return out
         if isinstance(el, dict):
-            out = {}
-            for k, v in el.items():
-                if k == "@id" and isinstance(v, str) and \
-                        is_blank_node_id(v):
-                    out[k] = issuer.get_id(v)
-                else:
-                    out[k] = _relabel(v)
+            out = dict(el)
+            if _is_blank_node(out):
+                out["@id"] = issuer.get_id(out.get("@id"))
+            for k in sorted(out.keys()):
+                if k != "@id":
+                    out[k] = _relabel(out[k])
             return out
         return el
 

@@ -472,11 +472,20 @@ def run_mine(op: str, doc, context=None):
             return {"ok": True, "result": flatten(doc, None)}
         if op == "frame":
             return {"ok": True, "result": frame(doc, context)}
+        if op == "merge":
+            from jsonld_js_spark.kernel import merge
+            return {"ok": True, "result": merge(doc, context)}
         raise AssertionError(op)
     except JsonLdError as e:
         return {"ok": False, "code": e.code}
     except RecursionError:
         return {"ok": False, "code": "recursion"}
+    except Exception as e:
+        # internal crash — only comparable against a reference internal
+        # crash (both engines fall over on the same degenerate input,
+        # e.g. relabelled @reverse maps); surfaces as ok-mismatch when
+        # the reference succeeds
+        return {"ok": False, "code": f"INTERNAL:{type(e).__name__}"}
 
 
 def compare_tordf(mine_quads, ref_json_quads):
@@ -588,6 +597,23 @@ def main(n_docs: int, seed0: int) -> int:
                         f"{json.dumps(ref_fr['result'], sort_keys=True)[:1500]}"
                         f"\nmine="
                         f"{json.dumps(mine_fr['result'], sort_keys=True)[:1500]}")
+            # jsonld.merge over doc + a sibling random doc
+            if ok and os.environ.get("DIFFTEST_MERGE"):
+                doc2 = random_doc(seed + 1000000)
+                ref_m = run_reference_batch([{
+                    "op": "merge", "input": [doc, doc2],
+                    "context": None, "options": {}}])[0]
+                mine_m = run_mine("merge", [doc, doc2], None)
+                if not ref_m["ok"] and ref_m.get("code") is None:
+                    pass  # reference internal crash
+                elif ref_m["ok"] != mine_m.get("ok") or (
+                        ref_m["ok"] and
+                        ref_m["result"] != mine_m["result"]):
+                    ok, why = False, (
+                        f"merge diff\nref ="
+                        f"{json.dumps(ref_m.get('result'), sort_keys=True, default=str)[:1200]}"
+                        f"\nmine="
+                        f"{json.dumps(mine_m.get('result'), sort_keys=True, default=str)[:1200]}")
             # expansionMap event-stream parity (exact sequence)
             if ok and ref_ex["ok"] and os.environ.get("DIFFTEST_EVENTS"):
                 ev_ref = run_reference_batch([{
