@@ -148,3 +148,42 @@ def stream_conversation_sessions(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOC_DDL = "doc_id long, text string, ts timestamp"
+
+
+def stream_dedup_documents(spark: SparkSession, input_dir: str,
+                           checkpoint_dir: str,
+                           watermark: str = "1 hour",
+                           available_now: bool = True,
+                           output_dir: str | None = None,
+                           query_name: str = "dedup_docs"):
+    """Streaming exact dedup — the batch `dedup_exact` operator's
+    streaming counterpart: md5(normalized text) fingerprint +
+    `dropDuplicatesWithinWatermark`, so the dedup state store expires
+    with event time instead of growing unboundedly (at 100 TB/day an
+    unbounded `dropDuplicates` state would OOM the state store; the
+    watermark bounds it to one fingerprint per watermark window).
+    Returns the started query; with output_dir=None results go to an
+    in-memory table named `query_name` (tests)."""
+    stream = (spark.readStream.schema(DOC_DDL)
+              .option("maxFilesPerTrigger", 4).parquet(input_dir))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    deduped = (stream
+               .withWatermark("ts", watermark)
+               .withColumn("fingerprint", F.md5(norm))
+               .dropDuplicatesWithinWatermark(["fingerprint"]))
+    if output_dir is not None:
+        writer = (deduped.writeStream.format("parquet")
+                  .option("path", output_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+    else:
+        writer = (deduped.writeStream.format("memory")
+                  .queryName(query_name)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

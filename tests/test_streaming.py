@@ -59,3 +59,36 @@ def test_stream_conversation_sessions(spark, transcript_files, tmp_path):
         assert r["n_turns"] == expected[conv_id], conv_id
         assert r["first_ts"] <= r["last_ts"]
         assert r["n_mentions"] >= r["n_turns"]  # >=1 mention per turn
+
+
+def test_stream_dedup_documents(spark, tmp_path):
+    """Duplicates across micro-batches within the watermark are
+    dropped; distinct texts all survive."""
+    from datetime import datetime
+    import time
+
+    from jsonld_js_spark.streaming.ingest import stream_dedup_documents
+
+    in_dir = str(tmp_path / "docs_in")
+    rows1 = [(1, "alpha text", datetime(2026, 1, 1, 0, 0)),
+             (2, "beta text", datetime(2026, 1, 1, 0, 1)),
+             (3, "Alpha   TEXT", datetime(2026, 1, 1, 0, 2))]  # dup of 1
+    rows2 = [(4, "beta text", datetime(2026, 1, 1, 0, 3)),      # dup of 2
+             (5, "gamma text", datetime(2026, 1, 1, 0, 4))]
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(in_dir)
+
+    q = stream_dedup_documents(
+        spark, in_dir, str(tmp_path / "ckpt"), watermark="1 hour",
+        query_name="dedup_docs_t")
+    q.awaitTermination(120)
+    for _ in range(20):
+        out = spark.sql("SELECT * FROM dedup_docs_t").collect()
+        if len(out) >= 3:
+            break
+        time.sleep(0.5)
+    fps = [r["fingerprint"] for r in out]
+    assert len(fps) == len(set(fps)) == 3
+    texts = {r["text"].lower().split()[0] for r in out}
+    assert texts == {"alpha", "beta", "gamma"}
