@@ -31,10 +31,13 @@ TRIPLE_SCHEMA = StructType([
 
 
 def jsonld_column_to_triples(df, id_col: str, json_col: str,
-                             context: dict, id_ns: str = ""):
+                             context: dict, id_ns: str = "",
+                             expansion_map=None):
     """(id, json_doc) columns → triple rows. The context is processed
     ONCE per Python worker (resolve-once pattern) and every document
-    expands under it."""
+    expands under it. `expansion_map` threads the kernel's per-event
+    callback (ref lib/jsonld.js:109-117) into the schemaless path; it
+    disables the IRI memo, so reserve it for event-level hooks."""
     ctx_items = tuple(sorted(context.items()))  # picklable closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -46,6 +49,8 @@ def jsonld_column_to_triples(df, id_col: str, json_col: str,
         active = process_context(initial_context(opts0), dict(ctx_items),
                                  opts0)
         options = {"activeCtx": active, "skipCopy": True}
+        if expansion_map is not None:
+            options["expansionMap"] = expansion_map
         for pdf in batches:
             out = []
             for id_val, doc_text in zip(pdf["_id"], pdf["_doc"]):

@@ -261,3 +261,24 @@ def test_pipeline_matches_reference_implementation(spark):
     res = compare_triple_sets(normalize_quads(spark_quads),
                               normalize_quads(ref))
     assert res["precision"] == 1.0 and res["recall"] == 1.0, res
+
+
+def test_jsonld_column_expansion_map(spark):
+    """expansionMap threads through the schemaless JSON-LD column
+    path: an unmapped property is custom-mapped inside executors."""
+    from jsonld_js_spark.operators.jsonld_column import (
+        jsonld_column_to_triples,
+    )
+    df = spark.createDataFrame(
+        [(1, '{"known": 1, "weird key": "x"}')], "id long, doc string")
+
+    def emap(info):
+        if info.get("unmappedProperty") == "weird key":
+            return "http://mapped/weird"
+        return None
+
+    out = jsonld_column_to_triples(
+        df, "id", "doc", {"known": "http://e/known"},
+        id_ns="http://e/x/", expansion_map=emap)
+    preds = {r["pred"] for r in out.collect()}
+    assert preds == {"http://e/known", "http://mapped/weird"}
