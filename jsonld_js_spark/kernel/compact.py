@@ -427,9 +427,20 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
     if iri is None:
         return iri
     if not isinstance(iri, str):
-        # GIGO parity: the reference's JS duck-typing passes a
-        # non-string "IRI" (e.g. the array @type of a malformed value
-        # object) through every branch unchanged (verified vs node)
+        # GIGO parity (verified vs node): JS object-key coercion
+        # stringifies an array with ','.join, so a SINGLE-element
+        # array naming a termed IRI hits the inverse context and
+        # compacts to that term; everything else passes through
+        # every branch unchanged
+        if vocab and isinstance(iri, list):
+            joined = ",".join(x if isinstance(x, str) else str(x)
+                              for x in iri)
+            inverse = get_inverse_context(active_ctx)
+            if joined in inverse:
+                term = _select_term(active_ctx, joined, None,
+                                    ["@set", "@none"], "@type", "@id")
+                if term is not None:
+                    return term
         return iri
     if is_keyword(iri):
         # keyword alias

@@ -2135,6 +2135,20 @@ CASES += [
                             "t2": {"@id": EX + "t2"}},
                "pref:x": "y"},
     ),
+    dict(
+        name="fuzz-array-type-value-object-coercion",
+        op_override=["compact"],
+        # degenerate value objects with ARRAY @type (producible via
+        # @type-container prepending): JS coerces a single-element
+        # array to its element on inverse-context lookup
+        input=[{"@id": EX + "a",
+                EX + "p": [
+                    {"@type": [EX + "gamma"], "@value": False},
+                    {"@type": [EX + "unknown"], "@value": 1},
+                    {"@type": [EX + "gamma", EX + "T2"], "@value": 2}]}],
+        context={"@vocab": EX, "gamma": EX + "gamma"},
+        options={"skipExpansion": True},
+    ),
     # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
     # Object.prototype properties in JS — the reference special-cases
     # them; in Python they are ordinary dict keys, but the OUTPUT must
