@@ -127,8 +127,23 @@ def random_value(rng, depth):
     return [random_value(rng, depth - 1) for _ in range(rng.randint(1, 3))]
 
 
+INLINE_CTX_PATCHES = [
+    {"@vocab": "http://other.org/"},
+    {"alpha": "http://other.org/alpha-override"},
+    {"@language": "fr"},
+    {"@language": None},
+    None,  # context reset
+    {"@base": "http://inner.org/base/"},
+    {"zeta": None},  # term removal
+    [{"@vocab": "http://other.org/"}, {"beta": "http://other.org/b"}],
+]
+
+
 def random_node(rng, depth) -> dict:
     node: dict = {}
+    if depth < 2 and rng.random() < 0.18:
+        # inline node-level @context (propagation machinery stress)
+        node["@context"] = rng.choice(INLINE_CTX_PATCHES)
     r = rng.random()
     if r < 0.5:
         node["@id"] = _iri(rng)
