@@ -266,6 +266,12 @@ def cleanup_null(input_, options):
     if isinstance(input_, dict):
         if "@id" in input_:
             id_ = input_["@id"]
+            # JS object keys coerce via String(): a degenerate array
+            # @id becomes its ','.join (ref :347 hasOwnProperty(id))
+            if isinstance(id_, list):
+                id_ = ",".join(str(x) for x in id_)
+            elif not isinstance(id_, str):
+                id_ = str(id_)
             links = options.setdefault("link", {})
             if id_ in links:
                 for seen in links[id_]:
@@ -464,6 +470,11 @@ def _cleanup_preserve(input_, options):
             return input_
         if "@id" in input_:
             id_ = input_["@id"]
+            # JS object-key String() coercion for degenerate array ids
+            if isinstance(id_, list):
+                id_ = ",".join(str(x) for x in id_)
+            elif not isinstance(id_, str):
+                id_ = str(id_)
             links = options.setdefault("link", {})
             if id_ in links:
                 for seen in links[id_]:
@@ -473,7 +484,7 @@ def _cleanup_preserve(input_, options):
             else:
                 links[id_] = [input_]
         for prop in list(input_.keys()):
-            if prop == "@id" and \
+            if prop == "@id" and isinstance(input_[prop], str) and \
                     input_[prop] in options.get("bnodesToClear", []):
                 del input_["@id"]
                 continue
