@@ -307,6 +307,19 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str,
     mapping = {"reverse": False, "protected": False, "_term_has_colon": ":" in term}
     active_ctx["mappings"][term] = mapping
 
+    # term definitions may only contain expected keywords; the allowed
+    # set depends on processing mode (ref lib/context.js:524-540)
+    term_valid_keys = {"@container", "@id", "@language", "@reverse",
+                       "@type"}
+    if active_ctx["processingMode"] != "json-ld-1.0":
+        term_valid_keys |= {"@context", "@direction", "@index", "@nest",
+                            "@prefix", "@protected"}
+    for kw in value:
+        if kw not in term_valid_keys:
+            raise JsonLdError(
+                f"a term definition must not contain {kw}.",
+                "invalid term definition")
+
     if "@protected" in value:
         if active_ctx["processingMode"] == "json-ld-1.0":
             raise JsonLdError("@protected not allowed in JSON-LD 1.0.",

@@ -2149,6 +2149,13 @@ CASES += [
         context={"@vocab": EX, "gamma": EX + "gamma"},
         options={"skipExpansion": True},
     ),
+    dict(
+        name="fuzz-term-keys-mode10-error",
+        op_override=["expand-error"],
+        input={"@context": {"t6": {"@id": EX + "t6",
+                                   "@direction": "ltr"}}, "t6": "v"},
+        options={"processingMode": "json-ld-1.0"},
+    ),
     # js-keyword terms (ref tests/misc.js:324-464): valueOf/toString are
     # Object.prototype properties in JS — the reference special-cases
     # them; in Python they are ordinary dict keys, but the OUTPUT must
