@@ -169,7 +169,7 @@ def random_node(rng, depth) -> dict:
 def random_doc(seed: int) -> dict:
     rng = random.Random(seed)
     ctx = random_context(rng)
-    node = random_node(rng, 2)
+    node = random_node(rng, int(os.environ.get("DIFFTEST_DEPTH", "2")))
     # container-typed terms get container-shaped values half the time
     for name, td in ctx.items():
         if isinstance(td, dict) and "@container" in td and \
