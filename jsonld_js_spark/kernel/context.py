@@ -124,6 +124,9 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
             raise JsonLdError("@context must be an object.", "invalid local context")
 
         rval = _clone_active_context(rval)
+        # keywords that arrived ONLY via @import (reference ordering
+        # quirk — see the @import branch below)
+        imported_only_kws: set = set()
 
         # @version (ref lib/context.js:175-197)
         if "@version" in ctx:
@@ -157,12 +160,26 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
             if "@import" in imported:
                 raise JsonLdError("imported context must not include @import.",
                                   "invalid context entry")
-            merged = dict(imported)
-            merged.update({k: v for k, v in ctx.items() if k != "@import"})
+            # REFERENCE ORDERING QUIRK MIRRORED (verified vs node): the
+            # reference merges @import only AFTER its @version..@propagate
+            # passes ran (lib/context.js:175-301 precede :302-364), so any
+            # of those keywords arriving ONLY via the import is neither
+            # processed nor marked `defined` — the TERM LOOP reaches it
+            # (in insertion order: ctx keys first, imported-only keys
+            # appended, ref :348-352) and raises 'keyword redefinition'.
+            # @protected is processed after @import and merges fine.
+            imported_only_kws = {
+                kw for kw in ("@version", "@base", "@vocab", "@language",
+                              "@direction", "@propagate")
+                if kw in imported and kw not in ctx}
+            merged = {k: v for k, v in ctx.items() if k != "@import"}
+            for k, v in imported.items():
+                if k not in merged:
+                    merged[k] = v
             ctx = merged
 
         # @base (ref lib/context.js:200-218): only honored on a root context
-        if "@base" in ctx:
+        if "@base" in ctx and "@base" not in imported_only_kws:
             rval["_ctx_has_base"] = True
             base = ctx["@base"]
             if base is None:
@@ -183,7 +200,7 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
                                   "invalid base IRI")
 
         # @vocab (ref lib/context.js:219-239)
-        if "@vocab" in ctx:
+        if "@vocab" in ctx and "@vocab" not in imported_only_kws:
             value = ctx["@vocab"]
             if value is None:
                 rval["@vocab"] = None
@@ -199,7 +216,7 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
                                             base=True, options=options)
 
         # @language (ref lib/context.js:241-257)
-        if "@language" in ctx:
+        if "@language" in ctx and "@language" not in imported_only_kws:
             value = ctx["@language"]
             if value is None:
                 rval["@language"] = None
@@ -210,7 +227,7 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
                 rval["@language"] = value.lower()
 
         # @direction (ref lib/context.js:258-281)
-        if "@direction" in ctx:
+        if "@direction" in ctx and "@direction" not in imported_only_kws:
             value = ctx["@direction"]
             if rval["processingMode"] == "json-ld-1.0":
                 raise JsonLdError("@direction not allowed in JSON-LD 1.0.",
@@ -225,7 +242,7 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
 
         # @propagate (ref lib/context.js:282-301) — validated only; the
         # caller passes the effective propagate flag.
-        if "@propagate" in ctx:
+        if "@propagate" in ctx and "@propagate" not in imported_only_kws:
             value = ctx["@propagate"]
             if active_ctx.get("processingMode") == "json-ld-1.0":
                 # ref lib/context.js:285-291
@@ -249,6 +266,12 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
             "@protected": bool(protected_default),
             "@version": True, "@vocab": True,
         }
+        # keywords that arrived only via @import were never processed →
+        # not `defined` → the loop hits them and createTermDefinition
+        # raises 'keyword redefinition' in insertion order, exactly
+        # like the reference (see @import quirk above)
+        for kw in imported_only_kws:
+            defined.pop(kw, None)
         for key in ctx:
             if key in defined:
                 if defined[key]:

@@ -166,7 +166,17 @@ def random_node(rng, depth) -> dict:
     return node
 
 
-def random_doc(seed: int) -> dict:
+REMOTE_CTX_URL = "http://remote.test/ctx1"
+REMOTE_CTX_URL2 = "http://remote.test/ctx2"
+REMOTE_DOCS = {
+    REMOTE_CTX_URL: {"@context": {"remote_t": EX + "remote_t",
+                                  "gamma": EX + "remote-gamma"}},
+    REMOTE_CTX_URL2: {"@context": {"@vocab": "http://remote.org/",
+                                   "imported_t": EX + "imported_t"}},
+}
+
+
+def random_doc(seed: int):
     rng = random.Random(seed)
     ctx = random_context(rng)
     node = random_node(rng, int(os.environ.get("DIFFTEST_DEPTH", "2")))
@@ -175,8 +185,21 @@ def random_doc(seed: int) -> dict:
         if isinstance(td, dict) and "@container" in td and \
                 name in node and rng.random() < 0.6:
             node[name] = _container_value(rng, td["@container"], 1)
+    documents = None
+    if os.environ.get("DIFFTEST_REMOTE") and rng.random() < 0.5:
+        documents = REMOTE_DOCS
+        r = rng.random()
+        if r < 0.4:
+            ctx = [REMOTE_CTX_URL, ctx]
+        elif r < 0.7:
+            ctx = dict(ctx)
+            ctx["@import"] = REMOTE_CTX_URL2
+        else:
+            ctx = [REMOTE_CTX_URL, REMOTE_CTX_URL2, ctx]
+        node["remote_t"] = "rv"
+        node["imported_t"] = "iv"
     doc = {"@context": ctx, **node}
-    return doc
+    return doc, documents
 
 
 # ---------------------------------------------------------------------------
@@ -465,31 +488,36 @@ def random_frame(seed: int, doc: dict) -> dict:
     return frame
 
 
-def run_mine(op: str, doc, context=None):
+def run_mine(op: str, doc, context=None, documents=None):
     from jsonld_js_spark.kernel import (
-        JsonLdError, compact, expand, flatten, frame, to_rdf,
+        ContextResolver, JsonLdError, compact, expand, flatten, frame,
+        to_rdf,
     )
     from jsonld_js_spark.testing import event_logging_map
+    opts: dict = {}
+    if documents:
+        opts["contextResolver"] = ContextResolver(documents=documents)
     try:
         if op == "expandEvents":
             events = []
-            expanded = expand(doc, {"expansionMap":
+            expanded = expand(doc, {**opts, "expansionMap":
                                     event_logging_map(events)})
             return {"ok": True,
                     "result": {"expanded": expanded, "events": events}}
         if op == "expand":
-            return {"ok": True, "result": expand(doc)}
+            return {"ok": True, "result": expand(doc, dict(opts))}
         if op == "toRDF":
-            return {"ok": True, "result": to_rdf(doc)}
+            return {"ok": True, "result": to_rdf(doc, dict(opts))}
         if op == "compact":
-            return {"ok": True, "result": compact(doc, context)}
+            return {"ok": True, "result": compact(doc, context,
+                                                  dict(opts))}
         if op == "flatten":
-            return {"ok": True, "result": flatten(doc, None)}
+            return {"ok": True, "result": flatten(doc, None, dict(opts))}
         if op == "frame":
-            return {"ok": True, "result": frame(doc, context)}
+            return {"ok": True, "result": frame(doc, context, dict(opts))}
         if op == "merge":
             from jsonld_js_spark.kernel import merge
-            return {"ok": True, "result": merge(doc, context)}
+            return {"ok": True, "result": merge(doc, context, dict(opts))}
         raise AssertionError(op)
     except JsonLdError as e:
         return {"ok": False, "code": e.code}
@@ -528,22 +556,28 @@ def main(n_docs: int, seed0: int) -> int:
     batch = 50
     for start in range(0, n_docs, batch):
         seeds = list(range(seed0 + start, seed0 + min(start + batch, n_docs)))
-        docs = [random_doc(s) for s in seeds]
+        cases = [random_doc(s) for s in seeds]
+        docs = [c[0] for c in cases]
+        docmaps = [c[1] for c in cases]
         frames = [random_frame(s, d) for s, d in zip(seeds, docs)]
         reqs = []
-        for d, fr in zip(docs, frames):
-            reqs.append({"op": "expand", "input": d, "options": {}})
-            reqs.append({"op": "toRDF", "input": d, "options": {}})
+        for d, fr, dm in zip(docs, frames, docmaps):
+            extra = {"documents": dm} if dm else {}
+            reqs.append({"op": "expand", "input": d, "options": {},
+                         **extra})
+            reqs.append({"op": "toRDF", "input": d, "options": {},
+                         **extra})
             reqs.append({"op": "compact", "input": d,
                          "context": d.get("@context") or {},
-                         "options": {}})
-            reqs.append({"op": "flatten", "input": d, "options": {}})
+                         "options": {}, **extra})
+            reqs.append({"op": "flatten", "input": d, "options": {},
+                         **extra})
             reqs.append({"op": "frame", "input": d, "frame": fr,
-                         "options": {}})
+                         "options": {}, **extra})
         refs = run_reference_batch(reqs)
-        for i, (seed, doc) in enumerate(zip(seeds, docs)):
+        for i, (seed, doc, docmap) in enumerate(zip(seeds, docs, docmaps)):
             ref_ex, ref_rdf, ref_c, ref_fl, ref_fr = refs[5 * i:5 * i + 5]
-            mine_ex = run_mine("expand", doc)
+            mine_ex = run_mine("expand", doc, documents=docmap)
             ok = True
             why = ""
             if ref_ex["ok"] != mine_ex["ok"]:
@@ -558,7 +592,7 @@ def main(n_docs: int, seed0: int) -> int:
                     f"error-code diff ref={ref_ex.get('code')} "
                     f"mine={mine_ex.get('code')}")
             if ok and ref_rdf["ok"]:
-                mine_rdf = run_mine("toRDF", doc)
+                mine_rdf = run_mine("toRDF", doc, documents=docmap)
                 if not mine_rdf["ok"]:
                     ok, why = False, f"toRDF mine errored: {mine_rdf}"
                 else:
@@ -572,7 +606,8 @@ def main(n_docs: int, seed0: int) -> int:
             # full compact(doc, same ctx) round-trip
             if ok:
                 mine_c = run_mine("compact", doc,
-                                  doc.get("@context") or {})
+                                  doc.get("@context") or {},
+                                  documents=docmap)
                 if ref_c["ok"] != mine_c["ok"]:
                     ok, why = False, (
                         f"compact ok-mismatch ref={str(ref_c)[:300]} "
@@ -584,7 +619,7 @@ def main(n_docs: int, seed0: int) -> int:
                         f"\nmine="
                         f"{json.dumps(mine_c['result'], sort_keys=True)[:1500]}")
             if ok:
-                mine_fl = run_mine("flatten", doc)
+                mine_fl = run_mine("flatten", doc, documents=docmap)
                 if ref_fl["ok"] != mine_fl["ok"]:
                     ok, why = False, (
                         f"flatten ok-mismatch ref={str(ref_fl)[:300]} "
@@ -600,7 +635,8 @@ def main(n_docs: int, seed0: int) -> int:
             ref_internal_crash = (not ref_fr["ok"] and
                                   ref_fr.get("code") is None)
             if ok and not ref_internal_crash:
-                mine_fr = run_mine("frame", doc, frames[i])
+                mine_fr = run_mine("frame", doc, frames[i],
+                                   documents=docmap)
                 if ref_fr["ok"] != mine_fr["ok"]:
                     ok, why = False, (
                         f"frame ok-mismatch ref={str(ref_fr)[:300]} "
@@ -614,7 +650,7 @@ def main(n_docs: int, seed0: int) -> int:
                         f"{json.dumps(mine_fr['result'], sort_keys=True)[:1500]}")
             # jsonld.merge over doc + a sibling random doc
             if ok and os.environ.get("DIFFTEST_MERGE"):
-                doc2 = random_doc(seed + 1000000)
+                doc2, _dm2 = random_doc(seed + 1000000)
                 ref_m = run_reference_batch([{
                     "op": "merge", "input": [doc, doc2],
                     "context": None, "options": {}}])[0]
@@ -633,7 +669,7 @@ def main(n_docs: int, seed0: int) -> int:
             if ok and ref_ex["ok"] and os.environ.get("DIFFTEST_EVENTS"):
                 ev_ref = run_reference_batch([{
                     "op": "expandEvents", "input": doc, "options": {}}])[0]
-                ev_mine = run_mine("expandEvents", doc)
+                ev_mine = run_mine("expandEvents", doc, documents=docmap)
                 if ev_ref["ok"] and ev_mine["ok"] and \
                         ev_ref["result"]["events"] != \
                         ev_mine["result"]["events"]:

@@ -32,6 +32,8 @@ function termToJson(t) {
   return o;
 }
 
+const ContextResolver = require('/root/reference/lib/ContextResolver.js');
+
 async function runOne(req) {
   const opts = Object.assign({documentLoader: async url => {
     if (req.documents && req.documents[url]) {
@@ -39,6 +41,10 @@ async function runOne(req) {
     }
     throw new Error('loading document failed: ' + url);
   }}, req.options || {});
+  // isolate requests from the module-level shared resolved-context
+  // cache — batch mode must not leak @import processed state across
+  // requests (lib/jsonld.js:86-89 cache is process-global)
+  opts.contextResolver = new ContextResolver({sharedCache: new Map()});
   try {
     let result;
     if (req.op === 'expandEvents') {
