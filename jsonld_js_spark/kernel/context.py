@@ -629,9 +629,11 @@ def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
     bypassed (callbacks have side effects) and the hook-aware tail
     emits `prependedIri`/`relativeIri` events
     (ref lib/context.js:1056-1141)."""
-    if value is None or is_keyword(value):
+    if value is None:
         return value
-    if not isinstance(value, str):
+    if value.__class__ is not str and not isinstance(value, str):
+        return value
+    if value in KEYWORDS:  # is_keyword inlined (hot path)
         return value
 
     emap = options.get("expansionMap") if options else None

@@ -126,9 +126,9 @@ def expand(active_ctx, element, active_property=None, options=None,
     ts_ctx = type_scoped_context or (
         active_ctx if active_ctx.get("previousContext") is not None
         else None)
-    keys_sorted = sorted(element.keys())
+    keys_sorted = sorted(element)  # shared by the probe + @type scan
     if must_revert and ts_ctx is not None and len(keys_sorted) <= 2 and \
-            "@context" not in keys_sorted:
+            "@context" not in element:
         for key in keys_sorted:
             expanded_prop = expand_iri(ts_ctx, key, vocab=True,
                                        options=options)
@@ -157,7 +157,7 @@ def expand(active_ctx, element, active_property=None, options=None,
     # look for @type entries and apply type-scoped contexts, keys sorted
     # (ref lib/expand.js:226-248)
     type_key = None
-    for key in sorted(element.keys()):
+    for key in keys_sorted:
         if expand_iri(active_ctx, key, vocab=True,
                       options=options) == "@type":
             if type_key is None:

@@ -403,10 +403,40 @@ _INTEGER_RE = re.compile(r"^[+-]?[0-9]+$")
 _DOUBLE_RE = re.compile(
     r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([Ee][+-]?[0-9]+)?$")
 
+# ECMA-262 StringToNumber grammar (what isFinite()'s ToNumber accepts):
+# optionally-signed decimal/Infinity, or UNSIGNED 0x/0b/0o radix forms.
+# No underscores (Python float()/int() accept those; JS does not).
+_JS_DECIMAL_RE = re.compile(
+    r"^[+-]?(Infinity|[0-9]+\.?[0-9]*([eE][+-]?[0-9]+)?"
+    r"|\.[0-9]+([eE][+-]?[0-9]+)?)$")
+_JS_RADIX_RE = re.compile(r"^(0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+)$")
+
+
+def _js_to_number(s: str) -> float:
+    """JS Number(string) / ToNumber: trimmed decimal (signed, Infinity
+    allowed), unsigned hex/binary/octal, '' → 0, NaN otherwise."""
+    s = s.strip()
+    if s == "":
+        return 0.0
+    if _JS_RADIX_RE.match(s):
+        base = {"x": 16, "b": 2, "o": 8}[s[1].lower()]
+        try:
+            return float(int(s, base))
+        except OverflowError:
+            return float("inf")
+    if not _JS_DECIMAL_RE.match(s):
+        return float("nan")
+    try:
+        return float(s)  # 'Infinity'/huge exponents handled by float()
+    except ValueError:  # pragma: no cover - grammar already validated
+        return float("nan")
+
 
 def _js_is_numeric(v) -> bool:
-    """JS types.isNumeric: !isNaN(parseFloat(v)) && isFinite(v) — the
-    WHOLE string must be a finite number AND have a numeric prefix."""
+    """JS types.isNumeric: !isNaN(parseFloat(v)) && isFinite(v). The
+    parseFloat gate needs a numeric PREFIX; isFinite applies ToNumber
+    to the WHOLE string — which also coerces hex/binary/octal forms
+    ('0x10' → 16), so those count as numeric in the reference."""
     if isinstance(v, bool):
         return False
     if isinstance(v, (int, float)):
@@ -416,13 +446,7 @@ def _js_is_numeric(v) -> bool:
     pf = js_parse_float(v)
     if pf != pf or pf in (float("inf"), float("-inf")):
         return False
-    s = v.strip()
-    if s == "":
-        return False
-    try:
-        n = float(s)
-    except ValueError:
-        return False
+    n = _js_to_number(v)
     return n == n and n not in (float("inf"), float("-inf"))
 
 
@@ -461,11 +485,20 @@ def _rdf_to_object(quad, use_native_types: bool, rdf_direction):
             if datatype == XSD_INTEGER and isinstance(v, str):
                 m = re.match(r"\s*[+-]?\d+", v)
                 if m:
-                    i = int(m.group(0))
-                    # parseInt(v,10).toFixed(0) === v; >2^53 ints lose
-                    # precision in JS and never round-trip
-                    if abs(i) < 2 ** 53 and str(i) == v:
-                        rval["@value"] = i
+                    # parseInt(v,10).toFixed(0) === v (ref
+                    # lib/fromRdf.js:316-319). parseInt yields a
+                    # float64 (correctly rounded); toFixed(0) of an
+                    # integral float64 < 1e21 is its exact decimal
+                    # digits, >= 1e21 falls back to exponential
+                    # notation and never equals a digit string. So
+                    # exactly-representable ints >= 2^53 (powers of
+                    # two etc.) DO round-trip and convert in JS.
+                    try:
+                        i_f = float(int(m.group(0)))
+                    except OverflowError:
+                        i_f = float("inf")
+                    if abs(i_f) < 1e21 and str(int(i_f)) == v:
+                        rval["@value"] = int(i_f)
             elif datatype == XSD_DOUBLE and isinstance(v, str):
                 rval["@value"] = js_parse_float(v)
         # do not add native type for the xsd core four

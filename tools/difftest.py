@@ -225,10 +225,18 @@ def random_quads(seed: int):
             return (rng.choice(["v", "", "true", "42", "junk"]),
                     XSD + rng.choice(XSD_TYPES), None)
         if r < 0.45:
-            return (str(rng.randint(-5, 5)), XSD + "integer", None)
+            return (rng.choice([
+                str(rng.randint(-5, 5)),
+                # useNativeTypes edges: >= 2^53 round-trips, radix
+                # strings, underscores, 1e21 toFixed cliff
+                "9007199254740992", "9007199254740993",
+                "1180591620717411303424", "1000000000000000000000",
+                "0x10", "0b101", "1_0", "+42", "-0",
+            ]), XSD + "integer", None)
         if r < 0.55:
-            return (rng.choice(["2.5E0", "NaN", "abc"]), XSD + "double",
-                    None)
+            return (rng.choice(["2.5E0", "NaN", "abc", "0x10", "0b101",
+                                "1_0", "Infinity", " 42"]),
+                    XSD + "double", None)
         if r < 0.65:
             return (rng.choice(["true", "false", "yes"]), XSD + "boolean",
                     None)

@@ -664,7 +664,26 @@ FROMRDF_TYPES = quads(
     (EX + "a", EX + "date", _lit("2026-01-01", XSD + "date")),
 )
 
+# useNativeTypes numeric edge cases (round-3 ADVICE): JS
+# parseInt(v).toFixed(0)===v round-trips exactly-representable ints
+# >= 2^53; isFinite() ToNumber-coerces hex/binary/octal (but not
+# signed-radix or underscore forms); toFixed falls to exponential
+# notation at 1e21 so 21+-digit strings never convert.
+_NT_EDGES = [
+    "9007199254740992", "9007199254740993", "18014398509481984",
+    "1180591620717411303424", "1000000000000000000000",
+    "999999999999999999999", "0x10", "0b101", "0o17", "-0x10",
+    "0x_10", "1_0", " 42", "+42", "-0", "inf", "Infinity", "nan",
+]
+FROMRDF_NUMERIC_EDGES = quads(*[
+    (EX + "a", EX + f"p{i:02d}_{dt}", _lit(v, XSD + dt))
+    for i, v in enumerate(_NT_EDGES) for dt in ("integer", "double")
+])
+
 CASES += [
+    dict(name="fromrdf-native-numeric-edges", op_override=["fromRDF"],
+         input=FROMRDF_NUMERIC_EDGES,
+         options={"useNativeTypes": True}),
     dict(name="fromrdf-list", op_override=["fromRDF"],
          input=FROMRDF_LIST),
     dict(name="fromrdf-shared-list", op_override=["fromRDF"],
