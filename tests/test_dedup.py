@@ -95,3 +95,65 @@ def test_dedup_clusters_transitive(spark):
     assert triples_checked > 0
     # labels are canonical: every cluster_id is itself a member doc
     assert set(labels.values()) <= set(labels)
+
+
+def test_simhash_band_candidates_stay_bounded(spark):
+    """Round-3 scale fix: 15-bit bands (32768 buckets) must keep the
+    band-join RANDOM-collision candidates near zero as the corpus
+    scales 1x -> 4x (growth stays far from the quadratic 16x), while
+    8-bit bands (the round-2 granularity: 256 buckets) explode into
+    tens of thousands of uniform-collision pairs on the same 4x
+    corpus. True-similarity candidates (this synthetic corpus is
+    heavily templated) are a property of the data, not the scheme, so
+    the assertion is on GROWTH, not an absolute count."""
+    from jsonld_js_spark.operators.dedup import (
+        SIMHASH_BAND_BITS, SIMHASH_N_BANDS, simhash_df)
+
+    def corpus(mult):
+        d = (spark.read.parquet(f"{SF}/documents.parquet")
+             .select("doc_id", "text"))
+        # replica k > 0: per-(k, doc) unique token bags — unrelated to
+        # every other doc (simhash is a token-bag signature, so the
+        # filler must differ in token SET, not order or a single salt)
+        reps = [d if k == 0 else d.select(
+            (F.col("doc_id") + 1000000 * k).alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda j: F.concat(F.lit(f"s{k}d"), F.col("doc_id"),
+                                   F.lit("w"), j))).alias("text"))
+            for k in range(mult)]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionAll(r)
+        return out
+
+    def n_candidates(sh, band_bits):
+        nb = 60 // band_bits
+        bands = sh.select("doc_id", F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.expr(f"(simhash >> {band_bits*b}) & "
+                            f"{(1 << band_bits) - 1}").alias("bkey"))
+            for b in range(nb)])).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bkey")
+        return (bands.alias("a").join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) &
+            (F.col("a.bkey") == F.col("b.bkey")) &
+            (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select("a.doc_id", "b.doc_id").distinct().count())
+
+    sh1 = simhash_df(corpus(1)).cache()
+    sh4 = simhash_df(corpus(4)).cache()
+    n1, n4 = sh1.count(), sh4.count()
+    assert n4 == 4 * n1
+    assert SIMHASH_BAND_BITS == 15 and SIMHASH_N_BANDS == 4
+    c1 = n_candidates(sh1, SIMHASH_BAND_BITS)
+    c4 = n_candidates(sh4, SIMHASH_BAND_BITS)
+    # 4x the corpus (new docs unrelated): candidates grow by at most
+    # the small uniform-collision term, nowhere near quadratic 16x
+    assert c4 <= 2.5 * max(c1, 1), (c1, c4)
+    # the old 8-bit band granularity explodes on the SAME 4x corpus:
+    # uniform collisions alone give ~n^2/2^8 pairs per band
+    c4_old = n_candidates(sh4, 8)
+    assert c4_old > 10 * c4, (c4_old, c4)
+    sh1.unpersist(); sh4.unpersist()
