@@ -237,39 +237,109 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
-def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos_ppm >= {NEARDUP_PPM}),
-    LSH-blocked then exactly verified. The corpus injects exact vector
-    copies (vec_id+100000 for vec_id % 20 == 0) so output is
-    non-trivial.
+# near-dup blocking planes: 4 bands x 16 planes, seed space disjoint
+# from the 12 ANN planes above
+ND_PLANES_PER_BAND = 16
+ND_N_BANDS = 4
+ND_PLANES = [_plane(100 + p)
+             for p in range(ND_N_BANDS * ND_PLANES_PER_BAND)]
 
-    RECALL BOUND: blocking requires FULL 12-bit signature equality, so
-    a true near-dup pair is found only if no hyperplane separates the
-    two vectors; at the 0.999 threshold the per-plane flip probability
-    is arccos(0.999)/pi ≈ 1.4%, giving expected recall ≥ (1-0.014)^12
-    ≈ 0.84 for threshold-grazing pairs (exact copies are always
-    found). Multi-band OR-blocking would raise recall at the cost of
-    more candidates."""
+
+def nd_band_sigs(vcol):
+    """array<long>[4]: per-band 16-plane sign signatures of the
+    quantized vector, via an Arrow-batched numpy matmul (64 plane dots
+    as ONE int64 matrix product per batch — exact integer arithmetic,
+    so DuckDB's per-plane list_sum reproduces it bit-for-bit; 64
+    Catalyst `aggregate` expressions for the same math blow up
+    analysis/codegen time ~6x)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(ND_PLANES, dtype=np.int64)  # (64 planes, 64 dims)
+    weights = (np.arange(ND_PLANES_PER_BAND, dtype=np.int64)
+               .__rpow__(2))  # [1, 2, 4, ..., 2^15]
+
+    def _sigs(vs):
+        vq = np.floor(np.stack(vs.to_numpy()) * 1000.0).astype(np.int64)
+        bits = (vq @ planes.T) > 0  # (B, 64) exact int64 dots
+        out = [
+            (bits[:, b * ND_PLANES_PER_BAND:(b + 1) * ND_PLANES_PER_BAND]
+             * weights).sum(axis=1)
+            for b in range(ND_N_BANDS)]  # each (B,)
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    sigs = pandas_udf(_sigs, "array<long>")
+    return sigs(vcol)
+
+
+def _nd_corpus(spark, sf_dir):
     e = _emb(spark, sf_dir).select(
         "vec_id", _vec_d(F.col("embedding")).alias("v"))
     dup = (e.filter(F.col("vec_id") % 20 == 0)
            .select((F.col("vec_id") + 100000).alias("vec_id"), "v"))
-    corpus = e.unionAll(dup)
-    sig = corpus.select("vec_id", "v",
-                        _lsh_sig(F.col("v")).alias("sig"))
-    pairs = (sig.alias("a").join(
-        sig.alias("b"),
-        (F.col("a.sig") == F.col("b.sig")) &
+    return e.unionAll(dup)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos_ppm >= {NEARDUP_PPM}),
+    multi-band OR-blocked then exactly verified. The corpus injects
+    exact vector copies (vec_id+100000 for vec_id % 20 == 0) so
+    output is non-trivial.
+
+    Round-3 scale/recall fix (was: equality on one 12-bit signature,
+    4096 fixed buckets, recall ~0.84 at the threshold): candidates
+    now share >= 1 of 4 independent 16-plane bands. Per-plane flip
+    probability at cos 0.999 is arccos(.999)/pi ~ 1.4%, so per-band
+    recall is (1-.014)^16 ~ 0.79 and OR over 4 bands gives ~0.998
+    (tests/test_similarity_ops.py asserts >= 0.95 on threshold-
+    grazing pairs). Each band has 2^16 buckets; the candidate join
+    carries only (vec_id, band, bsig) — vectors are re-joined for the
+    exact verify — so the band table stays narrow and the
+    within-bucket quadratic term shrinks 16x vs the single-signature
+    scheme while recall RISES. At larger corpora add planes per band
+    (buckets scale 2x per plane; recall recovered by adding a band)."""
+    corpus = _nd_corpus(spark, sf_dir)
+    bands = corpus.select(
+        "vec_id", F.posexplode(nd_band_sigs(F.col("v")))
+    ).select("vec_id", F.col("pos").alias("band"),
+             F.col("col").alias("bsig"))
+    cand = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band")) &
+        (F.col("a.bsig") == F.col("b.bsig")) &
         (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                _cos_ppm(F.col("a.v"), F.col("b.v")).alias("cos_ppm"))
-        .filter(F.col("cos_ppm") >= NEARDUP_PPM))
+                F.col("b.vec_id").alias("vec_b"))
+        .distinct())
+    va = corpus.select(F.col("vec_id").alias("vec_a"),
+                       F.col("v").alias("v_a"))
+    vb = corpus.select(F.col("vec_id").alias("vec_b"),
+                       F.col("v").alias("v_b"))
+    pairs = (cand.join(va, "vec_a").join(vb, "vec_b")
+             .select("vec_a", "vec_b",
+                     _cos_ppm(F.col("v_a"), F.col("v_b")).alias("cos_ppm"))
+             .filter(F.col("cos_ppm") >= NEARDUP_PPM))
     return pairs.orderBy("vec_a", "vec_b")
 
 
+def _nd_band_sig_sql(b: int, vq: str = "vq") -> str:
+    """DuckDB: 16-plane sign signature for band b."""
+    parts = []
+    for i in range(ND_PLANES_PER_BAND):
+        plane = ND_PLANES[b * ND_PLANES_PER_BAND + i]
+        lit = "[" + ", ".join(str(c) for c in plane) + "]"
+        dot = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+               f"i -> {vq}[i] * ({lit})[i]))")
+        parts.append(f"(case when ({dot}) > 0 then cast({2**i} as bigint) "
+                     f"else 0 end)")
+    return "(" + " + ".join(parts) + ")"
+
+
 def _oracle_neardup() -> str:
-    sig_sql = _lsh_sig_sql()
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_nd_band_sig_sql(b)} AS bsig FROM vq"
+        for b in range(ND_N_BANDS))
     cos = (f"cast(floor(list_sum(list_transform(range(1, len(va) + 1), "
            f"i -> va[i] * vb[i])) / "
            f"(sqrt(list_sum(list_transform(va, x -> x*x))) * "
@@ -283,11 +353,16 @@ WITH e AS (
   WHERE vec_id % 20 = 0
 ),
 vq AS (SELECT vec_id, v, {VQ_SQL} AS vq FROM e),
-sigs AS (SELECT vec_id, v, {sig_sql} AS sig FROM vq),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         a.v AS va, b.v AS vb
-  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b, ea.v AS va, eb.v AS vb
+  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+              JOIN e eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, {cos} AS cos_ppm FROM pairs
 WHERE {cos} >= {NEARDUP_PPM}

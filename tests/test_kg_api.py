@@ -193,3 +193,41 @@ def test_lsh_topk_recall(spark):
               for r in q_ann_lsh_topk(spark, sf).collect()}
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.2, f"LSH recall@5 too low: {recall}"
+
+
+def test_embedding_neardup_or_blocking_recall(spark):
+    """Round-3 fix: multi-band OR-blocking must catch >= 95% of
+    threshold-GRAZING near-dup pairs (cos just above 0.999, where the
+    round-2 single-12-bit-signature blocking was bound at ~0.84), and
+    the band count must be 4 x 16 planes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from jsonld_js_spark.operators.similarity import (
+        ND_N_BANDS, ND_PLANES_PER_BAND, nd_band_sigs)
+
+    assert ND_N_BANDS == 4 and ND_PLANES_PER_BAND == 16
+    rng = np.random.default_rng(7)
+    n_pairs, dim = 300, 64
+    base = rng.normal(size=(n_pairs, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # rotate each vector by theta with cos(theta) ~ 0.9992 — just
+    # above the 0.999 verify threshold (grazing, not exact copies)
+    target = 0.9992
+    perp = rng.normal(size=(n_pairs, dim))
+    perp -= (perp * base).sum(axis=1, keepdims=True) * base
+    perp /= np.linalg.norm(perp, axis=1, keepdims=True)
+    mate = target * base + np.sqrt(1 - target ** 2) * perp
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_pairs)] + \
+           [(i + 10000, [float(x) for x in mate[i]]) for i in range(n_pairs)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    bands = (df.select("vec_id", F.posexplode(nd_band_sigs(F.col("v"))))
+             .select("vec_id", F.col("pos").alias("band"),
+                     F.col("col").alias("bsig")))
+    found = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band")) &
+        (F.col("a.bsig") == F.col("b.bsig")) &
+        (F.col("b.vec_id") == F.col("a.vec_id") + 10000))
+        .select("a.vec_id").distinct().count())
+    recall = found / n_pairs
+    assert recall >= 0.95, f"OR-blocking recall too low: {recall}"
