@@ -373,41 +373,148 @@ ORDER BY vec_a, vec_b
 
 
 # ---------------------------------------------------------------------------
-# IVF-style ANN: coarse quantizer = 8 FIXED data rows standing in for
-# trained centroids (a k-means pass would replace _CENTROID_IDS with
-# learned vectors; the plan shape — broadcast centroids, cell
-# assignment, NPROBE probing, exact re-rank — is what this operator
-# demonstrates and is unchanged by training). Vectors are assigned to
-# their nearest centroid cell (cos_ppm, centroid-id tiebreak); queries
-# probe their top-NPROBE cells and exact-rank the union. At scale the
-# assignment is one broadcast pass and each query touches
-# ~NPROBE/N_CELLS of the corpus.
+# IVF ANN with a TRAINED coarse quantizer: k-means (Lloyd) run as
+# DataFrame ops over the quantized int64 vectors. Round-3 fix — the
+# round-2 stand-in used 8 fixed data rows as "centroids" so every
+# probe touched ~N/4 of the corpus; now the quantizer is genuinely
+# trained (IVF_KMEANS_ITERS re-centering rounds) and cells are
+# balanced by the data.
+#
+# Cross-engine exactness: a centroid is kept as its member-SUM vector
+# (per-dim int64 sums) — cosine is scale-invariant, so cos(v, sum) ==
+# cos(v, mean) with NO float division in the centroid itself. The
+# assignment metric is floor(dot/(sqrt(na)*sqrt(nb))*1e6) on pure
+# int64 dot/norms: identical in Spark and DuckDB (each float op is a
+# single correctly-rounded IEEE op on identical integers). Overflow
+# bound: |sum_c|^2 <= 64*(n_c*1000)^2 — safe to n_c ~ 1e6 members per
+# cell; rescale vq (>> 4) beyond that.
+#
+# Plan shape at 100 TB: centroids are a K-row broadcast; each Lloyd
+# round is one narrow crossJoin(N x K) + one groupBy(cell) with
+# map-side partial sums; queries probe NPROBE cells and exact-rank
+# only those members. K here is 16 (~sqrt(N) at test scale); at 10^10
+# vectors K ~ 10^5 still broadcasts (K * 64 * 8B = 50 MB).
 
 IVF_NPROBE = 2
-_CENTROID_IDS = [20, 40, 60, 80, 100, 120, 140, 160]
+IVF_K = 16
+IVF_KMEANS_ITERS = 2
+_IVF_SEED_IDS = [3 + 11 * i for i in range(IVF_K)]  # deterministic init
+
+
+def _cents_np(cents_rows):
+    """Driver-side centroid state -> (cell ids (K,), CS (K, DIM))
+    int64 arrays, sorted by cell id (the stable-argsort tiebreak
+    relies on ascending cell order)."""
+    import numpy as np
+    rows = sorted(cents_rows)
+    cells = np.array([r[0] for r in rows], dtype=np.int64)
+    CS = np.stack([np.asarray(r[1], dtype=np.int64) for r in rows])
+    return cells, CS
+
+
+def _cell_ppm_np(VQ, CS):
+    """(B, K) quantized-cosine ppm matrix — exact int64 dots/norms,
+    each float op a single correctly-rounded IEEE op, so DuckDB's
+    list_sum/sqrt/floor SQL computes the identical values."""
+    import numpy as np
+    dots = VQ @ CS.T
+    na = np.sqrt((VQ * VQ).sum(axis=1, dtype=np.int64))
+    nb = np.sqrt((CS * CS).sum(axis=1, dtype=np.int64))
+    return np.floor(dots / (na[:, None] * nb[None, :]) * 1000000.0) \
+        .astype(np.int64)
+
+
+def ivf_train_cells(vqs):
+    """Lloyd k-means over quantized vectors; returns the trained
+    centroid state as a driver-side list [(cell, [per-dim sums])].
+
+    Each round is ONE mapInPandas pass fusing assignment (numpy int64
+    matmul against the broadcast centroid state) with per-partition
+    partial cell sums; the driver merges K x n_partitions partial
+    rows (the MLlib KMeans / treeAggregate pattern — the K-row
+    centroid table is the algorithm's broadcast state, not a data
+    path). 64 per-dim Catalyst sum() aggregations for the same math
+    cost ~3x in analysis/codegen alone."""
+    import numpy as np
+
+    cents_rows = [
+        (int(r["vec_id"]), list(r["vq"])) for r in
+        vqs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select("vec_id", "vq").collect()]
+    for _ in range(IVF_KMEANS_ITERS):
+        cells, CS = _cents_np(cents_rows)
+        K = len(cells)
+
+        def partial(batches):
+            import numpy as np
+            import pandas as pd
+            counts = np.zeros(K, dtype=np.int64)
+            sums = np.zeros((K, EMB_DIM), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                VQ = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+                ppm = _cell_ppm_np(VQ, CS)
+                # argmax with ties to the SMALLER cell index
+                best = np.argmax(ppm, axis=1)
+                np.add.at(sums, best, VQ)
+                np.add.at(counts, best, 1)
+            nz = counts > 0
+            yield pd.DataFrame({
+                "cell": cells[nz],
+                "s": list(sums[nz]),
+            })
+
+        partials = vqs.select("vq").mapInPandas(
+            partial, "cell long, s array<long>").collect()
+        merged = {}
+        for r in partials:
+            c = int(r["cell"])
+            s = np.asarray(r["s"], dtype=np.int64)
+            if c in merged:
+                merged[c] = merged[c] + s
+            else:
+                merged[c] = s
+        cents_rows = [(c, [int(x) for x in s])
+                      for c, s in sorted(merged.items())]
+    return cents_rows
+
+
+def ivf_probe_cells(vq_col, cents_rows, nprobe):
+    """pandas UDF column: quantized vector -> array of the top-nprobe
+    cell ids by (quantized cos desc, cell asc)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cells, CS = _cents_np(cents_rows)
+
+    def _probe(vs):
+        VQ = np.stack(vs.to_numpy()).astype(np.int64)
+        ppm = _cell_ppm_np(VQ, CS)
+        order = np.argsort(-ppm, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(cells[order].tolist())
+
+    return pandas_udf(_probe, "array<long>")(vq_col)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF top-k: train the quantizer, assign the corpus, probe each
+    query's top-NPROBE cells, exact-rank (double cosine) the union."""
     from pyspark.sql.window import Window
     e = _emb(spark, sf_dir).select(
         "vec_id", _vec_d(F.col("embedding")).alias("v"))
-    cents = F.broadcast(
-        e.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("v").alias("cv")))
-    scored = e.crossJoin(cents).select(
-        "vec_id", "v", "centroid_id",
-        _cos_ppm(F.col("v"), F.col("cv")).alias("c_ppm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_ppm"), F.asc("centroid_id"))
-    ranked = scored.withColumn("r", F.row_number().over(w_assign))
-    assign = (ranked.filter(F.col("r") == 1)
-              .select("vec_id", "v", F.col("centroid_id").alias("cell")))
-    probes = (ranked.filter((F.col("r") <= IVF_NPROBE) &
-                            (F.col("vec_id") < N_QUERIES))
+    vqs = e.select("vec_id", "v", _quantize(F.col("v")).alias("vq"))
+    cents_rows = ivf_train_cells(vqs.select("vec_id", "vq"))
+    probed = vqs.select(
+        "vec_id", "v",
+        ivf_probe_cells(F.col("vq"), cents_rows, IVF_NPROBE).alias("pc"))
+    assign = probed.select("vec_id", "v",
+                           F.element_at("pc", 1).alias("cell"))
+    probes = (probed.filter(F.col("vec_id") < N_QUERIES)
               .select(F.col("vec_id").alias("query_id"),
                       F.col("v").alias("qv"),
-                      F.col("centroid_id").alias("cell")))
+                      F.explode("pc").alias("cell")))
     cand = (assign.join(F.broadcast(probes), "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
             .dropDuplicates(["query_id", "vec_id"]))
@@ -422,46 +529,60 @@ def q_ann_ivf_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _int_cos_ppm_sql(vq: str, cs: str) -> str:
+    return (
+        f"cast(floor(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> {vq}[i] * {cs}[i])) / "
+        f"(sqrt(list_sum(list_transform({vq}, x -> x*x))) * "
+        f"sqrt(list_sum(list_transform({cs}, x -> x*x)))) * 1000000.0) "
+        f"as bigint)")
+
+
 def _oracle_ann_ivf() -> str:
-    ids = ", ".join(str(i) for i in _CENTROID_IDS)
-    cos_vc = _cos_ppm_sql("e.v", "c.cv")
+    seeds = ", ".join(str(i) for i in _IVF_SEED_IDS)
+    sums64 = ", ".join(f"cast(sum(vq[{i + 1}]) as bigint) AS s{i}"
+                      for i in range(EMB_DIM))
+    arr64 = "list_value(" + ", ".join(f"s{i}" for i in range(EMB_DIM)) + ")"
+    icos = _int_cos_ppm_sql("t.vq", "c.cs")
+    ctes = [
+        "e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"vqs AS (SELECT vec_id, v, {VQ_SQL} AS vq FROM e)",
+        f"c0 AS (SELECT vec_id AS cell, vq AS cs FROM vqs "
+        f"WHERE vec_id IN ({seeds}))",
+    ]
+    prev = "c0"
+    for it in range(1, IVF_KMEANS_ITERS + 1):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, vq, cell FROM ("
+            f"SELECT t.vec_id, t.vq, c.cell, "
+            f"row_number() OVER (PARTITION BY t.vec_id "
+            f"ORDER BY {icos} DESC, c.cell) AS r "
+            f"FROM vqs t CROSS JOIN {prev} c) WHERE r = 1)")
+        ctes.append(f"s{it} AS (SELECT cell, {sums64} FROM a{it} "
+                    f"GROUP BY cell)")
+        ctes.append(f"c{it} AS (SELECT cell, {arr64} AS cs FROM s{it})")
+        prev = f"c{it}"
     cos_qv = _cos_ppm_sql("cand.qv", "cand.v")
-    return f"""
-WITH e AS (
-  SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings
-),
-cents AS (
-  SELECT vec_id AS centroid_id, v AS cv FROM e
-  WHERE vec_id IN ({ids})
-),
-scored AS (
-  SELECT e.vec_id, e.v, c.centroid_id, {cos_vc} AS c_ppm,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY {cos_vc} DESC, c.centroid_id)
-           AS r
-  FROM e CROSS JOIN cents c
-),
-assign AS (
-  SELECT vec_id, v, centroid_id AS cell FROM scored WHERE r = 1
-),
-probes AS (
-  SELECT vec_id AS query_id, v AS qv, centroid_id AS cell
-  FROM scored WHERE r <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
-),
-cand AS (
-  SELECT DISTINCT p.query_id, p.qv, a.vec_id, a.v
-  FROM assign a JOIN probes p ON a.cell = p.cell
-  WHERE a.vec_id != p.query_id
-),
-ranked AS (
-  SELECT query_id, vec_id, {cos_qv} AS cos_ppm,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY {cos_qv} DESC, vec_id) AS rank
-  FROM cand
-)
-SELECT query_id, rank, vec_id, cos_ppm FROM ranked
-WHERE rank <= {TOP_K} ORDER BY query_id, rank
-"""
+    ctes += [
+        f"final_ranked AS (SELECT t.vec_id, t.v, c.cell, "
+        f"row_number() OVER (PARTITION BY t.vec_id "
+        f"ORDER BY {icos} DESC, c.cell) AS r "
+        f"FROM vqs t CROSS JOIN {prev} c)",
+        "assign AS (SELECT vec_id, v, cell FROM final_ranked WHERE r = 1)",
+        f"probes AS (SELECT vec_id AS query_id, v AS qv, cell "
+        f"FROM final_ranked WHERE r <= {IVF_NPROBE} "
+        f"AND vec_id < {N_QUERIES})",
+        "cand AS (SELECT DISTINCT p.query_id, p.qv, a.vec_id, a.v "
+        "FROM assign a JOIN probes p ON a.cell = p.cell "
+        "WHERE a.vec_id != p.query_id)",
+        f"ranked2 AS (SELECT query_id, vec_id, {cos_qv} AS cos_ppm, "
+        f"row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY {cos_qv} DESC, vec_id) AS rank FROM cand)",
+    ]
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT query_id, rank, vec_id, cos_ppm FROM ranked2 "
+            f"WHERE rank <= {TOP_K} ORDER BY query_id, rank")
 
 
 QUERIES = {
