@@ -115,8 +115,12 @@ def run_checkpointed_triples(
         })
         with lock:
             stats["ran"] += 1
-        if on_bucket_done is not None:
-            on_bucket_done(k)
+            # invoked under the lock so callbacks written for the
+            # sequential API stay race-free when max_concurrency > 1
+            # (per-bucket bookkeeping is cheap; Spark jobs themselves
+            # run outside the lock)
+            if on_bucket_done is not None:
+                on_bucket_done(k)
 
     if max_concurrency <= 1:
         for k in pending:

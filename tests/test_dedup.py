@@ -157,3 +157,28 @@ def test_simhash_band_candidates_stay_bounded(spark):
     c4_old = n_candidates(sh4, 8)
     assert c4_old > 10 * c4, (c4_old, c4)
     sh1.unpersist(); sh4.unpersist()
+
+
+def test_cc_long_chain_star_converges_label_raises(spark):
+    """Adversarial diameter (a 200-node path graph): label propagation
+    must REFUSE to return wrong labels past its round budget (round-3
+    ADVICE fix — it previously returned silently-wrong clusters),
+    while large-star/small-star converges within O(log n) rounds and
+    produces the exact single component."""
+    import pytest
+    from jsonld_js_spark.operators.dedup import connected_components
+
+    n = 200
+    chain = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    edges = df.unionAll(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=10)
+
+    labels = connected_components(edges, max_iters=12, algorithm="star")
+    rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert len(rows) == n
+    assert set(rows.values()) == {0}
