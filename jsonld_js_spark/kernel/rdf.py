@@ -100,18 +100,27 @@ def _list_to_rdf(dataset, list_items, graph_term, issuer, options):
     term as an object 5-tuple fragment (value, termtype, datatype, lang)."""
     if not list_items:
         return (RDF_NIL, "NamedNode", None, None)
-    # emit cells right-to-left so rdf:rest is known
-    bnodes = [issuer.get_id() for _ in list_items]
-    for i, item in enumerate(list_items):
-        subj = bnodes[i]
+    # allocation order mirrors the reference exactly (head link first,
+    # then per item: convert the item — which may allocate bnodes for
+    # nested structures — THEN the next link), so issued labels match
+    # jsonld.js byte-for-byte, not just modulo bijection
+    head = issuer.get_id()
+    subj = head
+    for item in list_items[:-1]:
         obj = _object_to_rdf(item, dataset, graph_term, issuer, options)
+        nxt = issuer.get_id()
         if obj is not None:
             dataset.append((subj, RDF_FIRST) + obj + (graph_term,))
-        rest = bnodes[i + 1] if i + 1 < len(list_items) else RDF_NIL
-        rest_type = "BlankNode" if i + 1 < len(list_items) else "NamedNode"
-        dataset.append((subj, RDF_REST, rest, rest_type, None, None,
+        dataset.append((subj, RDF_REST, nxt, "BlankNode", None, None,
                         graph_term))
-    return (bnodes[0], "BlankNode", None, None)
+        subj = nxt
+    obj = _object_to_rdf(list_items[-1], dataset, graph_term, issuer,
+                         options)
+    if obj is not None:
+        dataset.append((subj, RDF_FIRST) + obj + (graph_term,))
+    dataset.append((subj, RDF_REST, RDF_NIL, "NamedNode", None, None,
+                    graph_term))
+    return (head, "BlankNode", None, None)
 
 
 def _object_to_rdf(item, dataset, graph_term, issuer, options):

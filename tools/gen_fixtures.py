@@ -700,6 +700,34 @@ CASES += [
 
 
 
+# round-3: issued blank-node labels match the reference
+# byte-for-byte ("labels-exact" in the name switches the conformance
+# runner from P/R-mod-bijection to raw quad equality). The nested
+# list exercises the interleaved link/item allocation order of
+# lib/toRdf.js _listToRDF (head link, item conversion, next link).
+CASES += [
+    dict(
+        name=f"tordf-labels-exact-{i}",
+        op_override=["toRDF"],
+        input=doc,
+    )
+    for i, doc in enumerate([
+        {"@context": {"@vocab": EX}, "@id": EX + "s",
+         "p": [{"a": 1}, {"b": 2}],
+         "q": {"@list": [{"c": 3}, {"d": 4}]}},
+        {"@context": {"@vocab": EX},
+         "@graph": [{"x": {"y": {"z": 1}}}, {"@id": "_:user", "w": 2},
+                    {"lst": {"@list": [[{"e": 5}], "s"]}}]},
+        {"@context": {"@vocab": EX}, "@id": "_:outer",
+         "rev": {"@reverse": {"r": [{"m": 1},
+                                    {"@id": "_:user2", "n": 2}]}},
+         "named": {"@id": "_:g1", "@graph": [{"gg": {"hh": 1}}]}},
+        {"@context": {"@vocab": EX},
+         "deep": {"@list": [{"@list": [{"@list": ["x"]}, {"i": 1}]},
+                            {"j": 2}, {"@list": []}]}},
+    ])
+]
+
 CASES += [
     dict(
         name="tordf-generalized-rdf",
