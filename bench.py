@@ -39,10 +39,24 @@ def run_df(df) -> int:
 
 
 def time_query(fn, spark, sf_dir) -> tuple[float, int]:
-    t0 = time.time()
-    df = fn(spark, sf_dir)
-    n = df.count()
-    return time.time() - t0, n
+    """Median of SPARK_GRAFT_BENCH_REPS (default 3) runs per query
+    (VERDICT r2 item 1: single-shot per-query times on this VM carry
+    30-200% session-order noise — GC debt from earlier queries).
+    clearCache between reps so a query's internal .cache() cannot
+    make later reps artificially warm; JVM GC between reps levels the
+    heap-debt playing field."""
+    import statistics
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    times = []
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times.append(time.time() - t0)
+    spark.catalog.clearCache()
+    return statistics.median(times), n
 
 
 def flagship_run(spark, sf_dir=None, n_conv=None) -> tuple[float, int, int]:
