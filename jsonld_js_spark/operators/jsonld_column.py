@@ -104,13 +104,16 @@ def canonical_bnode_relabel(triples, order_exprs):
     broadcast-or-shuffle joins to rewrite subj/obj/graph."""
     rk = F.struct(*[e.alias(f"k{i}") for i, e in enumerate(order_exprs)])
     t = triples.withColumn("_rk", rk)
-    lab_rows = (
-        t.select(F.col("subj").alias("lab"), "_rk")
-        .where(F.col("subj").startswith("_:"))
-        .unionAll(t.select(F.col("obj_value").alias("lab"), "_rk")
-                  .where(F.col("obj_termtype") == "BlankNode"))
-        .unionAll(t.select(F.col("graph").alias("lab"), "_rk")
-                  .where(F.col("graph").startswith("_:"))))
+    # ONE pass over the input for all three label positions (a
+    # union-of-filters would re-evaluate the source per branch —
+    # expensive when it is a Python-UDF stage; pass a cached or
+    # committed table for best results)
+    lab_rows = t.select(F.explode(F.array_compact(F.array(
+        F.when(F.col("subj").startswith("_:"), F.col("subj")),
+        F.when(F.col("obj_termtype") == "BlankNode",
+               F.col("obj_value")),
+        F.when(F.col("graph").startswith("_:"), F.col("graph"))
+    ))).alias("lab"), "_rk")
     first = lab_rows.groupBy("lab").agg(F.min("_rk").alias("_frk"))
     spark = triples.sparkSession
     mapping = spark.createDataFrame(
@@ -121,12 +124,15 @@ def canonical_bnode_relabel(triples, order_exprs):
     def sub(col, cond, m_col):
         return F.when(cond, F.coalesce(m_col, col)).otherwise(col)
 
-    m_s = mapping.select(F.col("lab").alias("subj"),
-                         F.col("new_lab").alias("_ns"))
-    m_o = mapping.select(F.col("lab").alias("obj_value"),
-                         F.col("new_lab").alias("_no"))
-    m_g = mapping.select(F.col("lab").alias("graph"),
-                         F.col("new_lab").alias("_ng"))
+    # the mapping is one short row per distinct label — broadcast it
+    # (for label sets past broadcast size, drop the hint and let AQE
+    # pick a shuffle join; the rewrite is the same)
+    m_s = F.broadcast(mapping.select(F.col("lab").alias("subj"),
+                                     F.col("new_lab").alias("_ns")))
+    m_o = F.broadcast(mapping.select(F.col("lab").alias("obj_value"),
+                                     F.col("new_lab").alias("_no")))
+    m_g = F.broadcast(mapping.select(F.col("lab").alias("graph"),
+                                     F.col("new_lab").alias("_ng")))
     out = (triples.join(m_s, "subj", "left")
            .join(m_o, "obj_value", "left")
            .join(m_g, "graph", "left")
@@ -162,7 +168,7 @@ def q_jsonld_props_bnode_triples(spark, sf_dir):
     would emit."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     scoped = jsonld_column_to_triples(
-        e, "event_id", "props", {"@vocab": EX}, scope_bnodes=True)
+        e, "event_id", "props", {"@vocab": EX}, scope_bnodes=True).cache()
     order = [
         F.regexp_extract("subj", r"^_:b(\d+)-", 1).cast("long"),
         F.col("pred"), F.col("obj_value")]
