@@ -69,7 +69,15 @@ def expand(doc, options=None):
 
 
 def compact(doc, ctx, options=None):
-    """jsonld.compact (ref lib/jsonld.js:122-248)."""
+    """jsonld.compact (ref lib/jsonld.js:122-248).
+
+    Performance option (Spark loop paths): options['activeCompactCtx']
+    — a pre-processed compaction context (the result of
+    process_context(initial, ctx)). The caller must guarantee it was
+    processed from the SAME `ctx` value; loop-invariant context
+    processing then runs once per worker instead of once per document
+    (the reference's own processed-context cache plays this role,
+    ref lib/context.js:22-36 + lib/jsonld.js:152)."""
     options = _options_with_defaults(options)
     if ctx is None:
         raise JsonLdError("The compaction context must not be null.",
@@ -82,8 +90,10 @@ def compact(doc, ctx, options=None):
     ctx_value = ctx
     if isinstance(ctx_value, dict) and "@context" in ctx_value:
         ctx_value = ctx_value["@context"]
-    active_ctx = initial_context(options)
-    active_ctx = process_context(active_ctx, ctx_value, options)
+    active_ctx = options.get("activeCompactCtx")
+    if active_ctx is None:
+        active_ctx = initial_context(options)
+        active_ctx = process_context(active_ctx, ctx_value, options)
 
     if options.get("framing"):
         options = dict(options)
@@ -185,12 +195,49 @@ def from_rdf(dataset, options=None):
     return _from_rdf(dataset, options)
 
 
+def prepare_frame(frame_doc, options=None):
+    """Loop-invariant half of frame(): process the frame's context and
+    expand the FRAME once, for reuse across many input documents via
+    options['preparedFrame'] (the Spark per-conversation loop — the
+    frame is a constant; re-expanding it per document is pure waste).
+    Pass the SAME option values (processingMode, base) that the
+    frame() calls will use."""
+    from .context import expand_iri
+
+    options = _options_with_defaults(options)
+    frame_context = {}
+    if isinstance(frame_doc, dict) and "@context" in frame_doc:
+        frame_context = frame_doc["@context"]
+    active_ctx = process_context(initial_context(options), frame_context,
+                                 options) if frame_context else \
+        initial_context(options)
+    fopts = dict(options)
+    fopts["isFrame"] = True
+    fopts["keepFreeFloatingNodes"] = True
+    # never skipCopy the frame itself: the caller's frame_doc outlives
+    # this call and expansion may mutate its input
+    fopts.pop("skipCopy", None)
+    expanded_frame = expand(frame_doc, fopts)
+    frame_keys = [expand_iri(active_ctx, k, vocab=True)
+                  for k in (frame_doc or {})]
+    return {
+        "frameContext": frame_context,
+        "activeCtx": active_ctx,
+        "expandedFrame": expanded_frame,
+        "merged": "@graph" not in frame_keys,
+    }
+
+
 def frame(doc, frame_doc, options=None):
     """jsonld.frame (ref lib/jsonld.js:425-511): expand input + frame
     (frame in frame mode with free-floating nodes kept), run the
     framing algorithm over the merged (or default) graph, compact with
-    framing enabled, then replace @null with null."""
-    from .context import expand_iri
+    framing enabled, then replace @null with null.
+
+    options['preparedFrame'] (from prepare_frame) skips the per-call
+    frame-context processing and frame expansion; the expanded frame
+    is deep-copied per call so framing can never leak state between
+    documents."""
     from .framing import cleanup_null, frame_merged_or_default
 
     options = _options_with_defaults(options)
@@ -200,12 +247,14 @@ def frame(doc, frame_doc, options=None):
     options.setdefault("omitDefault", False)
     options.setdefault("bnodesToClear", [])
 
-    frame_context = {}
-    if isinstance(frame_doc, dict) and "@context" in frame_doc:
-        frame_context = frame_doc["@context"]
-    active_ctx = process_context(initial_context(options), frame_context,
-                                 options) if frame_context else \
-        initial_context(options)
+    prepared = options.get("preparedFrame")
+    if prepared is None:
+        prepared = prepare_frame(frame_doc, options)
+        expanded_frame = prepared["expandedFrame"]
+    else:
+        expanded_frame = copy.deepcopy(prepared["expandedFrame"])
+    frame_context = prepared["frameContext"]
+    active_ctx = prepared["activeCtx"]
     is11 = active_ctx.get("processingMode", "json-ld-1.1") == "json-ld-1.1"
     options.setdefault("omitGraph", is11)
     options.setdefault("pruneBlankNodeIdentifiers", is11)
@@ -215,12 +264,9 @@ def frame(doc, frame_doc, options=None):
     fopts = dict(options)
     fopts["isFrame"] = True
     fopts["keepFreeFloatingNodes"] = True
-    expanded_frame = expand(frame_doc, fopts)
 
     # frame the default graph if the frame mentions @graph, else merged
-    frame_keys = [expand_iri(active_ctx, k, vocab=True)
-                  for k in (frame_doc or {})]
-    fopts["merged"] = "@graph" not in frame_keys
+    fopts["merged"] = prepared["merged"]
     fopts["is11"] = is11
 
     framed = frame_merged_or_default(expanded, expanded_frame, fopts)
@@ -230,6 +276,8 @@ def frame(doc, frame_doc, options=None):
     copts["skipExpansion"] = True
     copts["link"] = {}
     copts["framing"] = True
+    # active_ctx IS process_context(initial, frame_context) — reuse it
+    copts["activeCompactCtx"] = active_ctx
     compacted = compact(framed, frame_context or {}, copts)
 
     copts["link"] = {}

@@ -421,9 +421,20 @@ def _nest_target(active_ctx, rval, item_active_property, options):
     return nest_result, nest_prop
 
 
+_CI_MISS = object()
+
+
 def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                 base=None):
-    """IRI Compaction (ref lib/compact.js:688-957)."""
+    """IRI Compaction (ref lib/compact.js:688-957).
+
+    Memoized per processed (immutable-after-processing) active context:
+    the result is a pure function of (iri, vocab, reverse, base) plus
+    the VALUE FEATURES the term-selection consults — the container
+    candidates and type/language key (ref lib/compact.js:744-871) —
+    which the memo key captures exactly, so structurally-identical
+    values share one selection. The memo rides the active context and
+    is dropped on clone, like _iri_memo (context.py:62)."""
     if iri is None:
         return iri
     if not isinstance(iri, str):
@@ -452,10 +463,13 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                 return term
         return iri
 
+    memo = active_ctx.get("_ci_memo")
+    if memo is None:
+        memo = active_ctx["_ci_memo"] = {}
+
     if vocab:
         inverse = get_inverse_context(active_ctx)
         if iri in inverse:
-            default_language = active_ctx.get("@language") or "@none"
             containers = []
             if isinstance(value, dict) and "@index" in value and \
                     not is_graph(value):
@@ -577,11 +591,44 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                     len(value) == 1:
                 containers.extend(["@language", "@language@set"])
 
+            # memo cut: everything from _select_term down is a pure
+            # function of this key (value matters only through the
+            # features above + its None-ness in the CURIE fallback)
+            key = (iri, reverse, base, value is None, type_or_language,
+                   type_or_language_value, tuple(containers))
+            try:
+                rval = memo.get(key, _CI_MISS)
+            except TypeError:
+                # GIGO features (e.g. a malformed value object whose
+                # @type is a list) — unhashable; skip the memo, the
+                # slow path has JS-parity handling for these
+                key = None
+                rval = _CI_MISS
+            if rval is not _CI_MISS:
+                return rval
             term = _select_term(active_ctx, iri, value, containers,
                                 type_or_language, type_or_language_value)
-            if term is not None:
-                return term
+            if term is None:
+                term = _compact_iri_tail(active_ctx, iri, value is None,
+                                         vocab, base)
+            if key is not None:
+                memo[key] = term
+            return term
 
+    key = (iri, vocab, reverse, base, value is None)
+    rval = memo.get(key, _CI_MISS)
+    if rval is _CI_MISS:
+        rval = _compact_iri_tail(active_ctx, iri, value is None, vocab,
+                                 base)
+        memo[key] = rval
+    return rval
+
+
+def _compact_iri_tail(active_ctx, iri, value_is_none, vocab, base):
+    """Post-selection fallbacks of IRI compaction (ref
+    lib/compact.js:874-957): @vocab suffix, shortest-least CURIE,
+    prefix-confusion guard, base relativization."""
+    if vocab:
         # @vocab suffix (ref lib/compact.js:874-886)
         vocab_iri = active_ctx.get("@vocab")
         if vocab_iri and iri.startswith(vocab_iri) and iri != vocab_iri:
@@ -608,7 +655,7 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                     continue
                 curie = term + ":" + iri[len(prefix_iri):]
                 is_usable = (curie not in active_ctx["mappings"] or
-                             (value is None and
+                             (value_is_none and
                               active_ctx["mappings"][curie].get("@id") ==
                               iri))
                 if is_usable and (candidate is None or

@@ -59,8 +59,9 @@ def _clone_active_context(active_ctx: dict) -> dict:
     child["mappings"] = dict(active_ctx["mappings"])
     child["protected"] = dict(active_ctx["protected"])
     child["inverse"] = None
-    # never share the IRI memo: the clone's mappings may diverge
+    # never share the IRI memos: the clone's mappings may diverge
     child.pop("_iri_memo", None)
+    child.pop("_ci_memo", None)
     return child
 
 

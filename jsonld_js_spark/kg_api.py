@@ -340,7 +340,16 @@ def compact_conversations_df(spark, sf_dir):
         import json as _json
 
         from .kernel import compact, from_rdf
+        from .kernel.context import initial_context, process_context
         from .vocab import TRANSCRIPT_CONTEXT
+        # loop-invariant: one processed compaction context per batch
+        # (kernel api option activeCompactCtx — the reference's
+        # processed-context cache plays this role); the from_rdf output
+        # is owned, so expansion inside compact() can skip the
+        # defensive deepcopy
+        base_opts = {"processingMode": "json-ld-1.1", "base": None}
+        cctx = process_context(initial_context(base_opts),
+                               dict(TRANSCRIPT_CONTEXT), base_opts)
         out = []
         for conv_iri, grp in pdf.groupby("conv_iri", sort=False):
             quads = [
@@ -348,7 +357,9 @@ def compact_conversations_df(spark, sf_dir):
                  r.obj_datatype, r.obj_language, r.graph)
                 for r in grp.itertuples()]
             doc = from_rdf(quads, {"useNativeTypes": True})
-            compacted = compact(doc, dict(TRANSCRIPT_CONTEXT))
+            compacted = compact(doc, dict(TRANSCRIPT_CONTEXT),
+                                {"skipCopy": True,
+                                 "activeCompactCtx": cctx})
             # compacted flattened form: nodes under @graph (or a
             # single node dict when only one node exists)
             nodes = compacted.get("@graph", [compacted])
@@ -359,7 +370,8 @@ def compact_conversations_df(spark, sf_dir):
                         _json.dumps(compacted, sort_keys=True)))
         return pd.DataFrame(out, columns=schema.fieldNames())
 
-    return (rows.repartition(16, "conv_iri")
+    n_part = spark.sparkContext.defaultParallelism
+    return (rows.repartition(n_part, "conv_iri")
             .sortWithinPartitions("conv_iri")
             .mapInPandas(batched_by_key("conv_iri", emit), schema=schema)
             .orderBy("conv_iri"))
@@ -513,6 +525,7 @@ def q_kg_frame_kernel_path(spark, sf_dir):
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         from .kernel import frame as kernel_frame
+        from .kernel.api import prepare_frame
         from .pipeline.kernel_path import build_conversation_doc
         from .vocab import MENTION_RE, TRANSCRIPT_CONTEXT, ENT_NS, TR
         frame_doc = {
@@ -521,6 +534,10 @@ def q_kg_frame_kernel_path(spark, sf_dir):
             "@requireAll": True,  # AND: typed Turn AND has usesTool
             "usesTool": {},
         }
+        # loop-invariant: expand the constant frame + process its
+        # context ONCE per batch; each frame() call deep-copies the
+        # tiny expanded frame instead of re-expanding it
+        prepared = prepare_frame(frame_doc)
         mention_iris = pdf["text"].str.findall(MENTION_RE).apply(
             lambda ms: [ENT_NS + "Entity" +
                         "".join(c for c in m if c.isdigit())
@@ -535,7 +552,9 @@ def q_kg_frame_kernel_path(spark, sf_dir):
             doc = build_conversation_doc(
                 conv_id, grp.sort_values("turn_idx")
                 .to_dict("records"))
-            framed = kernel_frame(doc, frame_doc)
+            framed = kernel_frame(doc, frame_doc,
+                                  {"preparedFrame": prepared,
+                                   "skipCopy": True})
             if not isinstance(framed, dict):
                 framed = {}
             nodes = framed.get("@graph", [framed])
@@ -556,7 +575,8 @@ def q_kg_frame_kernel_path(spark, sf_dir):
                 tools[0] if tools else None))
         return pd.DataFrame(out, columns=schema.fieldNames())
 
-    return (t.repartition(16, "conv_id")
+    n_part = spark.sparkContext.defaultParallelism
+    return (t.repartition(n_part, "conv_id")
             .sortWithinPartitions("conv_id", "turn_idx")
             .mapInPandas(batched_by_key("conv_id", emit), schema=schema)
             .orderBy("conv_iri"))
@@ -613,7 +633,8 @@ def q_kg_fromrdf_roundtrip(spark, sf_dir):
             out.extend(to_rdf(doc, {"skipCopy": True}))
         return pd.DataFrame(out, columns=TRIPLE_SCHEMA.fieldNames())
 
-    return (rows.repartition(16, "conv_iri")
+    n_part = spark.sparkContext.defaultParallelism
+    return (rows.repartition(n_part, "conv_iri")
             .sortWithinPartitions("conv_iri")
             .mapInPandas(batched_by_key("conv_iri", emit),
                          schema=TRIPLE_SCHEMA))

@@ -2009,6 +2009,23 @@ CASES += [
         options={"skipExpansion": True},
     ),
     dict(
+        # seed 51015: a malformed value object whose @type is a LIST
+        # (produced by expanding {"@type": iri, "@value": n} under a
+        # @container:@type term) must compact without crashing — the
+        # list never matches a term-selection map entry (JS GIGO), so
+        # selection falls through to the @vocab-suffix path
+        name="fuzz-type-container-list-type-value-gigo",
+        op_override=["compact"],
+        input=[{"@id": EX + "b",
+                EX + "delta": [
+                    {"@id": "http://www.w3.org/2001/XMLSchema#integer",
+                     "@type": ["@type"]},
+                    {"@value": 3, "@type": ["@value"]}]}],
+        context={"@vocab": EX,
+                 "delta": {"@id": EX + "delta", "@container": "@type"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
         name="fuzz-id-map-value-object-error",
         op_override=["expand-error"],
         input={"@context": {"delta": {"@id": EX + "delta",
