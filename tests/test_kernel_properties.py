@@ -105,3 +105,47 @@ def test_canonical_double_parses_back(v):
     # reference shape: optional sign, digits '.' digits, 'E', exponent
     import re
     assert re.fullmatch(r"-?\d\.\d+E-?\d+", s), s
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs)
+def test_compact_active_ctx_option_equal(doc):
+    """options['activeCompactCtx'] + skipCopy must be a pure
+    optimization: byte-identical output to the plain call (the Spark
+    batch loops rely on this — see kg_api.compact_conversations_df)."""
+    import json
+
+    from jsonld_js_spark.kernel import compact
+    from jsonld_js_spark.kernel.context import (
+        initial_context, process_context,
+    )
+    opts = {"processingMode": "json-ld-1.1", "base": None}
+    cctx = process_context(initial_context(opts), dict(CTX), opts)
+    plain = compact(expand(doc), dict(CTX))
+    fast = compact(expand(doc), dict(CTX),
+                   {"skipCopy": True, "activeCompactCtx": cctx})
+    assert json.dumps(plain, sort_keys=True) == \
+        json.dumps(fast, sort_keys=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs)
+def test_prepared_frame_option_equal(doc):
+    """options['preparedFrame'] must be a pure optimization: identical
+    framing output, and no state leak between consecutive calls (the
+    expanded frame is deep-copied per call)."""
+    import json
+
+    from jsonld_js_spark.kernel import frame
+    from jsonld_js_spark.kernel.api import prepare_frame
+    for fr in ({"@context": CTX},
+               {"@context": CTX, "p": {}},
+               {"@context": CTX, "@type": EX + "T", "@requireAll": True}):
+        prepared = prepare_frame(fr)
+        plain = frame(doc, fr)
+        fast1 = frame(doc, fr, {"preparedFrame": prepared})
+        fast2 = frame(doc, fr, {"preparedFrame": prepared})
+        assert json.dumps(plain, sort_keys=True) == \
+            json.dumps(fast1, sort_keys=True)
+        assert json.dumps(fast1, sort_keys=True) == \
+            json.dumps(fast2, sort_keys=True)
