@@ -463,6 +463,10 @@ def q_kg_nquads(spark, sf_dir):
                      ("\n", r"\\n"), ("\r", r"\\r"),
                      ("\t", r"\\t")):
         esc = F.regexp_replace(esc, pat, rep)
+    # one rlike test short-circuits the 5-pass escape chain for the
+    # overwhelmingly-common literal with nothing to escape
+    esc = F.when(F.col("obj_value").rlike('[\\\\"\n\r\t]'), esc) \
+           .otherwise(F.col("obj_value"))
     xsd_string = "http://www.w3.org/2001/XMLSchema#string"
     obj = (F.when(F.col("obj_termtype") != "Literal", 
                   F.when(F.col("obj_value").startswith("_:"),
