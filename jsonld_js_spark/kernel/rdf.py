@@ -245,6 +245,40 @@ _QUAD_RE = re.compile(
 _EMPTY_RE = re.compile(rf"^{_WSO}(#.*)?$")
 
 
+def parse_nquad_line(line: str, lineno: int = 0):
+    """Parse ONE N-Quads statement line into a quad tuple, or None for
+    an empty/comment line. A statement is self-contained, which is what
+    makes .nq files line-splittable for the distributed reader
+    (sources/nquads.py)."""
+    if _EMPTY_RE.match(line):
+        return None
+    m = _QUAD_RE.match(line)
+    if m is None:
+        where = f"on line {lineno}" if lineno else f"in {line[:80]!r}"
+        raise JsonLdError(f"N-Quads parse error {where}.",
+                          "N-Quads parse error")
+    g = m.groups()
+    # groups: 0 subj-iri, 1 subj-bnode, 2 pred-iri, 3 pred-bnode,
+    # 4 obj-iri, 5 obj-bnode, 6 literal-value, 7 datatype, 8 language,
+    # 9 graph-iri, 10 graph-bnode
+    subj = g[0] if g[0] is not None else g[1]
+    pred = g[2] if g[2] is not None else g[3]
+    if g[4] is not None:
+        obj = (g[4], "NamedNode", None, None)
+    elif g[5] is not None:
+        obj = (g[5], "BlankNode", None, None)
+    else:
+        value = _unescape_literal(g[6])
+        if g[7] is not None:
+            obj = (value, "Literal", g[7], None)
+        elif g[8] is not None:
+            obj = (value, "Literal", RDF_LANGSTRING, g[8])
+        else:
+            obj = (value, "Literal", XSD_STRING, None)
+    graph = g[9] if g[9] is not None else (g[10] or "")
+    return (subj, pred) + obj + (graph,)
+
+
 def parse_nquads(text: str) -> list[tuple]:
     """Parse N-Quads into quad tuples (N-Quads grammar re-implementation;
     comment lines allowed — the reference's fromRdf-0001 fixture relies on
@@ -252,32 +286,9 @@ def parse_nquads(text: str) -> list[tuple]:
     dataset = []
     seen = set()
     for lineno, line in enumerate(text.split("\n"), start=1):
-        if _EMPTY_RE.match(line):
+        quad = parse_nquad_line(line, lineno)
+        if quad is None:
             continue
-        m = _QUAD_RE.match(line)
-        if m is None:
-            raise JsonLdError(f"N-Quads parse error on line {lineno}.",
-                              "N-Quads parse error")
-        g = m.groups()
-        # groups: 0 subj-iri, 1 subj-bnode, 2 pred-iri, 3 pred-bnode,
-        # 4 obj-iri, 5 obj-bnode, 6 literal-value, 7 datatype, 8 language,
-        # 9 graph-iri, 10 graph-bnode
-        subj = g[0] if g[0] is not None else g[1]
-        pred = g[2] if g[2] is not None else g[3]
-        if g[4] is not None:
-            obj = (g[4], "NamedNode", None, None)
-        elif g[5] is not None:
-            obj = (g[5], "BlankNode", None, None)
-        else:
-            value = _unescape_literal(g[6])
-            if g[7] is not None:
-                obj = (value, "Literal", g[7], None)
-            elif g[8] is not None:
-                obj = (value, "Literal", RDF_LANGSTRING, g[8])
-            else:
-                obj = (value, "Literal", XSD_STRING, None)
-        graph = g[9] if g[9] is not None else (g[10] or "")
-        quad = (subj, pred) + obj + (graph,)
         if quad not in seen:
             seen.add(quad)
             dataset.append(quad)

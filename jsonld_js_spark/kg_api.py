@@ -644,6 +644,26 @@ def q_kg_fromrdf_roundtrip(spark, sf_dir):
                          schema=TRIPLE_SCHEMA))
 
 
+# ---------------------------------------------------------------------------
+def q_kg_nquads_source_roundtrip(spark, sf_dir):
+    """Distributed N-Quads sink → source round-trip (sources/nquads.py,
+    the scale path for the reference's N-Quads registry, ref
+    lib/jsonld.js:988-1015): the triple table is written as splittable
+    .nq part files by the column-expression serializer and re-parsed by
+    the per-line kernel grammar inside mapInPandas. The output must
+    equal the original triple set exactly — escapes, language tags and
+    datatype elision included — which the plain triple-derivation
+    oracle verifies."""
+    import os
+
+    from .sources import read_nquads, write_nquads
+    t = _triples(spark, sf_dir)
+    path = os.path.join(
+        "/tmp", f"jsonld_js_spark_nq_{os.path.basename(sf_dir.rstrip('/'))}")
+    write_nquads(t, path)
+    return read_nquads(spark, path)
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -657,6 +677,7 @@ def queries() -> dict:
         "kg_frame_kernel_path": q_kg_frame_kernel_path,
         "kg_fromrdf_roundtrip": q_kg_fromrdf_roundtrip,
         "kg_compact_conversations": q_kg_compact_conversations,
+        "kg_nquads_source_roundtrip": q_kg_nquads_source_roundtrip,
     }
 
 
@@ -682,4 +703,6 @@ def oracles(n_conv: int) -> dict:
         # tests/test_kg_api.py against the single-node kernel
         "kg_compact_conversations": oracle_kg_compact_conversations(
             triples_sql),
+        # sink→source round-trip must reproduce the triple set exactly
+        "kg_nquads_source_roundtrip": triples_sql,
     }
