@@ -343,3 +343,92 @@ QUERIES["text_chunks"] = q_text_chunks
 QUERIES["corpus_quality_filter"] = q_corpus_quality_filter
 ORACLES["text_chunks"] = ORACLE_TEXT_CHUNKS
 ORACLES["corpus_quality_filter"] = ORACLE_CORPUS_FILTER
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass of a training-data pipeline:
+# detect + replace emails / fixed-shape phone numbers / 9-digit id
+# runs, count what was redacted, fingerprint the scrubbed text. Pure
+# JVM column expressions (three regexp passes over one scan — narrow,
+# no shuffle, scan-bandwidth-bound at 100 TB). The synthetic
+# `documents` corpus contains no PII, so both engines INJECT
+# deterministic PII derived from doc_id first — the oracle then
+# verifies detection, replacement order, and the scrubbed hash
+# non-trivially. Patterns are restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate identically.
+PII_EMAIL_RE = r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_ID_RE = r"\b[0-9]{9}\b"
+
+
+def _pii_augmented(doc_id, text):
+    """text + deterministic injected PII (Spark side)."""
+    email = F.concat(F.lit(" contact user"), doc_id.cast("string"),
+                     F.lit("@mail.example.com"))
+    phone = F.concat(F.lit(" call +1-555-"),
+                     F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad((doc_id % 10000).cast("string"), 4, "0"))
+    ident = F.concat(F.lit(" account "),
+                     F.lpad((doc_id % 1000000000).cast("string"), 9, "0"))
+    return F.concat(
+        text,
+        F.when(doc_id % 3 == 0, email).otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, phone).otherwise(F.lit("")),
+        F.when(doc_id % 7 == 0, ident).otherwise(F.lit("")))
+
+
+_PII_AUG_SQL = """text
+  || (case when doc_id % 3 = 0
+        then ' contact user' || cast(doc_id as varchar)
+             || '@mail.example.com' else '' end)
+  || (case when doc_id % 5 = 0
+        then ' call +1-555-' || lpad(cast(doc_id % 1000 as varchar), 3, '0')
+             || '-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+        else '' end)
+  || (case when doc_id % 7 = 0
+        then ' account ' || lpad(cast(doc_id % 1000000000 as varchar), 9, '0')
+        else '' end)"""
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """(doc_id, n_emails, n_phones, n_ids, scrubbed_md5): counts per
+    PII class and the md5 of the text after ordered redaction
+    (emails -> [EMAIL], then phones -> [PHONE], then bare 9-digit
+    runs -> [ID]; order matters — the earlier passes must not leave
+    digit runs the later passes re-match)."""
+    d = _docs(spark, sf_dir)
+    aug = _pii_augmented(F.col("doc_id"), F.col("text"))
+    scrubbed = F.regexp_replace(aug, PII_EMAIL_RE, "[EMAIL]")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "[PHONE]")
+    scrubbed = F.regexp_replace(scrubbed, PII_ID_RE, "[ID]")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), 0))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), 0))
+         .alias("n_phones"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_ID_RE), 0))
+         .alias("n_ids"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_PII_SCRUB = f"""
+WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+SELECT doc_id,
+       cast(len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) as int)
+         AS n_emails,
+       cast(len(regexp_extract_all(aug, '{PII_PHONE_RE}')) as int)
+         AS n_phones,
+       cast(len(regexp_extract_all(aug, '{PII_ID_RE}')) as int)
+         AS n_ids,
+       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+             '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_PHONE_RE}', '[PHONE]', 'g'),
+             '{PII_ID_RE}', '[ID]', 'g')) AS scrubbed_md5
+FROM a ORDER BY doc_id
+"""
+
+QUERIES["text_pii_scrub"] = q_text_pii_scrub
+ORACLES["text_pii_scrub"] = ORACLE_TEXT_PII_SCRUB

@@ -45,3 +45,36 @@ def test_corpus_filter_conjunction(spark):
     assert kept <= expected
     assert kept == expected or len(expected - kept) < len(expected)
     assert kept  # non-trivial output
+
+
+def test_pii_scrub_semantics(spark):
+    """Redaction actually fires: injected emails/phones/ids are
+    counted, and a directly-scrubbed sample contains the replacement
+    tokens and none of the injected PII."""
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.operators.textstats import (
+        PII_EMAIL_RE, PII_ID_RE, PII_PHONE_RE, _pii_augmented,
+        q_text_pii_scrub,
+    )
+    rows = q_text_pii_scrub(spark, SF).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for doc_id, r in by_id.items():
+        assert r["n_emails"] == (1 if doc_id % 3 == 0 else 0), doc_id
+        assert r["n_phones"] == (1 if doc_id % 5 == 0 else 0), doc_id
+        assert r["n_ids"] == (1 if doc_id % 7 == 0 else 0), doc_id
+    # direct string check on one doc containing all three classes
+    target = next(d for d in by_id if d % 105 == 0)
+    df = spark.createDataFrame([(target, "hello world")],
+                               "doc_id long, text string")
+    aug = df.select(_pii_augmented(F.col("doc_id"),
+                                   F.col("text")).alias("a"))
+    scrubbed = aug.select(
+        F.regexp_replace(F.regexp_replace(F.regexp_replace(
+            F.col("a"), PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE, "[PHONE]"), PII_ID_RE, "[ID]").alias("s")
+    ).collect()[0]["s"]
+    assert "[EMAIL]" in scrubbed and "[PHONE]" in scrubbed \
+        and "[ID]" in scrubbed
+    assert "@mail.example.com" not in scrubbed
+    assert "+1-555-" not in scrubbed
