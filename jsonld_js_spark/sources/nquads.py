@@ -78,21 +78,15 @@ def write_nquads(triples: DataFrame, path: str, mode: str = "overwrite",
     lines.write.mode(mode).text(path)
 
 
-def read_nquads(spark, path, dedup: bool = False,
-                on_error: str = "raise") -> DataFrame:
-    """Source: .nq file(s)/directory → quad rows (TRIPLE_SCHEMA).
-
-    spark.read.text splits by line, so partitions parse independently
-    (narrow plan, no shuffle); each Arrow batch runs the kernel's
-    parse_nquad_line (kernel/rdf.py — the same grammar the single-node
-    parse_nquads uses, comments and blank lines included).
-
-    dedup=True adds the rdf-canonize statement-dedup semantics
-    parse_nquads applies within a document; distributed that is a
-    global dropDuplicates (one shuffle), so it is opt-in.
-    on_error='skip' drops unparsable lines instead of failing the job
-    (quarantine-and-continue ingestion); default is fail-fast.
-    """
+def parse_nquads_lines(lines: DataFrame,
+                       on_error: str = "raise") -> DataFrame:
+    """`value` text-line rows → quad rows via the kernel's per-line
+    grammar (kernel/rdf.py parse_nquad_line) inside Arrow-batched
+    mapInPandas. STATELESS, so the same plan serves batch reads and
+    Structured Streaming ingestion (streaming/ingest.py
+    stream_nquads_triples). on_error='skip' drops unparsable lines
+    instead of failing the job (quarantine-and-continue ingestion);
+    default is fail-fast."""
     import pandas as pd
 
     from ..kernel.rdf import parse_nquad_line
@@ -116,7 +110,21 @@ def read_nquads(spark, path, dedup: bool = False,
                     rows.append(quad)
             yield pd.DataFrame(rows, columns=cols)
 
-    out = spark.read.text(path).mapInPandas(parse, schema=TRIPLE_SCHEMA)
+    return lines.mapInPandas(parse, schema=TRIPLE_SCHEMA)
+
+
+def read_nquads(spark, path, dedup: bool = False,
+                on_error: str = "raise") -> DataFrame:
+    """Source: .nq file(s)/directory → quad rows (TRIPLE_SCHEMA).
+
+    spark.read.text splits by line, so partitions parse independently
+    (narrow plan, no shuffle) — see parse_nquads_lines.
+
+    dedup=True adds the rdf-canonize statement-dedup semantics
+    parse_nquads applies within a document; distributed that is a
+    global dropDuplicates (one shuffle), so it is opt-in.
+    """
+    out = parse_nquads_lines(spark.read.text(path), on_error=on_error)
     if dedup:
-        out = out.dropDuplicates(cols)
+        out = out.dropDuplicates(TRIPLE_SCHEMA.fieldNames())
     return out

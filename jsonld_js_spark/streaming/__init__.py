@@ -1,4 +1,4 @@
 from .ingest import (  # noqa: F401
     stream_conversation_sessions, stream_mention_counts,
-    stream_transcript_triples,
+    stream_nquads_triples, stream_transcript_triples,
 )

@@ -187,3 +187,26 @@ def stream_dedup_documents(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_nquads_triples(spark: SparkSession, input_dir: str,
+                          output_dir: str, checkpoint_dir: str,
+                          available_now: bool = True,
+                          on_error: str = "raise"):
+    """Continuous RDF ingestion: .nq files → triple table. The batch
+    N-Quads source's per-line parse (sources/nquads.py
+    parse_nquads_lines) is stateless, so the identical plan runs under
+    readStream — text file source → mapInPandas → parquet append,
+    exactly-once via the streaming checkpoint. on_error='skip' keeps a
+    malformed file from wedging the stream."""
+    from ..sources import parse_nquads_lines
+    lines = spark.readStream.text(input_dir)
+    triples = parse_nquads_lines(lines, on_error=on_error)
+    writer = (triples.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -92,3 +92,32 @@ def test_stream_dedup_documents(spark, tmp_path):
     assert len(fps) == len(set(fps)) == 3
     texts = {r["text"].lower().split()[0] for r in out}
     assert texts == {"alpha", "beta", "gamma"}
+
+
+def test_stream_nquads_matches_batch(spark, tmp_path):
+    """Streaming .nq ingestion == batch read_nquads on the same files,
+    including a second micro-batch appending a new file."""
+    from jsonld_js_spark.kernel import serialize_nquads
+    from jsonld_js_spark.sources import read_nquads
+    from jsonld_js_spark.streaming import stream_nquads_triples
+
+    EX = "http://example.org/"
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    q1 = [(EX + "s1", EX + "p", 'va "l" 1', "Literal", XS, None, ""),
+          ("_:b0", EX + "p", EX + "o", "NamedNode", None, None, EX + "g")]
+    q2 = [(EX + "s2", EX + "p", "deux", "Literal",
+           "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+           "fr", "")]
+    in_dir = tmp_path / "nq_in"
+    in_dir.mkdir()
+    (in_dir / "a.nq").write_text(serialize_nquads(q1))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_nquads_triples(spark, str(in_dir), out, ckpt) \
+        .awaitTermination(120)
+    (in_dir / "b.nq").write_text(serialize_nquads(q2))
+    stream_nquads_triples(spark, str(in_dir), out, ckpt) \
+        .awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in read_nquads(spark, str(in_dir)).collect()}
+    assert got == want == set(q1) | set(q2)
