@@ -592,10 +592,20 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                 containers.extend(["@language", "@language@set"])
 
             # memo cut: everything from _select_term down is a pure
-            # function of this key (value matters only through the
-            # features above + its None-ness in the CURIE fallback)
+            # function of this key. Beyond the features above,
+            # _select_term also reads value['@id'] (prefs order
+            # depends on whether it compacts back to a term — fuzz
+            # seed 92121) and the list-of-lists shape; the CURIE
+            # fallback reads value's None-ness. Capture ALL of them.
+            sel_id = value["@id"] if isinstance(value, dict) and \
+                "@id" in value else _CI_MISS
+            lol = isinstance(value, dict) and is_list(value) and \
+                bool(value.get("@list")) and \
+                all(isinstance(i, dict) and is_list(i)
+                    for i in value["@list"])
             key = (iri, reverse, base, value is None, type_or_language,
-                   type_or_language_value, tuple(containers))
+                   type_or_language_value, tuple(containers), sel_id,
+                   lol)
             try:
                 rval = memo.get(key, _CI_MISS)
             except TypeError:

@@ -2009,6 +2009,22 @@ CASES += [
         options={"skipExpansion": True},
     ),
     dict(
+        # seed 92121: under a @type:@vocab term, selection prefs
+        # depend on value['@id'] (a node REF whose @id compacts back
+        # to the term's IRI prefers @vocab over @id) — mixed values
+        # must not share one selection: the @id-less node object goes
+        # under the absolute-IRI key while the vocab ref keeps the term
+        name="fuzz-vocab-type-id-dependent-selection",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX, "@language": "en",
+                            "beta": {"@id": EX + "beta",
+                                     "@type": "@vocab"}},
+               "@id": EX + "d",
+               "beta": [-7, [True, ""], {"lang_t": -7}]},
+        context={"@vocab": EX, "@language": "en",
+                 "beta": {"@id": EX + "beta", "@type": "@vocab"}},
+    ),
+    dict(
         # seed 51015: a malformed value object whose @type is a LIST
         # (produced by expanding {"@type": iri, "@value": n} under a
         # @container:@type term) must compact without crashing — the
