@@ -137,10 +137,12 @@ NAT_NS = "http://example.org/nation/"
 REG_NS = "http://example.org/region/"
 
 
-def q_kg_customer_graph(spark, sf_dir):
+def _customer_graph(spark, sf_dir):
     """KG construction from relational sources: customer ⋈ nation ⋈
     region (dims broadcast — at 100 TB the fact side streams, the two
-    dim tables ship to every executor) → triples."""
+    dim tables ship to every executor) → triples. Unsorted: the
+    determinism orderBy lives only in the gated query so consumers
+    (kg_merge_sources) don't drag a global sort into their plans."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = F.broadcast(spark.read.parquet(f"{sf_dir}/nation.parquet"))
     r = F.broadcast(spark.read.parquet(f"{sf_dir}/region.parquet"))
@@ -171,8 +173,12 @@ def q_kg_customer_graph(spark, sf_dir):
              F.lit("Literal"), F.lit(XSD_STRING)),
     )
     return (j.select(F.explode(arr).alias("t")).select("t.*")
-            .dropDuplicates(["subj", "pred", "obj_value"])
-            .orderBy("subj", "pred", "obj_value"))
+            .dropDuplicates(["subj", "pred", "obj_value"]))
+
+
+def q_kg_customer_graph(spark, sf_dir):
+    return _customer_graph(spark, sf_dir).orderBy(
+        "subj", "pred", "obj_value")
 
 
 ORACLE_KG_CUSTOMER_GRAPH = f"""
@@ -214,11 +220,12 @@ USR_NS = "http://example.org/user/"
 XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 
 
-def q_kg_events_graph(spark, sf_dir):
+def _events_graph(spark, sf_dir):
     """events table → triples, exercising CANONICAL DOUBLE literals
     (ref lib/toRdf.js:237-243) as pure column expressions — the
     literal-canonicalization 'hard part' (SURVEY §7) in vectorized
-    form, byte-identical to the kernel and the DuckDB oracle."""
+    form, byte-identical to the kernel and the DuckDB oracle.
+    Unsorted (see _customer_graph)."""
     from .functions import canonical_double_col
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     evt = F.concat(F.lit(EVT_NS), F.col("event_id").cast("string"))
@@ -241,8 +248,12 @@ def q_kg_events_graph(spark, sf_dir):
         trip(evt, F.lit(TR + "ts"), ts_lex, F.lit("Literal"),
              F.lit(XSD_DATETIME)),
     )
-    return (e.select(F.explode(arr).alias("t")).select("t.*")
-            .orderBy("subj", "pred", "obj_value"))
+    return e.select(F.explode(arr).alias("t")).select("t.*")
+
+
+def q_kg_events_graph(spark, sf_dir):
+    return _events_graph(spark, sf_dir).orderBy(
+        "subj", "pred", "obj_value")
 
 
 def oracle_kg_events_graph() -> str:
@@ -424,8 +435,8 @@ def q_kg_merge_sources(spark, sf_dir):
     shuffle (uniform full-row key, map-side partial agg)."""
     t = _triples(spark, sf_dir).select("subj", "pred", "obj_value",
                                        "obj_termtype", "obj_datatype")
-    c = q_kg_customer_graph(spark, sf_dir)
-    e = q_kg_events_graph(spark, sf_dir)
+    c = _customer_graph(spark, sf_dir)
+    e = _events_graph(spark, sf_dir)
     merged = (t.unionAll(c).unionAll(e)
               .dropDuplicates(["subj", "pred", "obj_value",
                                "obj_termtype", "obj_datatype"]))
