@@ -95,3 +95,42 @@ def test_read_dedup(spark, tmp_path):
     p.write_text(f"{line}\n{line}\n{line}\n")
     assert read_nquads(spark, str(p)).count() == 3
     assert read_nquads(spark, str(p), dedup=True).count() == 1
+
+
+def test_roundtrip_property(spark, tmp_path):
+    """Property: ANY quad set with arbitrary literal text (unicode,
+    control chars, quotes, backslashes) survives the sink→source
+    round-trip exactly. Seeded random generation in ONE Spark job
+    (per-example Spark jobs would take minutes)."""
+    import random
+
+    rng = random.Random(20260817)
+
+    def rand_text():
+        n = rng.randrange(0, 40)
+        # bias toward the escape set + unicode + controls
+        pool = '"\\\n\r\t' + "ab éd中\x01\x7f'#<>@^"
+        return "".join(rng.choice(pool) for _ in range(n))
+
+    def quad():
+        s = rng.choice([EX + "s1", EX + "s2", "_:b0"])
+        kind = rng.choice(["lit", "lang", "typed", "iri", "bnode"])
+        if kind == "lit":
+            o = (rand_text(), "Literal", XSD_STRING, None)
+        elif kind == "lang":
+            o = (rand_text(), "Literal",
+                 "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+                 rng.choice(["en", "fr-CA", "de"]))
+        elif kind == "typed":
+            o = (rand_text(), "Literal",
+                 "http://www.w3.org/2001/XMLSchema#integer", None)
+        elif kind == "iri":
+            o = (EX + "o", "NamedNode", None, None)
+        else:
+            o = ("_:b9", "BlankNode", None, None)
+        return (s, EX + "p") + o + (rng.choice(["", EX + "g", "_:bg"]),)
+
+    quads = list({quad() for _ in range(120)})
+    path = str(tmp_path / "nq_prop")
+    write_nquads(_df(spark, quads), path)
+    assert _rows(read_nquads(spark, path)) == sorted(quads)
