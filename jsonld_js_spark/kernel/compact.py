@@ -11,6 +11,8 @@ JSON-LD output is requested; it is not on the triple-emission path.
 
 from __future__ import annotations
 
+import re
+
 from .context import (
     expand_iri, get_context_value, get_inverse_context, process_context,
 )
@@ -185,15 +187,15 @@ def compact(active_ctx, active_property, element, options=None):
             add_value(rval, alias, expanded_value)
             continue
 
+        # keywords other than @graph/@list/@included are added as-is
+        # under their alias; @included flows through the GENERIC
+        # per-item loop below (ref lib/compact.js:349-361) — that is
+        # what preserves an empty @included array and compacts each
+        # included node with term selection
         if expanded_property in ("@value", "@language", "@direction",
-                                 "@included", "@explicit", "@default",
+                                 "@explicit", "@default",
                                  "@embed", "@requireAll", "@omitDefault"):
             alias = compact_iri(active_ctx, expanded_property, vocab=True)
-            if expanded_property == "@included":
-                expanded_value = compact(active_ctx, active_property,
-                                         expanded_value, options)
-                if not isinstance(expanded_value, list):
-                    expanded_value = [expanded_value]
             add_value(rval, alias, expanded_value)
             continue
 
@@ -725,6 +727,14 @@ def _select_term(active_ctx, iri, value, containers, type_or_language,
             prefs.extend(["@id", "@vocab"])
     else:
         prefs.append(type_or_language_value)
+        # consider direction only (ref lib/compact.js:1131-1137): a
+        # "lang_dir" pref also tries its bare "_dir" form, so a term
+        # defined with @direction alone matches language+direction
+        # values (difftest seed 121172)
+        lang_dir = next((p for p in prefs
+                         if isinstance(p, str) and "_" in p), None)
+        if lang_dir:
+            prefs.append(re.sub(r"^[^_]+_", "_", lang_dir))
         # list of lists support
         if isinstance(value, dict) and is_list(value):
             lst = value.get("@list", [])

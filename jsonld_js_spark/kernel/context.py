@@ -62,6 +62,13 @@ def _clone_active_context(active_ctx: dict) -> dict:
     # never share the IRI memos: the clone's mappings may diverge
     child.pop("_iri_memo", None)
     child.pop("_ci_memo", None)
+    # REFERENCE QUIRK (ref lib/context.js:1364-1385): the clone copies
+    # @base/@language/@vocab but NOT @direction, and processingMode is
+    # restored after the clone (ref :195-196) while @direction never
+    # is — so the default direction silently dies at every context
+    # processing step (scoped/inline/array-element contexts). Verified
+    # against node (difftest seed 121171); faithful GIGO parity.
+    child.pop("@direction", None)
     return child
 
 

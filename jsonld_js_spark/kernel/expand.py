@@ -38,9 +38,18 @@ def _get_type_scoped_context(active_ctx, options):
     revertToPreviousContext (ref lib/expand.js:196-199 +
     lib/context.js:1391-1396), not a walk to the chain root: with
     @propagate:false contexts stacked under type-scoped ones the outer
-    terms must survive one revert."""
+    terms must survive one revert.
+
+    The reference reverts BY CLONING, and its clone drops @direction
+    (lib/context.js:1364-1385 quirk — see _clone_active_context);
+    clone only when that is observable."""
     prev = active_ctx.get("previousContext")
-    return prev if prev is not None else active_ctx
+    if prev is None:
+        return active_ctx
+    if "@direction" in prev:
+        from .context import _clone_active_context
+        return _clone_active_context(prev)
+    return prev
 
 
 def expand(active_ctx, element, active_property=None, options=None,
@@ -331,16 +340,22 @@ def _expand_object(active_ctx, active_property, element, rval, options,
             _expand_type(type_scoped_context, value, rval, options)
             continue
 
-        # @included (ref lib/expand.js:550-571)
+        # @included (ref lib/expand.js:550-571): expanded with the
+        # PARENT'S activeProperty — so an @id-only node under a
+        # null/@graph active property is dropped by the free-floating
+        # rule (ref :369-380), while under any other property it
+        # survives the recursion and then fails the STRICT isSubject
+        # check below (references are NOT accepted, ref
+        # graphTypes.js:18-29)
         if expanded_property == "@included":
             if active_ctx["processingMode"] == "json-ld-1.0":
                 continue
-            included = expand(active_ctx, value, "@included", options)
+            included = expand(active_ctx, value, active_property, options)
             included = included if isinstance(included, list) else [included]
-            if not all(is_subject(v) or is_subject_reference(v)
-                       for v in included):
-                raise JsonLdError("@included values must be node objects.",
-                                  "invalid @included value")
+            if not all(is_subject(v) for v in included):
+                raise JsonLdError(
+                    "values of @included must expand to node objects.",
+                    "invalid @included value")
             add_value(rval, "@included", included, property_is_array=True)
             continue
 

@@ -32,7 +32,8 @@ TERM_NAMES = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "id",
 
 
 def _iri(rng):
-    return EX + rng.choice(["a", "b", "c", "d", "n1", "n2", "x/y", "frag#z"])
+    return EX + rng.choice(["a", "b", "c", "d", "n1", "n2", "x/y",
+                            "frag#z", "px#q", "px#deep/leaf"])
 
 
 def random_context(rng: random.Random) -> dict:
@@ -63,6 +64,8 @@ def random_context(rng: random.Random) -> dict:
                      XSD + "boolean", "@json"])
             elif tr < 0.35:
                 td["@language"] = rng.choice(["en", "fr", None])
+            elif tr < 0.45:
+                td["@direction"] = rng.choice(["ltr", "rtl", None])
             if rng.random() < 0.35:
                 td["@container"] = rng.choice(
                     ["@list", "@set", "@index", "@language",
@@ -85,6 +88,12 @@ def random_context(rng: random.Random) -> dict:
         ctx["nest_t"] = {"@id": EX + "nest_t", "@nest": "meta"}
     if rng.random() < 0.1:
         ctx["@propagate"] = rng.random() < 0.5
+    if rng.random() < 0.12:
+        ctx["@direction"] = rng.choice(["ltr", "rtl"])
+    if rng.random() < 0.12:
+        # prefix term → CURIE expansion + shortest-least CURIE
+        # compaction via the fast map
+        ctx["px"] = {"@id": EX + "px#", "@prefix": True}
     return ctx
 
 
@@ -94,6 +103,8 @@ def _scalar(rng):
         {"@value": "v", "@language": "en"},
         {"@value": 3, "@type": XSD + "integer"},
         {"@value": "typed", "@type": EX + "T"},
+        {"@value": "dv", "@direction": "rtl"},
+        {"@value": "dl", "@language": "en", "@direction": "ltr"},
     ])
 
 
@@ -161,6 +172,8 @@ def random_node(rng, depth) -> dict:
             node[name] = random_value(rng, depth)
     if depth > 0 and rng.random() < 0.15:
         node["@graph"] = [random_node(rng, depth - 1)]
+    if depth > 0 and rng.random() < 0.08:
+        node["@included"] = [random_node(rng, 0)]
     if rng.random() < 0.1:
         node["@index"] = "ix"
     return node

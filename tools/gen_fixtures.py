@@ -2009,6 +2009,63 @@ CASES += [
         options={"skipExpansion": True},
     ),
     dict(
+        # seed 121042: @included values must expand to STRICT node
+        # objects — a bare node reference under a non-null/@graph
+        # active property survives expansion and must error
+        name="fuzz-included-reference-error",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "a",
+               "p": {"@id": EX + "b",
+                     "@included": {"@id": EX + "c"}}},
+    ),
+    dict(
+        # seed 121053/121158: @included expands with the PARENT's
+        # activeProperty, so an @id-only node under a null/@graph
+        # active property is dropped free-floating and the EMPTY
+        # @included array survives both expansion and compaction
+        name="fuzz-included-freefloating-drop-empty-preserved",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "d",
+               "@included": [{"@context": None, "@id": EX + "a"}],
+               "p": "v"},
+        context={"@vocab": EX},
+    ),
+    dict(
+        # seed 121171: the reference's active-context clone drops
+        # @direction (lib/context.js:1364-1385 copies only
+        # @base/@language/@vocab), so the default direction dies at
+        # every scoped/inline context processing step
+        name="fuzz-direction-lost-on-scoped-context",
+        op_override=["expand", "compact"],
+        input={"@context": {"@direction": "rtl", "@vocab": EX,
+                            "TypedThing": {
+                                "@id": EX + "TypedThing",
+                                "@context": {"scoped": EX + "scoped"}}},
+               "@id": EX + "a",
+               "plain_p": "top-keeps-rtl",
+               "child": {"@type": "TypedThing",
+                         "scoped": "direction-lost",
+                         "other": "also-lost"}},
+        context={"@direction": "rtl", "@vocab": EX,
+                 "TypedThing": {"@id": EX + "TypedThing",
+                                "@context": {"scoped": EX + "scoped"}}},
+    ),
+    dict(
+        # seed 121172: selection prefs for "lang_dir" also try the
+        # bare "_dir" form (ref lib/compact.js:1131-1137), so a term
+        # with @direction alone wins for language+direction values
+        name="fuzz-direction-only-term-selection",
+        op_override=["expand", "compact"],
+        input={"@context": {"@language": "de",
+                            "gamma": {"@id": EX + "gamma",
+                                      "@direction": "rtl"}},
+               "@id": EX + "a", "gamma": "plain"},
+        context={"@language": "de",
+                 "gamma": {"@id": EX + "gamma", "@direction": "rtl"}},
+    ),
+    dict(
         # seed 92121: under a @type:@vocab term, selection prefs
         # depend on value['@id'] (a node REF whose @id compacts back
         # to the term's IRI prefers @vocab over @id) — mixed values
