@@ -14,7 +14,7 @@ from .context import (
 )
 from .util import (
     JsonLdError, BCP47_RE, is_keyword, is_absolute_iri, add_value,
-    is_value, is_list, is_graph, is_subject, is_subject_reference,
+    is_value, is_list, is_graph, is_subject,
     is_empty_object,
 )
 
