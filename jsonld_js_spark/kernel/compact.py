@@ -55,6 +55,17 @@ def compact(active_ctx, active_property, element, options=None):
     if not isinstance(element, dict):
         return element
 
+    # use any scoped context on active_property for EVERY non-array
+    # element — BEFORE value compaction (ref lib/compact.js:103-112).
+    # Via process_context's clone this is also where the default
+    # @direction dies (reference clone quirk), which compact_value
+    # then observes (difftest seed 154053)
+    scoped_ctx = get_context_value(active_ctx, active_property,
+                                   "@context")
+    if scoped_ctx is not None:
+        active_ctx = process_context(active_ctx, scoped_ctx, options,
+                                     override_protected=True)
+
     # element is an object
     if options.get("link") is not None and "@id" in element and \
             element["@id"] in options["link"]:

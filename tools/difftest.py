@@ -49,6 +49,11 @@ def random_context(rng: random.Random) -> dict:
         ctx["id"] = "@id"
     if rng.random() < 0.15:
         ctx["type"] = "@type"
+    if rng.random() < 0.1:
+        ctx[rng.choice(["graph", "included", "language", "value"])] = \
+            rng.choice(["@graph", "@included", "@language", "@value"])
+    if rng.random() < 0.08:
+        ctx["@version"] = 1.1
     for name in rng.sample(TERM_NAMES[:6], rng.randint(1, 4)):
         if name in ctx:
             continue
@@ -70,7 +75,8 @@ def random_context(rng: random.Random) -> dict:
                 td["@container"] = rng.choice(
                     ["@list", "@set", "@index", "@language",
                      ["@index", "@set"], ["@graph", "@index"], "@id",
-                     "@type", ["@language", "@set"]])
+                     "@type", ["@language", "@set"], "@graph",
+                     ["@graph", "@id"], ["@graph", "@set"]])
             ctx[name] = td
     if rng.random() < 0.25:
         ctx["rev_t"] = {"@reverse": EX + "revprop"}
@@ -174,6 +180,9 @@ def random_node(rng, depth) -> dict:
         node["@graph"] = [random_node(rng, depth - 1)]
     if depth > 0 and rng.random() < 0.08:
         node["@included"] = [random_node(rng, 0)]
+    if depth > 0 and rng.random() < 0.08:
+        node["@reverse"] = {rng.choice(["gamma", EX + "rp"]):
+                            random_node(rng, 0)}
     if rng.random() < 0.1:
         node["@index"] = "ix"
     return node

@@ -2066,6 +2066,25 @@ CASES += [
                  "gamma": {"@id": EX + "gamma", "@direction": "rtl"}},
     ),
     dict(
+        # seed 154053: the scoped context on activeProperty is applied
+        # BEFORE value compaction (ref lib/compact.js:103-112), and its
+        # processing clone drops the default @direction (reference
+        # quirk) — so a direction-tagged value under a scoped-ctx term
+        # stays an expanded value object instead of a plain string
+        name="fuzz-scoped-ctx-kills-direction-before-compact-value",
+        op_override=["expand", "compact"],
+        input={"@context": {"@direction": "ltr",
+                            "nested": {"@id": EX + "nested",
+                                       "@context": {
+                                           "inner": EX + "inner"}}},
+               "@id": EX + "a",
+               "nested": {"@value": "dl", "@language": "en",
+                          "@direction": "ltr"}},
+        context={"@direction": "ltr",
+                 "nested": {"@id": EX + "nested",
+                            "@context": {"inner": EX + "inner"}}},
+    ),
+    dict(
         # seed 92121: under a @type:@vocab term, selection prefs
         # depend on value['@id'] (a node REF whose @id compacts back
         # to the term's IRI prefers @vocab over @id) — mixed values
