@@ -277,8 +277,13 @@ def compact(active_ctx, active_property, element, options=None):
             # (ref lib/compact.js:552-649)
             map_key = None
             if "@language" in container:
-                if is_value(compacted_item) or is_value(expanded_item):
-                    compacted_item = expanded_item.get("@value")
+                # the simplification tests the COMPACTED item for a
+                # literal "@value" key (ref lib/compact.js:567-570):
+                # when @value is term-ALIASED the compacted dict has no
+                # such key and stays an object in the language map
+                # (fuzz seed 171174)
+                if is_value(compacted_item):
+                    compacted_item = compacted_item.get("@value")
                 map_key = expanded_item.get("@language", "@none")
             elif "@index" in container:
                 index_key = get_context_value(active_ctx,
@@ -350,8 +355,14 @@ def compact(active_ctx, active_property, element, options=None):
                 if isinstance(map_key, list):
                     map_key = map_key[0] if map_key else "@none"
                 as_array = "@set" in container or not compact_arrays
-                add_value(map_object, map_key, compacted_item,
-                          property_is_array=as_array)
+                if isinstance(map_object, dict):
+                    add_value(map_object, map_key, compacted_item,
+                              property_is_array=as_array)
+                # else: JS GIGO parity (ref lib/compact.js:556-562 +
+                # node-verified, fuzz seed 163115) — a prior mixed item
+                # demoted the map into an ARRAY via addValue; JS then
+                # assigns the string key onto the array, which JSON
+                # serialization silently drops. The entry vanishes.
             else:
                 # array iff: compactArrays off, @set/@list container,
                 # empty-array item, or the EXPANDED property is
@@ -388,9 +399,12 @@ def _compact_graph_item(active_ctx, nest_result, item_active_property,
             key = compact_iri(active_ctx, "@none", vocab=True)
         inner = compacted_item if len(compacted_item) != 1 or \
             not compact_arrays else compacted_item[0]
-        add_value(map_object, key, inner,
-                  property_is_array=(not compact_arrays or
-                                     "@set" in container))
+        if isinstance(map_object, dict):
+            add_value(map_object, key, inner,
+                      property_is_array=(not compact_arrays or
+                                         "@set" in container))
+        # else: JS GIGO parity — string-keyed assignment onto an array
+        # vanishes in JSON (see the generic map branch note)
         return compacted_item
     if "@graph" in container and is_simple_graph(expanded_item):
         # simple graph, no keying container (ref :500-514); multiple
@@ -484,8 +498,12 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
         inverse = get_inverse_context(active_ctx)
         if iri in inverse:
             containers = []
+            # the guard is the PRESENCE of an @graph key, not
+            # is_graph() (ref lib/compact.js:724: `!('@graph' in
+            # value)`) — a non-graph node that merely HAS @graph gets
+            # no @index candidates (fuzz seed 163115, third layer)
             if isinstance(value, dict) and "@index" in value and \
-                    not is_graph(value):
+                    "@graph" not in value:
                 containers.append("@index")
                 containers.append("@index@set")
             # ANY non-value, non-graph object — node objects AND list

@@ -526,6 +526,11 @@ def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
             raise JsonLdError("reverse term container must be @index/@set.",
                               "invalid reverse property")
         mapping["@container"] = sorted(container)
+        if not container:
+            # explicit EMPTY @container: JS stores [] (truthy) while an
+            # absent @container stays undefined — the inverse context
+            # distinguishes them (fuzz seed 171174)
+            mapping["_container_empty_explicit"] = True
     else:
         mapping["@container"] = []
 
@@ -818,7 +823,18 @@ def get_inverse_context(active_ctx: dict) -> dict:
         mapping = active_ctx["mappings"][term]
         if mapping is None or mapping.get("@id") is None:
             continue
-        container = "".join(sorted(mapping.get("@container") or [])) or "@none"
+        # JS-falsy parity (ref lib/context.js:1213-1214): an EXPLICIT
+        # empty @container array is truthy in JS, so `[] || '@none'`
+        # keeps it and the join yields the '' container key — the term
+        # is then never selectable. An ABSENT @container (undefined in
+        # JS, our [] default) means '@none' (fuzz seed 171174)
+        raw_container = mapping.get("@container")
+        if raw_container:
+            container = "".join(sorted(raw_container))
+        elif mapping.get("_container_empty_explicit"):
+            container = ""
+        else:
+            container = "@none"
         iri = mapping["@id"]
         entry = inverse.setdefault(iri, {})
         _add_iri_to_terms(iris_to_terms, iri, term)

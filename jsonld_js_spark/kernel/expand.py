@@ -604,6 +604,13 @@ def _expand_type(type_ctx, value, rval, options):
         else:
             raise JsonLdError('"@type" value must be a string.',
                               "invalid type value")
+    if not out:
+        # addValue semantics (ref lib/expand.js:537-544 +
+        # util.js:265-280): an EMPTY @type array adds nothing unless
+        # framing (propertyIsArray=isFrame materializes the [])
+        if options.get("isFrame") and "@type" not in rval:
+            rval["@type"] = []
+        return
     if "@type" in rval:
         existing = rval["@type"]
         existing = existing if isinstance(existing, list) else [existing]

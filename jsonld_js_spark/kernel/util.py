@@ -323,8 +323,13 @@ class IdentifierIssuer:
 # --- JSON-LD value equality + set-semantics insert ---------------------------
 
 def _js_strict_eq(a, b) -> bool:
-    """JS === for scalars: false !== 0 and true !== 1, unlike Python's
-    bool/int equality."""
+    """JS === : false !== 0 and true !== 1 (unlike Python bool/int
+    equality), and OBJECTS/ARRAYS compare by REFERENCE — two
+    separately-built equal lists are !== (e.g. a value object whose
+    @type is an array from a type-map expansion never dedups against
+    a twin, ref lib/util.js:393-396; fuzz seed 172041)."""
+    if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
+        return a is b
     if isinstance(a, bool) != isinstance(b, bool):
         return False
     return a == b
@@ -337,9 +342,9 @@ def compare_values(v1, v2) -> bool:
             return True
     if is_value(v1) and is_value(v2) and \
             _js_strict_eq(v1.get("@value"), v2.get("@value")) and \
-            v1.get("@type") == v2.get("@type") and \
-            v1.get("@language") == v2.get("@language") and \
-            v1.get("@index") == v2.get("@index"):
+            _js_strict_eq(v1.get("@type"), v2.get("@type")) and \
+            _js_strict_eq(v1.get("@language"), v2.get("@language")) and \
+            _js_strict_eq(v1.get("@index"), v2.get("@index")):
         return True
     if isinstance(v1, dict) and "@id" in v1 and \
             isinstance(v2, dict) and "@id" in v2:

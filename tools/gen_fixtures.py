@@ -2066,6 +2066,84 @@ CASES += [
                  "gamma": {"@id": EX + "gamma", "@direction": "rtl"}},
     ),
     dict(
+        # seed 171174 layer 1: an EXPLICIT empty @container array is
+        # truthy in JS ([] || '@none' keeps []), landing the term's
+        # inverse entry under the '' key — never selectable; only an
+        # ABSENT @container means '@none'
+        name="fuzz-explicit-empty-container-unselectable",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "delta": [{"@id": EX + "b"}]}],
+        context={"delta": {"@id": EX + "delta", "@container": []}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        # seed 171174 layer 2: the language-map simplification tests
+        # the COMPACTED item for a literal "@value" key — when @value
+        # is term-aliased the compacted dict keeps its object form
+        # inside the language map
+        name="fuzz-language-map-aliased-value-object",
+        op_override=["expand", "compact"],
+        input={"@context": {"value": "@value",
+                            "delta": {"@id": EX + "delta",
+                                      "@container": ["@language",
+                                                     "@set"]}},
+               "@id": EX + "a",
+               "delta": {"en": ["y", "z"]}},
+        context={"value": "@value",
+                 "delta": {"@id": EX + "delta",
+                           "@container": ["@language", "@set"]}},
+    ),
+    dict(
+        # seed 172041: JS === compares objects/arrays by REFERENCE in
+        # compareValues, so two equal-but-separately-built value
+        # objects whose @type is an ARRAY (type-map expansion) never
+        # dedup in the node map
+        name="fuzz-array-type-value-objects-not-deduped",
+        op_override=["flatten"],
+        input={"@context": {"@vocab": EX,
+                            "gamma": {"@container": "@type"}},
+               "gamma": {"graph_t": [[[[0.1]]], 0.1]}},
+    ),
+    dict(
+        # seed 163115 layer 1: mixed index-map/array items — a graph
+        # object demotes the map into an ARRAY via addValue, and the
+        # next map item's string-keyed assignment onto that array
+        # silently vanishes (JS array-property GIGO, node-verified)
+        name="fuzz-index-map-demoted-to-array-gigo",
+        op_override=["compact"],
+        input=[{"http://example.com/idx_t": [{"http://example.com/beta": [
+            {"@index": "@id",
+             "@value": "http://example.com/px#deep/leaf"},
+            {"@graph": [], "@index": "gamma"},
+            {"@index": "idmap_t"}]}]}],
+        context={"@vocab": EX, "beta": {"@container": "@index"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
+        # seed 163115 layer 2: an EMPTY @type array adds nothing in
+        # expansion (addValue with propertyIsArray=false skips empty
+        # arrays; only framing materializes [])
+        name="fuzz-empty-type-array-dropped",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX},
+               "p": {"@type": [], "q": "v"}},
+        context={"@vocab": EX},
+    ),
+    dict(
+        # seed 163115 layer 3: the @index term-selection candidate
+        # guard is the PRESENCE of an @graph key (ref
+        # lib/compact.js:724), so a non-graph node that has @graph
+        # gets no @index candidates and falls back to the IRI key
+        name="fuzz-index-candidates-blocked-by-graph-key",
+        op_override=["compact"],
+        input=[{"http://example.com/idx_t": [{"http://example.com/beta": [
+            {"@graph": [], "@index": "gamma",
+             "http://example.com/delta": [{}]}]}]}],
+        context={"@vocab": EX, "beta": {"@container": "@index"}},
+        options={"skipExpansion": True},
+    ),
+    dict(
         # seed 154053: the scoped context on activeProperty is applied
         # BEFORE value compaction (ref lib/compact.js:103-112), and its
         # processing clone drops the default @direction (reference
