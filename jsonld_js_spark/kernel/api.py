@@ -255,7 +255,8 @@ def frame(doc, frame_doc, options=None):
         expanded_frame = copy.deepcopy(prepared["expandedFrame"])
     frame_context = prepared["frameContext"]
     active_ctx = prepared["activeCtx"]
-    is11 = active_ctx.get("processingMode", "json-ld-1.1") == "json-ld-1.1"
+    # ref api.processingMode(ctx, 1.1): an UNSET mode counts as 1.1
+    is11 = active_ctx.get("processingMode") in (None, "json-ld-1.1")
     options.setdefault("omitGraph", is11)
     options.setdefault("pruneBlankNodeIdentifiers", is11)
 

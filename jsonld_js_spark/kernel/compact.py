@@ -506,12 +506,29 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                     "@graph" not in value:
                 containers.append("@index")
                 containers.append("@index@set")
-            # ANY non-value, non-graph object — node objects AND list
-            # objects — is an @id/@type-map candidate, and these
-            # candidates precede the @list/@set ones
-            # (ref lib/compact.js:755-758)
-            if isinstance(value, dict) and not is_value(value) and \
-                    not is_graph(value):
+            # a preserve object contributes its first value
+            # (ref lib/compact.js:730-732)
+            if isinstance(value, dict) and "@preserve" in value:
+                pv = value["@preserve"]
+                value = pv[0] if isinstance(pv, list) and pv else None
+            # graph-container candidates are computed INDEPENDENTLY of
+            # the reverse/list/value chain below — a REVERSE graph
+            # value still gets them (ref lib/compact.js:735-758; fuzz
+            # seed 181323); any other non-value object is an
+            # @id/@type-map candidate
+            if isinstance(value, dict) and is_graph(value):
+                if "@index" in value:
+                    containers.extend(["@graph@index", "@graph@index@set",
+                                       "@index", "@index@set"])
+                if "@id" in value:
+                    containers.extend(["@graph@id", "@graph@id@set"])
+                containers.extend(["@graph", "@graph@set", "@set"])
+                if "@index" not in value:
+                    containers.extend(["@graph@index", "@graph@index@set",
+                                       "@index", "@index@set"])
+                if "@id" not in value:
+                    containers.extend(["@graph@id", "@graph@id@set"])
+            elif isinstance(value, dict) and not is_value(value):
                 containers.append("@id")
                 containers.append("@id@set")
                 containers.append("@type")
@@ -574,45 +591,28 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                     # 775-780: typeOrLanguage '@any', value '@none')
                     type_or_language = "@any"
                     type_or_language_value = "@none"
-            elif isinstance(value, dict) and is_graph(value):
-                if "@index" in value:
-                    containers.extend(["@graph@index", "@graph@index@set"])
-                if "@id" in value:
-                    containers.extend(["@graph@id", "@graph@id@set"])
-                containers.extend(["@graph", "@graph@set", "@set"])
-                if "@index" not in value:
-                    containers.extend(["@graph@index", "@graph@index@set"])
-                if "@id" not in value:
-                    containers.extend(["@graph@id", "@graph@id@set"])
-                containers.extend(["@index", "@index@set"])
-                type_or_language = "@type"
-                type_or_language_value = "@id"
-            elif isinstance(value, dict) and is_value(value):
-                if "@language" in value and "@index" not in value:
-                    containers.extend(["@language", "@language@set"])
-                    lang = value["@language"]
-                    if "@direction" in value:
-                        type_or_language_value = \
-                            f"{lang}_{value['@direction']}"
-                    else:
-                        type_or_language_value = lang
-                elif "@direction" in value and "@index" not in value:
-                    type_or_language_value = f"_{value['@direction']}"
-                elif "@type" in value:
-                    type_or_language = "@type"
-                    type_or_language_value = value["@type"]
             else:
-                # @id/@type-map candidates were already added above for
-                # object values; a bare IRI (value=None, e.g. a node's
-                # @type entry) gets just @set/@none here, so
-                # @type-container terms are NOT selected for it
-                # (ref lib/compact.js:843-847)
-                type_or_language = "@type"
-                type_or_language_value = "@id"
-                containers.append("@set")
-            if not (isinstance(value, dict) and is_graph(value)) and \
-                    not reverse and not (isinstance(value, dict) and
-                                         is_list(value)):
+                if isinstance(value, dict) and is_value(value):
+                    if "@language" in value and "@index" not in value:
+                        containers.extend(["@language", "@language@set"])
+                        lang = value["@language"]
+                        if "@direction" in value:
+                            type_or_language_value = \
+                                f"{lang}_{value['@direction']}"
+                        else:
+                            type_or_language_value = lang
+                    elif "@direction" in value and "@index" not in value:
+                        type_or_language_value = f"_{value['@direction']}"
+                    elif "@type" in value:
+                        type_or_language = "@type"
+                        type_or_language_value = value["@type"]
+                else:
+                    # graph values and bare IRIs (value=None, e.g. a
+                    # node's @type entry) select by @type/@id here —
+                    # graph CONTAINER candidates were added above
+                    # (ref lib/compact.js:843-847)
+                    type_or_language = "@type"
+                    type_or_language_value = "@id"
                 containers.append("@set")
             containers.append("@none")
             # index-less maps can hold index-less values

@@ -100,8 +100,22 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
     if not propagate and active_ctx.get("previousContext") is None:
         rval = _clone_active_context(active_ctx)
         rval["previousContext"] = active_ctx
+        # REFERENCE QUIRK (node-verified; fuzz seed 185008): this
+        # pre-loop clone drops processingMode (lib/context.js:1364-1385
+        # copies only @base/@language/@vocab) and the per-iteration
+        # restore (ref :195-197) reads it back from the SAME cloned
+        # ctx — so a FIRST context carrying boolean @propagate erases
+        # the processing mode for the rest of the document: the
+        # 1.0-mode keyword checks (including @propagate's own 1.0
+        # error, @json type bans, @version conflicts) stop firing and
+        # the engine behaves as 1.1
+        rval["processingMode"] = None
 
     for ctx in ctxs:
+        # the reference reassigns activeCtx to the previous iteration's
+        # rval (ref lib/context.js:95) — the mode checks below read THIS,
+        # which is how the pre-loop clone's mode erasure reaches them
+        active_ctx = rval
         if ctx is None:
             # reset (ref lib/context.js:159-173); protected terms block reset
             if not override_protected and rval["protected"]:

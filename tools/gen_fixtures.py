@@ -2066,6 +2066,33 @@ CASES += [
                  "gamma": {"@id": EX + "gamma", "@direction": "rtl"}},
     ),
     dict(
+        # seed 181323: graph-container candidates are computed
+        # INDEPENDENTLY of the reverse/list/value selection chain, so
+        # a @container:@graph term is selected for a REVERSE graph
+        # value (and the graph unwraps into the container)
+        name="fuzz-reverse-graph-container-selection",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "gamma": {"@container": "@graph"}},
+               "@reverse": {"gamma": {}}},
+        context={"@vocab": EX, "gamma": {"@container": "@graph"}},
+    ),
+    dict(
+        # seed 185008: a FIRST context carrying boolean @propagate
+        # triggers the previousContext-recording clone, which drops
+        # processingMode (the reference clone copies only
+        # @base/@language/@vocab) — the 1.0 keyword checks (including
+        # @propagate's own 1.0 error and the @json type ban) then stop
+        # firing and the engine behaves as 1.1
+        name="fuzz-propagate-erases-processing-mode",
+        op_override=["expand"],
+        input={"@context": {"@propagate": False, "@vocab": EX,
+                            "json_t": {"@id": EX + "j",
+                                       "@type": "@json"}},
+               "json_t": {"a": 1}},
+        options={"processingMode": "json-ld-1.0"},
+    ),
+    dict(
         # seed 171174 layer 1: an EXPLICIT empty @container array is
         # truthy in JS ([] || '@none' keeps []), landing the term's
         # inverse entry under the '' key — never selectable; only an
