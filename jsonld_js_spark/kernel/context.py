@@ -25,6 +25,9 @@ from .util import (
 CONTAINER_KEYWORDS = frozenset(
     ["@graph", "@id", "@index", "@language", "@list", "@set", "@type"])
 
+# ref lib/context.js:644 — /[:\/\?#\[\]@]$/ (IRI gen-delims only)
+_GEN_DELIM_END = re.compile(r"[:/?#\[\]@]$")
+
 
 def initial_context(options: dict) -> dict:
     """Fresh active context (ref lib/context.js:1153-1177)."""
@@ -434,11 +437,21 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str,
                         "term in form of IRI must expand to definition.",
                         "invalid IRI mapping")
             mapping["@id"] = iri
-            mapping["_prefix"] = (
-                not mapping["_term_has_colon"] and simple_term and
-                (iri.endswith(("/", "#", ":", "?", "&", ";", ",", "=", "@",
-                               "[", "]", "!", "'", "(", ")", "*", "+",
-                               "$")) or iri.startswith("_:")))
+            # _prefix mirrors the reference's raw JS expression value
+            # (ref lib/context.js:642-644): `simpleTerm &&
+            # !termHasColon && id.match(/[:\/\?#\[\]@]$/)` — i.e.
+            # False for dict-form terms, None (JS null) for simple
+            # string terms not ending in a gen-delim, and the match
+            # array for those that do. The three classes matter: the
+            # protected-redefinition _deepCompare (lib/context.js:920)
+            # distinguishes false vs null vs array, so a dict→string
+            # redefinition of a protected term errors even when @id
+            # is identical. Consumers only test truthiness.
+            if simple_term and not mapping["_term_has_colon"]:
+                m = _GEN_DELIM_END.search(iri)
+                mapping["_prefix"] = [m.group(0)] if m else None
+            else:
+                mapping["_prefix"] = False
     if "@id" not in mapping:
         if mapping["_term_has_colon"]:
             prefix = term.split(":", 1)[0]

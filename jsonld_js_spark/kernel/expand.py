@@ -347,9 +347,8 @@ def _expand_object(active_ctx, active_property, element, rval, options,
         # survives the recursion and then fails the STRICT isSubject
         # check below (references are NOT accepted, ref
         # graphTypes.js:18-29)
-        if expanded_property == "@included":
-            if active_ctx["processingMode"] == "json-ld-1.0":
-                continue
+        if expanded_property == "@included" and \
+                active_ctx["processingMode"] != "json-ld-1.0":
             included = expand(active_ctx, value, active_property, options)
             included = included if isinstance(included, list) else [included]
             if not all(is_subject(v) for v in included):
@@ -358,6 +357,11 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                     "invalid @included value")
             add_value(rval, "@included", included, property_is_array=True)
             continue
+        # in 1.0 mode the gate above (ref lib/expand.js:550
+        # `_processingMode(activeCtx, 1.1)`) FAILS and @included falls
+        # through to the generic property path: the value recurses with
+        # activeProperty=key and is re-added under '@included' with
+        # propertyIsArray and NO isSubject strictness
 
         # @graph (ref lib/expand.js:573-580)
         if expanded_property == "@graph":

@@ -100,6 +100,39 @@ def random_context(rng: random.Random) -> dict:
         # prefix term → CURIE expansion + shortest-least CURIE
         # compaction via the fast map
         ctx["px"] = {"@id": EX + "px#", "@prefix": True}
+    if rng.random() < 0.1:
+        # context-level protection: every term in this context is
+        # protected; inline patches then attempt redefinition
+        # (error parity: "protected term redefinition")
+        ctx["@protected"] = True
+    elif rng.random() < 0.08:
+        # per-term protection on a term inline patches override
+        ctx["alpha"] = {"@id": EX + "alpha", "@protected": True}
+    if rng.random() < 0.08:
+        # @type coercion @none: value never type-coerced (1.1)
+        ctx["none_t"] = {"@id": EX + "none_t", "@type": "@none"}
+    if rng.random() < 0.08:
+        # property-based index container (1.1): @index names a
+        # property the index key expands into
+        ctx["pidx_t"] = {"@id": EX + "pidx_t", "@container": "@index",
+                         "@index": EX + "idxprop"}
+    if rng.random() < 0.1:
+        # keyword aliases beyond graph/included/language/value
+        ctx[rng.choice(["lst", "st", "rev", "ix", "dirkw", "jsonkw"])] = \
+            rng.choice(["@list", "@set", "@reverse", "@index",
+                        "@direction", "@json", "@none"])
+    if rng.random() < 0.06:
+        # colliding aliases: two terms alias @id — compaction must
+        # pick deterministically (shortest/least)
+        ctx["idA"] = "@id"
+        ctx["idB"] = "@id"
+    if rng.random() < 0.06:
+        # relative @vocab (1.1: resolved against @base or doc base)
+        ctx["@vocab"] = rng.choice(["", "#", "./rel#"])
+        ctx.setdefault("@base", "http://base.org/dir/doc")
+    if rng.random() < 0.05:
+        # keyword-lookalike term: reference drops with a warning
+        ctx["@futureKeyword"] = EX + "futkw"
     return ctx
 
 
@@ -140,6 +173,10 @@ def random_value(rng, depth):
     if r < 0.7:
         return random_node(rng, depth - 1)
     if r < 0.8:
+        if rng.random() < 0.2:
+            # list of lists (JSON-LD 1.1)
+            return {"@list": [{"@list": [_scalar(rng) for _ in
+                                         range(rng.randint(0, 2))]}]}
         return {"@list": [_scalar(rng) for _ in range(rng.randint(0, 3))]}
     return [random_value(rng, depth - 1) for _ in range(rng.randint(1, 3))]
 
@@ -153,6 +190,12 @@ INLINE_CTX_PATCHES = [
     {"@base": "http://inner.org/base/"},
     {"zeta": None},  # term removal
     [{"@vocab": "http://other.org/"}, {"beta": "http://other.org/b"}],
+    # protected-redefinition attempts (error iff outer ctx protects):
+    {"alpha": EX + "alpha"},  # same-definition no-op redefinition
+    {"@protected": True, "newp": EX + "newp"},
+    # 1.1 override escape hatch: null reset is an error under
+    # protection unless the nulling context is exactly {"@protected"..}
+    {"alpha": {"@id": EX + "alpha-2", "@protected": True}},
 ]
 
 
@@ -207,6 +250,31 @@ def random_doc(seed: int):
         if isinstance(td, dict) and "@container" in td and \
                 name in node and rng.random() < 0.6:
             node[name] = _container_value(rng, td["@container"], 1)
+    # exercise this context's special terms when present
+    if "none_t" in ctx and rng.random() < 0.8:
+        node["none_t"] = rng.choice([EX + "ref", "rel-ref", 42])
+    if "pidx_t" in ctx and rng.random() < 0.8:
+        node["pidx_t"] = {"k0": random_node(rng, 0),
+                          "k1": {"@id": EX + "pv"}}
+    for alias in ("lst", "st", "rev", "ix", "dirkw", "jsonkw"):
+        if alias in ctx and rng.random() < 0.6:
+            kw = ctx[alias]
+            if kw == "@list":
+                node["alpha"] = {alias: [_scalar(rng)]}
+            elif kw == "@set":
+                node["alpha"] = {alias: [_scalar(rng), _scalar(rng)]}
+            elif kw == "@reverse":
+                node[alias] = {"gamma": random_node(rng, 0)}
+            elif kw == "@index":
+                node[alias] = "ixval"
+            elif kw == "@direction":
+                node["alpha"] = {"@value": "dv", alias: "rtl"}
+            elif kw == "@json":
+                node["alpha"] = {"@value": {"j": [1, None]}, "@type": alias}
+    if rng.random() < 0.1:
+        node[rng.choice(["alpha", "beta"])] = None  # null-valued prop drop
+    if rng.random() < 0.05:
+        node["@futureKeyword"] = "fkv"
     documents = None
     if os.environ.get("DIFFTEST_REMOTE") and rng.random() < 0.5:
         documents = REMOTE_DOCS
@@ -518,13 +586,13 @@ def random_frame(seed: int, doc: dict) -> dict:
     return frame
 
 
-def run_mine(op: str, doc, context=None, documents=None):
+def run_mine(op: str, doc, context=None, documents=None, options=None):
     from jsonld_js_spark.kernel import (
         ContextResolver, JsonLdError, compact, expand, flatten, frame,
         to_rdf,
     )
     from jsonld_js_spark.testing import event_logging_map
-    opts: dict = {}
+    opts: dict = dict(options or {})
     if documents:
         opts["contextResolver"] = ContextResolver(documents=documents)
     try:
@@ -590,24 +658,30 @@ def main(n_docs: int, seed0: int) -> int:
         docs = [c[0] for c in cases]
         docmaps = [c[1] for c in cases]
         frames = [random_frame(s, d) for s, d in zip(seeds, docs)]
+        # every 13th seed runs in json-ld-1.0 processing mode (1.1
+        # features must raise with reference-identical error codes)
+        opts_for = {s: ({"processingMode": "json-ld-1.0"}
+                        if s % 13 == 0 else {}) for s in seeds}
         reqs = []
-        for d, fr, dm in zip(docs, frames, docmaps):
+        for s, d, fr, dm in zip(seeds, docs, frames, docmaps):
             extra = {"documents": dm} if dm else {}
-            reqs.append({"op": "expand", "input": d, "options": {},
+            o = opts_for[s]
+            reqs.append({"op": "expand", "input": d, "options": dict(o),
                          **extra})
-            reqs.append({"op": "toRDF", "input": d, "options": {},
+            reqs.append({"op": "toRDF", "input": d, "options": dict(o),
                          **extra})
             reqs.append({"op": "compact", "input": d,
                          "context": d.get("@context") or {},
-                         "options": {}, **extra})
-            reqs.append({"op": "flatten", "input": d, "options": {},
+                         "options": dict(o), **extra})
+            reqs.append({"op": "flatten", "input": d, "options": dict(o),
                          **extra})
             reqs.append({"op": "frame", "input": d, "frame": fr,
-                         "options": {}, **extra})
+                         "options": dict(o), **extra})
         refs = run_reference_batch(reqs)
         for i, (seed, doc, docmap) in enumerate(zip(seeds, docs, docmaps)):
             ref_ex, ref_rdf, ref_c, ref_fl, ref_fr = refs[5 * i:5 * i + 5]
-            mine_ex = run_mine("expand", doc, documents=docmap)
+            mine_ex = run_mine("expand", doc, documents=docmap,
+                               options=opts_for[seed])
             ok = True
             why = ""
             if ref_ex["ok"] != mine_ex["ok"]:
@@ -622,7 +696,8 @@ def main(n_docs: int, seed0: int) -> int:
                     f"error-code diff ref={ref_ex.get('code')} "
                     f"mine={mine_ex.get('code')}")
             if ok and ref_rdf["ok"]:
-                mine_rdf = run_mine("toRDF", doc, documents=docmap)
+                mine_rdf = run_mine("toRDF", doc, documents=docmap,
+                                    options=opts_for[seed])
                 if not mine_rdf["ok"]:
                     ok, why = False, f"toRDF mine errored: {mine_rdf}"
                 else:
@@ -637,7 +712,8 @@ def main(n_docs: int, seed0: int) -> int:
             if ok:
                 mine_c = run_mine("compact", doc,
                                   doc.get("@context") or {},
-                                  documents=docmap)
+                                  documents=docmap,
+                                  options=opts_for[seed])
                 if ref_c["ok"] != mine_c["ok"]:
                     ok, why = False, (
                         f"compact ok-mismatch ref={str(ref_c)[:300]} "
@@ -649,7 +725,8 @@ def main(n_docs: int, seed0: int) -> int:
                         f"\nmine="
                         f"{json.dumps(mine_c['result'], sort_keys=True)[:1500]}")
             if ok:
-                mine_fl = run_mine("flatten", doc, documents=docmap)
+                mine_fl = run_mine("flatten", doc, documents=docmap,
+                                   options=opts_for[seed])
                 if ref_fl["ok"] != mine_fl["ok"]:
                     ok, why = False, (
                         f"flatten ok-mismatch ref={str(ref_fl)[:300]} "
@@ -666,7 +743,8 @@ def main(n_docs: int, seed0: int) -> int:
                                   ref_fr.get("code") is None)
             if ok and not ref_internal_crash:
                 mine_fr = run_mine("frame", doc, frames[i],
-                                   documents=docmap)
+                                   documents=docmap,
+                                   options=opts_for[seed])
                 if ref_fr["ok"] != mine_fr["ok"]:
                     ok, why = False, (
                         f"frame ok-mismatch ref={str(ref_fr)[:300]} "

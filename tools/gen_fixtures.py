@@ -2449,6 +2449,55 @@ CASES += [
         frame={"@context": {"@vocab": "http://example.org/"},
                "toString": {}},
     ),
+    # _prefix flavor (ref lib/context.js:642-644 + :920 _deepCompare):
+    # the stored `_prefix` is the raw JS expression value — false for
+    # dict-form terms, null for simple string terms whose IRI does not
+    # end in a gen-delim, the match array when it does. Protected
+    # redefinition deep-compares these, so a dict→string redefinition
+    # errors even with identical @id...
+    dict(
+        name="fuzz-protected-prefix-flavor-redef-error",
+        op_override=["expand-error"],
+        input={"@context": [{"@protected": True,
+                             "alpha": {"@id": EX + "alpha"}},
+                            {"alpha": EX + "alpha"}],
+               "alpha": "v"},
+    ),
+    # ...while a string→string identical redefinition is a no-op
+    dict(
+        name="fuzz-protected-string-redef-ok",
+        op_override=["expand"],
+        input={"@context": [{"@protected": True, "alpha": EX + "alpha"},
+                            {"alpha": EX + "alpha"}],
+               "alpha": "v"},
+    ),
+    # ...and only gen-delims [:/?#\[\]@] make a simple term a usable
+    # CURIE prefix: '&' (a sub-delim) and a blank-node @id do NOT, so
+    # "p:suf" stays an absolute-IRI key instead of prefix-expanding
+    dict(
+        name="fuzz-subdelim-ending-term-not-prefix",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX, "p": EX + "amp&"},
+               "p:suf": "v"},
+        context={"@vocab": EX, "p": EX + "amp&"},
+    ),
+    dict(
+        name="fuzz-bnode-id-term-not-prefix",
+        op_override=["expand"],
+        input={"@context": {"@vocab": EX, "b": "_:x"}, "b:suf": "v"},
+    ),
+    # 1.0 mode: the 1.1 gate on the @included branch (ref
+    # lib/expand.js:550) fails, so @included falls through to the
+    # GENERIC property path — expanded recursively and kept under
+    # '@included' with no isSubject strictness (it is NOT dropped)
+    dict(
+        name="fuzz-included-mode10-generic-path",
+        op_override=["expand"],
+        input={"@context": {"@vocab": EX}, "@id": "relative-x",
+               "@included": [{"@context": {"@vocab": "http://other.org/"},
+                              "graph_t": 0.1, "set_t": ""}]},
+        options={"processingMode": "json-ld-1.0"},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
