@@ -675,6 +675,106 @@ def q_kg_nquads_source_roundtrip(spark, sf_dir):
     return read_nquads(spark, path)
 
 
+# ---------------------------------------------------------------------------
+def q_kg_incremental_triples(spark, sf_dir):
+    """Incremental (delta) ingest — the nightly-batch production
+    pattern at 100 TB. An existing store holds triples for
+    conversations [0, 60%); a new batch re-processes conversations
+    [40%, 100%) (the 40-60% band models late-arriving / re-delivered
+    source data). The delta is batch ANTI JOIN store on the full
+    7-column triple identity, so re-delivered conversations contribute
+    ZERO duplicate triples to the warehouse.
+
+    Scale notes: the anti join is a plain equi-join for Catalyst
+    (eqNullSafe on every identity column — obj_datatype/obj_language
+    are nullable, so bare `=` would leak NULL-keyed duplicates through
+    the anti join); both sides hash-shuffle uniformly on the triple
+    identity. In production the store side is bucketed by
+    xxhash64(identity) so only the (much smaller) daily delta
+    shuffles; AQE converts the probe to a broadcast when a day's
+    delta is small.
+    """
+    from functools import reduce
+
+    from .transcripts import n_conv_for_sf, sf_from_dir
+    n_conv = n_conv_for_sf(sf_from_dir(sf_dir))
+    lo, hi = int(n_conv * 0.4), int(n_conv * 0.6)
+    t = transcripts_df(spark, sf_dir=sf_dir)
+    # conv_id is 'conv-<zero-padded ordinal>'; partition on the ordinal
+    cid = F.regexp_extract("conv_id", r"([0-9]+)$", 1).cast("bigint")
+    store = transcript_triples(t.filter(cid < hi)).alias("s")
+    batch = transcript_triples(t.filter(cid >= lo)).alias("b")
+    cond = reduce(lambda a, c: a & c,
+                  [F.col(f"b.{c}").eqNullSafe(F.col(f"s.{c}"))
+                   for c in ("subj", "pred", "obj_value", "obj_termtype",
+                             "obj_datatype", "obj_language", "graph")])
+    return batch.join(store, cond, "left_anti")
+
+
+def oracle_kg_incremental_triples(triples_sql: str, n_conv: int) -> str:
+    # every triple is conv-scoped (subj embeds its conv id) and the
+    # generator is deterministic, so the exact delta is the triples of
+    # conversations at or above the store's upper bound — which is
+    # precisely what the anti join must reduce the overlapping batch
+    # to (any NULL-handling leak in the join surfaces extra rows here)
+    hi = int(n_conv * 0.6)
+    return f"""
+WITH triples AS ({triples_sql})
+SELECT subj, pred, obj_value, obj_termtype, obj_datatype, obj_language,
+       graph
+FROM triples
+WHERE cast(regexp_extract(subj, 'conv-([0-9]+)', 1) as bigint) >= {hi}
+"""
+
+
+# ---------------------------------------------------------------------------
+def q_kg_degree_stats(spark, sf_dir):
+    """KG quality profile: per-node out-degree (+ distinct predicates)
+    and in-degree over NamedNode objects; top 50 hubs by total degree.
+    The standard post-construction QA query (hub detection, vocabulary
+    drift). Scale: two partial-aggregated groupBys on uniform IRI keys
+    and one full-outer join; the final top-k is a TakeOrdered, not a
+    global sort."""
+    t = _triples(spark, sf_dir, cache=True)
+    out_d = (t.groupBy(F.col("subj").alias("node"))
+             .agg(F.count("*").alias("out_degree"),
+                  F.countDistinct("pred").alias("n_preds")))
+    in_d = (t.filter(F.col("obj_termtype") == "NamedNode")
+            .groupBy(F.col("obj_value").alias("node"))
+            .agg(F.count("*").alias("in_degree")))
+    return (out_d.join(in_d, "node", "full_outer")
+            .select("node",
+                    F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                    F.coalesce("n_preds", F.lit(0)).alias("n_preds"),
+                    F.coalesce("in_degree", F.lit(0)).alias("in_degree"))
+            .withColumn("total_degree",
+                        F.col("out_degree") + F.col("in_degree"))
+            .orderBy(F.desc("total_degree"), "node").limit(50))
+
+
+def oracle_kg_degree_stats(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+outd AS (
+  SELECT subj AS node, cast(count(*) as bigint) AS out_degree,
+         cast(count(distinct pred) as bigint) AS n_preds
+  FROM triples GROUP BY subj
+),
+ind AS (
+  SELECT obj_value AS node, cast(count(*) as bigint) AS in_degree
+  FROM triples WHERE obj_termtype = 'NamedNode' GROUP BY obj_value
+)
+SELECT coalesce(o.node, i.node) AS node,
+       cast(coalesce(o.out_degree, 0) as bigint) AS out_degree,
+       cast(coalesce(o.n_preds, 0) as bigint) AS n_preds,
+       cast(coalesce(i.in_degree, 0) as bigint) AS in_degree,
+       cast(coalesce(o.out_degree, 0) + coalesce(i.in_degree, 0) as bigint)
+         AS total_degree
+FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+ORDER BY total_degree DESC, node LIMIT 50
+"""
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -689,6 +789,8 @@ def queries() -> dict:
         "kg_fromrdf_roundtrip": q_kg_fromrdf_roundtrip,
         "kg_compact_conversations": q_kg_compact_conversations,
         "kg_nquads_source_roundtrip": q_kg_nquads_source_roundtrip,
+        "kg_incremental_triples": q_kg_incremental_triples,
+        "kg_degree_stats": q_kg_degree_stats,
     }
 
 
@@ -716,4 +818,7 @@ def oracles(n_conv: int) -> dict:
             triples_sql),
         # sink→source round-trip must reproduce the triple set exactly
         "kg_nquads_source_roundtrip": triples_sql,
+        "kg_incremental_triples":
+            oracle_kg_incremental_triples(triples_sql, n_conv),
+        "kg_degree_stats": oracle_kg_degree_stats(triples_sql),
     }

@@ -263,3 +263,32 @@ def test_ivf_trained_quantizer_recall_and_balance(spark):
     n = e.count()
     assert len(sizes) >= 4
     assert max(r["count"] for r in sizes) < 0.8 * n
+
+
+def test_incremental_triples_delta_exact(spark):
+    """The delta ingest anti-join must drop every triple already in the
+    store — including rows whose nullable identity columns
+    (obj_datatype/obj_language) are NULL, which a non-null-safe join
+    condition would leak through as duplicates."""
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.kg_api import q_kg_incremental_triples
+    from jsonld_js_spark.transcripts import n_conv_for_sf, sf_from_dir
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_conv = n_conv_for_sf(sf_from_dir(sf_dir))
+    hi = int(n_conv * 0.6)
+    delta = q_kg_incremental_triples(spark, sf_dir).cache()
+    cid = F.regexp_extract("subj", r"conv-([0-9]+)", 1).cast("bigint")
+    # exactly the conversations above the store's upper bound
+    assert delta.filter(cid < hi).count() == 0
+    full = transcript_triples(transcripts_df(spark, sf_dir=sf_dir))
+    expected = full.filter(
+        F.regexp_extract("subj", r"conv-([0-9]+)", 1).cast("bigint") >= hi)
+    assert delta.count() == expected.count()
+    # NULL-keyed rows (NamedNode objects have NULL datatype+language)
+    # must have been matched and removed, not leaked
+    assert delta.filter(F.col("obj_datatype").isNull()).count() == \
+        expected.filter(F.col("obj_datatype").isNull()).count()
+    # and the delta contains no duplicate triples
+    assert delta.distinct().count() == delta.count()
