@@ -143,22 +143,25 @@ def compact(active_ctx, active_property, element, options=None):
 
         if expanded_property == "@type":
             # type values resolve against the ORIGINAL (pre-scoped)
-            # context (ref lib/compact.js:246-253 uses inputCtx)
-            if isinstance(expanded_value, str):
-                compacted_value = compact_iri(input_ctx, expanded_value,
-                                              vocab=True)
-            else:
-                compacted_value = [compact_iri(input_ctx, t, vocab=True)
-                                   for t in expanded_value]
-                if len(compacted_value) == 1 and compact_arrays:
-                    container = get_context_value(active_ctx, "@type",
-                                                  "@container") or []
-                    if "@set" not in container:
-                        compacted_value = compacted_value[0]
+            # context (ref lib/compact.js:246-253 uses inputCtx).
+            # NOTE the singleton unwrap IGNORES compactArrays (ref
+            # :253-255 has no option check): a lone @type compacts to
+            # a string even under compactArrays=false. Array form is
+            # forced only by @container:@set on the ALIAS in 1.1 mode
+            # (typeAsSet) or an empty expanded array (ref :263-268).
+            ev = expanded_value if isinstance(expanded_value, list) \
+                else [expanded_value]
+            compacted_value = [compact_iri(input_ctx, t, vocab=True)
+                               for t in ev]
+            if len(compacted_value) == 1:
+                compacted_value = compacted_value[0]
             alias = compact_iri(active_ctx, "@type", vocab=True)
-            as_array = not compact_arrays or (
-                isinstance(compacted_value, list) and
-                len(compacted_value) == 0)
+            container = get_context_value(active_ctx, alias,
+                                          "@container") or []
+            type_as_set = ("@set" in container and
+                           active_ctx["processingMode"] != "json-ld-1.0")
+            as_array = type_as_set or (
+                isinstance(compacted_value, list) and len(ev) == 0)
             add_value(rval, alias, compacted_value,
                       property_is_array=as_array)
             continue
@@ -276,6 +279,10 @@ def compact(active_ctx, active_property, element, options=None):
             # language/index/id/type map reconstruction
             # (ref lib/compact.js:552-649)
             map_key = None
+            is_map_container = ("@language" in container or
+                                "@index" in container or
+                                "@id" in container or
+                                "@type" in container)
             if "@language" in container:
                 # the simplification tests the COMPACTED item for a
                 # literal "@value" key (ref lib/compact.js:567-570):
@@ -284,13 +291,13 @@ def compact(active_ctx, active_property, element, options=None):
                 # (fuzz seed 171174)
                 if is_value(compacted_item):
                     compacted_item = compacted_item.get("@value")
-                map_key = expanded_item.get("@language", "@none")
+                map_key = expanded_item.get("@language")
             elif "@index" in container:
                 index_key = get_context_value(active_ctx,
                                               item_active_property,
                                               "@index") or "@index"
                 if index_key == "@index":
-                    map_key = expanded_item.get("@index", "@none")
+                    map_key = expanded_item.get("@index")
                     if isinstance(compacted_item, dict):
                         container_key = compact_iri(active_ctx, index_key,
                                                     vocab=True)
@@ -308,7 +315,7 @@ def compact(active_ctx, active_property, element, options=None):
                         [vals] if vals is not None else [])
                     key0 = vals[0] if vals else None
                     if not isinstance(key0, str):
-                        map_key = None  # → @none below
+                        map_key = None  # → aliased @none below
                     else:
                         map_key = key0
                         others = vals[1:]
@@ -318,26 +325,22 @@ def compact(active_ctx, active_property, element, options=None):
                             compacted_item[index_key] = others[0]
                         else:
                             compacted_item[index_key] = others
-                    if map_key is None:
-                        map_key = "@none"
             elif "@id" in container:
                 id_alias = compact_iri(active_ctx, "@id", vocab=True)
                 if isinstance(compacted_item, dict):
-                    map_key = compacted_item.pop(id_alias, "@none")
+                    map_key = compacted_item.pop(id_alias, None)
                     if isinstance(map_key, str) and not map_key.startswith(
                             "@"):
                         map_key = compact_iri(active_ctx,
                                               expanded_item.get("@id",
                                                                 "@none"),
                                               base=options.get("base"))
-                else:
-                    map_key = "@none"
             elif "@type" in container:
                 type_alias = compact_iri(active_ctx, "@type", vocab=True)
                 if isinstance(compacted_item, dict):
                     types = compacted_item.pop(type_alias, [])
                     types = types if isinstance(types, list) else [types]
-                    map_key = types.pop(0) if types else "@none"
+                    map_key = types.pop(0) if types else None
                     if types:
                         add_value(compacted_item, type_alias,
                                   types if len(types) > 1 else types[0])
@@ -347,14 +350,20 @@ def compact(active_ctx, active_property, element, options=None):
                             active_ctx, item_active_property,
                             {"@id": expanded_item["@id"]}, options)
                         compacted_item = recompacted
-                else:
-                    map_key = "@none"
-
-            if map_key is not None:
+            if is_map_container:
                 map_object = nest_result.setdefault(item_active_property, {})
                 if isinstance(map_key, list):
-                    map_key = map_key[0] if map_key else "@none"
-                as_array = "@set" in container or not compact_arrays
+                    map_key = map_key[0] if map_key else None
+                if not map_key:
+                    # EVERY falsy key (missing, null, empty string) is
+                    # indexed through compactIri('@none') — so a term
+                    # aliasing @none names the bucket (ref
+                    # lib/compact.js:640-643)
+                    map_key = compact_iri(active_ctx, "@none", vocab=True)
+                # propertyIsArray here is @set ONLY — unlike the @graph
+                # map branch, compactArrays does not force arrays (ref
+                # lib/compact.js:645-649)
+                as_array = "@set" in container
                 if isinstance(map_object, dict):
                     add_value(map_object, map_key, compacted_item,
                               property_is_array=as_array)
@@ -481,14 +490,17 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                     return term
         return iri
     if is_keyword(iri):
-        # keyword alias
+        # keyword simple-alias fast path: exact guard chain (ref
+        # lib/compact.js:710-716) and NO early return on miss — a
+        # keyword alias indexed under another container (e.g. a @type
+        # alias with @container:@set) is still selectable through the
+        # GENERIC vocab path below with its ['@set','@none'] candidates
         inverse = get_inverse_context(active_ctx)
         entry = inverse.get(iri)
-        if entry:
-            term = entry.get("@none", {}).get("@type", {}).get("@none")
-            if term:
-                return term
-        return iri
+        if entry and "@none" in entry and \
+                "@type" in entry["@none"] and \
+                "@none" in entry["@none"]["@type"]:
+            return entry["@none"]["@type"]["@none"]
 
     memo = active_ctx.get("_ci_memo")
     if memo is None:

@@ -500,9 +500,33 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str,
 
 def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
                             defined, options):
-    """@container/@type/@language/@direction/@context/@index/@nest parts of
-    createTermDefinition (ref lib/context.js:640-920)."""
+    """@type/@container/@index/@context/@language/@prefix/@direction/@nest
+    parts of createTermDefinition, in the REFERENCE'S key order (ref
+    lib/context.js:693-912) — the order decides WHICH error surfaces
+    when a definition has several invalid keys (e.g. @type:@json in 1.0
+    mode plus a 1.0-invalid @container must raise 'invalid type
+    mapping', not 'invalid container mapping')."""
     mode10 = active_ctx["processingMode"] == "json-ld-1.0"
+
+    if "@type" in value:
+        type_ = value["@type"]
+        if not isinstance(type_, str):
+            raise JsonLdError("@type must be a string.",
+                              "invalid type mapping")
+        if type_ == "@json" or type_ == "@none":
+            if mode10:
+                raise JsonLdError(f"{type_} needs JSON-LD 1.1.",
+                                  "invalid type mapping")
+        elif type_ not in ("@id", "@vocab"):
+            type_ = expand_iri(active_ctx, type_, vocab=True,
+                               local_ctx=local_ctx, defined=defined)
+            if not is_absolute_iri(type_):
+                raise JsonLdError("@type must expand to an absolute IRI.",
+                                  "invalid type mapping")
+            if type_.startswith("_:"):
+                raise JsonLdError("@type must not be a blank node.",
+                                  "invalid type mapping")
+        mapping["@type"] = type_
 
     if "@container" in value:
         raw = value["@container"]
@@ -558,6 +582,16 @@ def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
             # absent @container stays undefined — the inverse context
             # distinguishes them (fuzz seed 171174)
             mapping["_container_empty_explicit"] = True
+        # @type-container terms default their type mapping to @id and
+        # only allow @id/@vocab — INSIDE the @container block in the
+        # reference (ref lib/context.js:771-784), so this error beats
+        # any later @index/@context/... error
+        if "@type" in mapping["@container"]:
+            mapping.setdefault("@type", "@id")
+            if mapping["@type"] not in ("@id", "@vocab"):
+                raise JsonLdError(
+                    "container: @type requires @type to be @id or @vocab.",
+                    "invalid type mapping")
     else:
         mapping["@container"] = []
 
@@ -592,7 +626,27 @@ def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
         mapping["@language"] = lang.lower() if isinstance(lang, str) else None
         mapping["_has_language"] = True
 
-    if "@direction" in value and "@type" not in value:
+    if "@prefix" in value:
+        # ref lib/context.js:860 — term.match(/:|\//): '/' counts as
+        # compound too, not just ':'
+        if mapping["_term_has_colon"] or "/" in term:
+            raise JsonLdError("@prefix on compound term.",
+                              "invalid term definition")
+        if mode10:
+            raise JsonLdError("@prefix needs JSON-LD 1.1.",
+                              "invalid term definition")
+        if is_keyword(mapping.get("@id")):
+            raise JsonLdError("keywords may not be used as prefixes.",
+                              "invalid term definition")
+        if not isinstance(value["@prefix"], bool):
+            raise JsonLdError("@prefix must be boolean.",
+                              "invalid @prefix value")
+        mapping["_prefix"] = value["@prefix"]
+
+    # unlike @language, the reference's @direction block has NO
+    # "@type not in value" condition (ref lib/context.js:882-893) — a
+    # term with @type:@none AND @direction keeps its direction mapping
+    if "@direction" in value:
         direction = value["@direction"]
         if direction is not None and direction not in ("ltr", "rtl"):
             raise JsonLdError('@direction must be "ltr"/"rtl"/null.',
@@ -610,47 +664,6 @@ def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
             raise JsonLdError('@nest must be "@nest" or a term.',
                               "invalid @nest value")
         mapping["@nest"] = nest
-
-    if "@prefix" in value:
-        if mapping["_term_has_colon"]:
-            raise JsonLdError("@prefix on compound term.",
-                              "invalid term definition")
-        if mode10:
-            raise JsonLdError("@prefix needs JSON-LD 1.1.",
-                              "invalid term definition")
-        if not isinstance(value["@prefix"], bool):
-            raise JsonLdError("@prefix must be boolean.",
-                              "invalid @prefix value")
-        mapping["_prefix"] = value["@prefix"]
-
-    if "@type" in value:
-        type_ = value["@type"]
-        if not isinstance(type_, str):
-            raise JsonLdError("@type must be a string.",
-                              "invalid type mapping")
-        if type_ == "@json" or type_ == "@none":
-            if mode10:
-                raise JsonLdError(f"{type_} needs JSON-LD 1.1.",
-                                  "invalid type mapping")
-        elif type_ not in ("@id", "@vocab"):
-            type_ = expand_iri(active_ctx, type_, vocab=True,
-                               local_ctx=local_ctx, defined=defined)
-            if not is_absolute_iri(type_):
-                raise JsonLdError("@type must expand to an absolute IRI.",
-                                  "invalid type mapping")
-            if type_.startswith("_:"):
-                raise JsonLdError("@type must not be a blank node.",
-                                  "invalid type mapping")
-        mapping["@type"] = type_
-
-    # @type-container terms default their type mapping to @id and only
-    # allow @id/@vocab (ref lib/context.js:771-784)
-    if "@type" in mapping["@container"]:
-        mapping.setdefault("@type", "@id")
-        if mapping["@type"] not in ("@id", "@vocab"):
-            raise JsonLdError(
-                "container: @type requires @type to be @id or @vocab.",
-                "invalid type mapping")
 
 
 _MISS = object()

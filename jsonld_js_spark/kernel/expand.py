@@ -401,10 +401,11 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                       value_is_array=isinstance(value, list))
             continue
 
-        # @direction (ref lib/expand.js:624-650)
+        # @direction (ref lib/expand.js:624-650) — NO processing-mode
+        # gate: the reference's branch validates and keeps @direction
+        # even in json-ld-1.0 mode (only context.js gates @direction
+        # in term definitions / contexts)
         if expanded_property == "@direction":
-            if active_ctx["processingMode"] == "json-ld-1.0":
-                continue
             if not isinstance(value, str) and not options.get("isFrame"):
                 raise JsonLdError('"@direction" must be a string.',
                                   "invalid base direction")

@@ -610,7 +610,8 @@ def run_mine(op: str, doc, context=None, documents=None, options=None):
             return {"ok": True, "result": compact(doc, context,
                                                   dict(opts))}
         if op == "flatten":
-            return {"ok": True, "result": flatten(doc, None, dict(opts))}
+            return {"ok": True, "result": flatten(doc, context,
+                                                  dict(opts))}
         if op == "frame":
             return {"ok": True, "result": frame(doc, context, dict(opts))}
         if op == "merge":
@@ -662,6 +663,22 @@ def main(n_docs: int, seed0: int) -> int:
         # features must raise with reference-identical error codes)
         opts_for = {s: ({"processingMode": "json-ld-1.0"}
                         if s % 13 == 0 else {}) for s in seeds}
+
+        # per-seed compact-option variation (singleton-array
+        # preservation and top-level @graph wrapping interact with
+        # every container/selection rule)
+        def _c_opts(s, base):
+            o = dict(base)
+            if s % 7 == 3:
+                o["compactArrays"] = False
+            if s % 11 == 5:
+                o["graph"] = True
+            return o
+
+        # every 5th seed flattens WITH the doc's context (flatten then
+        # compacts the node map through the compaction engine)
+        def _fl_ctx(s, d):
+            return (d.get("@context") or {}) if s % 5 == 2 else None
         reqs = []
         for s, d, fr, dm in zip(seeds, docs, frames, docmaps):
             extra = {"documents": dm} if dm else {}
@@ -672,9 +689,12 @@ def main(n_docs: int, seed0: int) -> int:
                          **extra})
             reqs.append({"op": "compact", "input": d,
                          "context": d.get("@context") or {},
-                         "options": dict(o), **extra})
-            reqs.append({"op": "flatten", "input": d, "options": dict(o),
-                         **extra})
+                         "options": _c_opts(s, o), **extra})
+            fl_req = {"op": "flatten", "input": d, "options": dict(o),
+                      **extra}
+            if _fl_ctx(s, d) is not None:
+                fl_req["context"] = _fl_ctx(s, d)
+            reqs.append(fl_req)
             reqs.append({"op": "frame", "input": d, "frame": fr,
                          "options": dict(o), **extra})
         refs = run_reference_batch(reqs)
@@ -713,7 +733,7 @@ def main(n_docs: int, seed0: int) -> int:
                 mine_c = run_mine("compact", doc,
                                   doc.get("@context") or {},
                                   documents=docmap,
-                                  options=opts_for[seed])
+                                  options=_c_opts(seed, opts_for[seed]))
                 if ref_c["ok"] != mine_c["ok"]:
                     ok, why = False, (
                         f"compact ok-mismatch ref={str(ref_c)[:300]} "
@@ -725,7 +745,8 @@ def main(n_docs: int, seed0: int) -> int:
                         f"\nmine="
                         f"{json.dumps(mine_c['result'], sort_keys=True)[:1500]}")
             if ok:
-                mine_fl = run_mine("flatten", doc, documents=docmap,
+                mine_fl = run_mine("flatten", doc, _fl_ctx(seed, doc),
+                                   documents=docmap,
                                    options=opts_for[seed])
                 if ref_fl["ok"] != mine_fl["ok"]:
                     ok, why = False, (

@@ -2498,6 +2498,97 @@ CASES += [
                               "graph_t": 0.1, "set_t": ""}]},
         options={"processingMode": "json-ld-1.0"},
     ),
+    # --- parity finds from the extended compact-option fuzz grammar ---
+    # singleton @type unwraps to a string even under compactArrays=false
+    # (ref lib/compact.js:253-255 has no option check)
+    dict(
+        name="fuzz-type-singleton-ignores-compactarrays",
+        op_override=["compact"],
+        input=[{"@id": EX + "a", "@type": [EX + "T1"],
+                EX + "p": [{"@value": "v"}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True, "compactArrays": False},
+    ),
+    # ...but a 1.1 @type alias with @container:@set forces the array
+    # (typeAsSet, ref lib/compact.js:263-268)
+    dict(
+        name="fuzz-type-as-set-alias",
+        op_override=["compact"],
+        input=[{"@id": EX + "a", "@type": [EX + "T1"]}],
+        context={"@version": 1.1, "@vocab": EX,
+                 "type": {"@id": "@type", "@container": "@set"}},
+        options={"skipExpansion": True},
+    ),
+    # container-map falsy keys route through compactIri('@none'): a term
+    # ALIASING @none names the bucket (ref lib/compact.js:640-643), and
+    # map values stay scalar under compactArrays=false — propertyIsArray
+    # is @set-only in the map branch (ref :645-649)
+    dict(
+        name="fuzz-container-map-aliased-none-bucket",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "lbl": [{"@value": "tagged", "@language": "en"},
+                             {"@value": "untagged"}]}],
+        context={"@vocab": EX, "none": "@none",
+                 "lbl": {"@id": EX + "lbl", "@container": "@language"}},
+        options={"skipExpansion": True, "compactArrays": False},
+    ),
+    dict(
+        name="fuzz-id-map-aliased-none-bucket",
+        op_override=["compact"],
+        input=[{"@id": EX + "a",
+                EX + "post": [{EX + "t": [{"@value": "anon"}]},
+                              {"@id": EX + "p1",
+                               EX + "t": [{"@value": "named"}]}]}],
+        context={"@version": 1.1, "@vocab": EX, "nada": "@none",
+                 "post": {"@id": EX + "post", "@container": "@id"}},
+        options={"skipExpansion": True, "compactArrays": False},
+    ),
+    # term-definition key order decides which error surfaces: @type is
+    # validated BEFORE @container (ref lib/context.js:693-791), so
+    # @type:@json in 1.0 mode beats an invalid container
+    dict(
+        name="fuzz-termdef-type-error-beats-container",
+        op_override=["expand-error"],
+        input={"@context": {"t": {"@id": EX + "t", "@type": "@json",
+                                  "@container": "@graph"}},
+               "t": "v"},
+        options={"processingMode": "json-ld-1.0"},
+    ),
+    # @prefix guards: '/' in the term counts as compound (ref
+    # lib/context.js:860 term.match(/:|\//))...
+    dict(
+        name="fuzz-prefix-on-slash-term-error",
+        op_override=["expand-error"],
+        input={"@context": {"a/b": {"@id": EX + "ab", "@prefix": True}},
+               "a/b": "v"},
+    ),
+    # ...and a keyword @id may not be used as a prefix
+    dict(
+        name="fuzz-prefix-on-keyword-id-error",
+        op_override=["expand-error"],
+        input={"@context": {"kw": {"@id": "@type", "@prefix": True}},
+               "kw": "v"},
+    ),
+    # expansion keeps a node-object @direction even in 1.0 mode — only
+    # CONTEXT @direction is mode-gated (ref lib/expand.js:624-650 has no
+    # processingMode check)
+    dict(
+        name="fuzz-value-direction-mode10-kept",
+        op_override=["expand", "toRDF"],
+        input={"@context": {"@vocab": EX},
+               "p": {"@value": "x", "@direction": "ltr"}},
+        options={"processingMode": "json-ld-1.0"},
+    ),
+    # compact with graph:true wraps the result in a top-level @graph
+    dict(
+        name="fuzz-compact-graph-option",
+        op_override=["compact"],
+        input=[{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True, "graph": True,
+                 "compactArrays": False},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
