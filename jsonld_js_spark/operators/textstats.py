@@ -79,28 +79,41 @@ def q_text_quality(spark, sf_dir):
     portable — Spark round() is decimal HALF_UP, DuckDB rounds the
     binary double)."""
     d = _docs(spark, sf_dir)
-    norm = _norm(F.col("text"))
-    padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    n_tokens = F.size(F.split(norm, " "))
+    # staged like q_text_langid: normalize once, count from the column
+    normed = d.select(
+        "doc_id", _norm(F.col("text")).alias("_norm"))
+    padded = F.concat(F.lit(" "), F.col("_norm"), F.lit(" "))
     stop_hits = None
     for m in EN_STOPWORDS:
         c = _count_occurrences(padded, m)
         stop_hits = c if stop_hits is None else stop_hits + c
-    n_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    counted = normed.select(
+        "doc_id",
+        F.size(F.split(F.col("_norm"), " ")).alias("n_tokens"),
+        stop_hits.alias("_stop_hits"),
+        F.length(F.replace(F.col("_norm"), F.lit(" "), F.lit("")))
+         .alias("_n_chars"))
+    n_tokens = F.col("n_tokens")
     # exact integer arithmetic (all intermediates < 2^53 → floor stable)
-    stop_ppm = F.floor(stop_hits * F.lit(1000000.0) / n_tokens).cast("long")
-    mean_tok_ppm = F.floor(n_chars * F.lit(1000000.0) / n_tokens).cast("long")
+    stop_ppm = F.floor(F.col("_stop_hits") * F.lit(1000000.0) /
+                       n_tokens).cast("long")
+    mean_tok_ppm = F.floor(F.col("_n_chars") * F.lit(1000000.0) /
+                           n_tokens).cast("long")
     length_ppm = F.least(F.lit(1000000), (n_tokens * 10000).cast("long"))
-    score_ppm = (
-        F.floor(length_ppm * 0.4).cast("long") +
-        F.floor(stop_ppm * 0.4).cast("long") +
-        F.least(F.lit(200000),
-                F.floor(mean_tok_ppm * 0.2 / 8.0).cast("long")))
-    return d.select(
-        "doc_id", n_tokens.alias("n_tokens"),
+    ppm = counted.select(
+        "doc_id", "n_tokens",
         stop_ppm.alias("stopword_ratio_ppm"),
         mean_tok_ppm.alias("mean_token_len_ppm"),
-        length_ppm.alias("length_factor_ppm"),
+        length_ppm.alias("length_factor_ppm"))
+    score_ppm = (
+        F.floor(F.col("length_factor_ppm") * 0.4).cast("long") +
+        F.floor(F.col("stopword_ratio_ppm") * 0.4).cast("long") +
+        F.least(F.lit(200000),
+                F.floor(F.col("mean_token_len_ppm") * 0.2 / 8.0)
+                 .cast("long")))
+    return ppm.select(
+        "doc_id", "n_tokens", "stopword_ratio_ppm",
+        "mean_token_len_ppm", "length_factor_ppm",
         score_ppm.alias("quality_score_ppm"),
     ).orderBy("doc_id")
 
@@ -133,11 +146,9 @@ FROM t ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-def q_text_langid(spark, sf_dir):
-    """Marker-word language ID; `lang_match` compares against the
-    table's lang column (the generator's ground truth)."""
-    d = _docs(spark, sf_dir)
-    padded = F.concat(F.lit(" "), _norm(F.col("text")), F.lit(" "))
+def _lang_score_exprs(padded) -> dict:
+    """Per-language marker-count Columns over a padded-normalized text
+    Column."""
     scores = {}
     for lang, markers in LANG_MARKERS.items():
         s = None
@@ -145,15 +156,42 @@ def q_text_langid(spark, sf_dir):
             c = _count_occurrences(padded, m)
             s = c if s is None else s + c
         scores[lang] = s
-    best = F.greatest(*scores.values())
-    pred = (F.when(best == 0, "und")
-             .when(scores["en"] == best, "en")
-             .when(scores["de"] == best, "de")
-             .when(scores["fr"] == best, "fr")
+    return scores
+
+
+def _lang_pred_from_cols():
+    """lang_pred CASE over already-projected score_{lang} columns."""
+    sc = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
+    best = F.greatest(*sc.values())
+    return (F.when(best == 0, "und")
+             .when(sc["en"] == best, "en")
+             .when(sc["de"] == best, "de")
+             .when(sc["fr"] == best, "fr")
              .otherwise("es"))
-    return d.select(
+
+
+def q_text_langid(spark, sf_dir):
+    """Marker-word language ID; `lang_match` compares against the
+    table's lang column (the generator's ground truth)."""
+    d = _docs(spark, sf_dir)
+    # STAGED projections: the padded-normalized text is aliased once
+    # and the 12 marker counts reference the COLUMN, not the inlined
+    # regexp chain. CollapseProject keeps the boundary (non-cheap alias
+    # used more than once), so the regex runs once per row instead of
+    # 12x, and no single generated method exceeds janino's 64KB limit
+    # (the fully-inlined tree disabled whole-stage codegen).
+    padded = d.select(
+        "doc_id", "lang",
+        F.concat(F.lit(" "), _norm(F.col("text")), F.lit(" "))
+         .alias("_padded"))
+    scores = _lang_score_exprs(F.col("_padded"))
+    scored = padded.select(
+        "doc_id", "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = _lang_pred_from_cols()
+    return scored.select(
         "doc_id", F.col("lang").alias("lang_expected"),
-        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        *[f"score_{lang}" for lang in LANG_MARKERS],
         pred.alias("lang_pred"),
         (pred == F.col("lang")).alias("lang_match"),
     ).orderBy("doc_id")
@@ -308,17 +346,57 @@ QF_MIN_SCORE_PPM = 350000
 def q_corpus_quality_filter(spark, sf_dir):
     """Keep documents that (a) score >= {QF_MIN_SCORE_PPM} ppm, (b)
     language-ID as 'en', and (c) are the canonical (min doc_id) copy
-    of their exact-duplicate group."""
+    of their exact-duplicate group.
+
+    Plan shape: ONE scan, staged scoring projections, ONE shuffle (by
+    md5 fingerprint) for a window-min canonical election, then the
+    filter on plain columns. The previous formulation (three reads of
+    the table self-joined on doc_id) also let Catalyst push the
+    lang_pred predicate through every projection, re-inlining the full
+    scoring tree into a single Filter — which blew janino's 64KB
+    method limit (whole-stage codegen disabled) AND re-ran the
+    normalization regex ~24x per row. The Window is a pushdown
+    barrier for non-partition-key predicates, so the staging
+    survives."""
+    from pyspark.sql.window import Window
     d = _docs(spark, sf_dir)
-    quality = q_text_quality(spark, sf_dir).select("doc_id",
-                                                   "quality_score_ppm")
-    langid = q_text_langid(spark, sf_dir).select("doc_id", "lang_pred")
-    fp = d.select("doc_id", F.md5(_norm(F.col("text"))).alias("fp"))
-    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
-    return (fp.join(canon, "fp")
-            .filter(F.col("doc_id") == F.col("canonical_doc_id"))
-            .join(quality, "doc_id").join(langid, "doc_id")
-            .filter((F.col("quality_score_ppm") >= QF_MIN_SCORE_PPM) &
+    normed = d.select("doc_id", _norm(F.col("text")).alias("_norm"))
+    padded = F.concat(F.lit(" "), F.col("_norm"), F.lit(" "))
+    stop_hits = None
+    for m in EN_STOPWORDS:
+        c = _count_occurrences(padded, m)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    lang_scores = _lang_score_exprs(padded)
+    counted = normed.select(
+        "doc_id",
+        F.md5(F.col("_norm")).alias("fp"),
+        F.size(F.split(F.col("_norm"), " ")).alias("n_tokens"),
+        stop_hits.alias("_stop_hits"),
+        F.length(F.replace(F.col("_norm"), F.lit(" "), F.lit("")))
+         .alias("_n_chars"),
+        *[lang_scores[lang].alias(f"score_{lang}")
+          for lang in LANG_MARKERS])
+    n_tokens = F.col("n_tokens")
+    stop_ppm = F.floor(F.col("_stop_hits") * F.lit(1000000.0) /
+                       n_tokens).cast("long")
+    mean_tok_ppm = F.floor(F.col("_n_chars") * F.lit(1000000.0) /
+                           n_tokens).cast("long")
+    length_ppm = F.least(F.lit(1000000), (n_tokens * 10000).cast("long"))
+    score_ppm = (
+        F.floor(length_ppm * 0.4).cast("long") +
+        F.floor(stop_ppm * 0.4).cast("long") +
+        F.least(F.lit(200000),
+                F.floor(mean_tok_ppm * 0.2 / 8.0).cast("long")))
+    scored = counted.select(
+        "doc_id", "fp",
+        score_ppm.alias("quality_score_ppm"),
+        _lang_pred_from_cols().alias("lang_pred"))
+    canon = scored.withColumn(
+        "canonical_doc_id",
+        F.min("doc_id").over(Window.partitionBy("fp")))
+    return (canon
+            .filter((F.col("doc_id") == F.col("canonical_doc_id")) &
+                    (F.col("quality_score_ppm") >= QF_MIN_SCORE_PPM) &
                     (F.col("lang_pred") == "en"))
             .select("doc_id", "lang_pred", "quality_score_ppm")
             .orderBy("doc_id"))
