@@ -559,34 +559,37 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                 if lst:
                     common_language = None
                     common_type = None
-                    first = True
                     for item in lst:
                         item_language, item_type = "@none", "@none"
                         if is_value(item):
+                            # item languages are LOWERCASED here (ref
+                            # lib/compact.js:789-795) — the inverse ctx
+                            # keys are lowercase
                             if "@direction" in item:
+                                lang = (item.get("@language") or "")
                                 item_language = \
-                                    f"{item.get('@language', '')}_" \
-                                    f"{item['@direction']}".lstrip()
-                                if not item.get("@language"):
-                                    item_language = \
-                                        f"_{item['@direction']}"
+                                    f"{lang.lower()}_{item['@direction']}"
                             elif "@language" in item:
-                                item_language = item["@language"]
+                                item_language = item["@language"].lower()
                             elif "@type" in item:
                                 item_type = item["@type"]
                             else:
                                 item_language = "@null"
                         else:
                             item_type = "@id"
-                        if first:
+                        if common_language is None:
                             common_language = item_language
+                        elif item_language != common_language and \
+                                is_value(item):
+                            # only a differing VALUE item degrades the
+                            # common language — node objects don't (ref
+                            # lib/compact.js:805: `&& _isValue(item)`;
+                            # fuzz seed 950068)
+                            common_language = "@none"
+                        if common_type is None:
                             common_type = item_type
-                            first = False
-                        else:
-                            if common_language != item_language:
-                                common_language = "@none"
-                            if common_type != item_type:
-                                common_type = "@none"
+                        elif item_type != common_type:
+                            common_type = "@none"
                         if common_language == "@none" and \
                                 common_type == "@none":
                             break

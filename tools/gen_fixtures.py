@@ -2589,6 +2589,23 @@ CASES += [
         options={"skipExpansion": True, "graph": True,
                  "compactArrays": False},
     ),
+    # list term selection: a node object in the list does NOT degrade
+    # the common language (ref lib/compact.js:805 `&& _isValue(item)`),
+    # so a @list+@language term still wins for [tagged-string, node];
+    # item languages are lowercased for the inverse-ctx lookup
+    dict(
+        name="fuzz-list-common-language-node-item",
+        op_override=["compact"],
+        input=[{"@id": EX + "c",
+                EX + "epsi": [{"@list": [
+                    {"@value": "plain", "@language": "FR"},
+                    {"@id": EX + "c",
+                     EX + "beta": [{"@value": 1}]}]}]}],
+        context={"@vocab": EX,
+                 "epsi": {"@id": EX + "epsi", "@container": "@list",
+                          "@language": "fr"}},
+        options={"skipExpansion": True},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
