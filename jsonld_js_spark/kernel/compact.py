@@ -95,10 +95,18 @@ def compact(active_ctx, active_property, element, options=None):
     input_ctx = active_ctx
 
     # revert type-scoped context for new node objects — SINGLE step
-    # (ref :167-169 + context.js:1391-1396 revertToPreviousContext)
+    # (ref :167-169 + context.js:1391-1396 revertToPreviousContext).
+    # The reference reverts BY CLONING and its clone drops @direction
+    # (context.js:1364-1385 quirk), so the default direction does NOT
+    # come back with the reverted context — compact_value inside this
+    # node must not re-simplify direction-tagged values (fuzz seed
+    # 952008); clone only when that is observable, like expand's revert
     if not is_value(element) and not is_subject_reference(element):
         prev = active_ctx.get("previousContext")
         if prev is not None:
+            if "@direction" in prev:
+                from .context import _clone_active_context
+                prev = _clone_active_context(prev)
             active_ctx = prev
 
     # property-scoped context, looked up on input_ctx (ref :172-182)

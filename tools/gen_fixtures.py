@@ -2606,6 +2606,25 @@ CASES += [
                           "@language": "fr"}},
         options={"skipExpansion": True},
     ),
+    # the compact revert-to-previous-context CLONES, and the clone
+    # drops the default @direction (ref lib/context.js:1364-1385), so
+    # a direction-tagged value inside a node under a type-scoped
+    # context must NOT re-simplify after the revert (fuzz seed 952008)
+    dict(
+        name="fuzz-direction-dies-across-compact-revert",
+        op_override=["compact"],
+        input={"@context": {"@direction": "ltr", "@vocab": EX,
+                            "TypedThing": {
+                                "@id": EX + "TypedThing",
+                                "@context": {"alpha": EX + "sa"}}},
+               "@id": EX + "z", "@type": "TypedThing",
+               "child": {"@id": EX + "c",
+                         "nested": {"@value": "dl", "@language": "en",
+                                    "@direction": "ltr"}}},
+        context={"@direction": "ltr", "@vocab": EX,
+                 "TypedThing": {"@id": EX + "TypedThing",
+                                "@context": {"alpha": EX + "sa"}}},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
