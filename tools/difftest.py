@@ -76,13 +76,31 @@ def random_context(rng: random.Random) -> dict:
                     ["@list", "@set", "@index", "@language",
                      ["@index", "@set"], ["@graph", "@index"], "@id",
                      "@type", ["@language", "@set"], "@graph",
-                     ["@graph", "@id"], ["@graph", "@set"]])
+                     ["@graph", "@id"], ["@graph", "@set"],
+                     ["@graph", "@index", "@set"],
+                     ["@graph", "@id", "@set"],
+                     ["@id", "@set"], ["@type", "@set"]])
             ctx[name] = td
     if rng.random() < 0.25:
         ctx["rev_t"] = {"@reverse": EX + "revprop"}
     if rng.random() < 0.2:
         ctx["nested"] = {"@id": EX + "nested",
                          "@context": {"inner": EX + "inner"}}
+    if rng.random() < 0.08:
+        # property-scoped NULL context: resets to the initial context
+        # for the subtree (ref lib/context.js null-reset branch)
+        ctx["reset_t"] = {"@id": EX + "reset_t", "@context": None}
+    if rng.random() < 0.08:
+        # type-scoped context that PROPAGATES (overrides the
+        # type-scoped propagate=false default from INSIDE the scoped
+        # context)
+        ctx["PropType"] = {
+            "@id": EX + "PropType",
+            "@context": {"@propagate": True, "palpha": EX + "palpha"}}
+    if rng.random() < 0.06:
+        # explicit @version pin (1.0-mode docs then error:
+        # 'processing mode conflict')
+        ctx["@version"] = 1.1
     if rng.random() < 0.2:
         # TYPE-scoped context: applies when a node has @type TypedThing
         ctx["TypedThing"] = {
@@ -210,7 +228,8 @@ def random_node(rng, depth) -> dict:
     elif r < 0.65:
         node["@id"] = rng.choice(["relative-x", "_:bn" + str(rng.randint(0, 2))])
     if rng.random() < 0.4:
-        t = rng.choice(["alpha", EX + "Type", "relType", "TypedThing"])
+        t = rng.choice(["alpha", EX + "Type", "relType", "TypedThing",
+                        "PropType"])
         node["@type"] = [t, EX + "T2"] if rng.random() < 0.3 else t
     if rng.random() < 0.12:
         node["meta"] = {"nest_t": "nested-v", "scoped": "sv"}
@@ -577,13 +596,33 @@ def random_frame(seed: int, doc: dict) -> dict:
             if terms else EX + "Type"
     elif r < 0.8 and terms:
         frame[rng.choice(terms)] = {}
+    if r >= 0.8 and terms and rng.random() < 0.5:
+        # property sub-frame with @default (filled when absent,
+        # cleaned by the @default/@preserve/@null pass)
+        frame[rng.choice(terms)] = {"@default": rng.choice(["dflt", 7])}
+    if rng.random() < 0.15:
+        # @id match patterns: single, disjunction, match-none []
+        frame["@id"] = rng.choice(
+            [EX + "c", [EX + "c", EX + "z"], []])
     if rng.random() < 0.3:
         frame["@explicit"] = rng.random() < 0.5
     if rng.random() < 0.25:
         frame["@requireAll"] = rng.random() < 0.5
     if rng.random() < 0.25:
-        frame["@embed"] = rng.choice(["@once", "@always", "@never"])
+        # includes the LEGACY embed flavors (@first/@last, boolean)
+        frame["@embed"] = rng.choice(["@once", "@always", "@never",
+                                      "@first", "@last", True, False])
     return frame
+
+
+def _frame_opts(seed: int, base: dict) -> dict:
+    """Per-seed framing-option variation (both engines get the same)."""
+    o = dict(base)
+    if seed % 9 == 4:
+        o["omitGraph"] = False
+    if seed % 11 == 7:
+        o["omitDefault"] = True
+    return o
 
 
 def run_mine(op: str, doc, context=None, documents=None, options=None):
@@ -696,7 +735,7 @@ def main(n_docs: int, seed0: int) -> int:
                 fl_req["context"] = _fl_ctx(s, d)
             reqs.append(fl_req)
             reqs.append({"op": "frame", "input": d, "frame": fr,
-                         "options": dict(o), **extra})
+                         "options": _frame_opts(s, o), **extra})
         refs = run_reference_batch(reqs)
         for i, (seed, doc, docmap) in enumerate(zip(seeds, docs, docmaps)):
             ref_ex, ref_rdf, ref_c, ref_fl, ref_fr = refs[5 * i:5 * i + 5]
@@ -765,7 +804,8 @@ def main(n_docs: int, seed0: int) -> int:
             if ok and not ref_internal_crash:
                 mine_fr = run_mine("frame", doc, frames[i],
                                    documents=docmap,
-                                   options=opts_for[seed])
+                                   options=_frame_opts(seed,
+                                                       opts_for[seed]))
                 if ref_fr["ok"] != mine_fr["ok"]:
                     ok, why = False, (
                         f"frame ok-mismatch ref={str(ref_fr)[:300]} "
