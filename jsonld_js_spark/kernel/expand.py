@@ -590,25 +590,55 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                            expanded_parent_property)
 
 
+def _validate_type_value(v, is_frame):
+    """ref lib/util.js validateTypeValue: string | all-string array |
+    (frame mode) empty-object wildcard | single-key @default object
+    whose values are ALL strings. A mixed array containing objects is
+    invalid even in frame mode — only a LONE object passes."""
+    if isinstance(v, str):
+        return
+    if isinstance(v, list) and all(isinstance(x, str) for x in v):
+        return
+    if is_frame and isinstance(v, dict):
+        if len(v) == 0:
+            return
+        if len(v) == 1 and "@default" in v:
+            dv = v["@default"]
+            dv = dv if isinstance(dv, list) else [dv]
+            if all(isinstance(x, str) for x in dv):
+                return
+    raise JsonLdError(
+        '"@type" value must a string, an array of strings, an empty '
+        'object, or a default object.', "invalid type value")
+
+
 def _expand_type(type_ctx, value, rval, options):
     """@type expansion against the type-scoped context
-    (ref lib/expand.js:523-548)."""
+    (ref lib/expand.js:523-548).
+
+    A LONE object value (frame wildcard / default object) is first
+    rewritten key-by-key — keys vocab-expanded, entry values
+    ARRAY-ified and element-expanded (so @default always comes out as
+    an array) — THEN validated; non-string leaves pass through
+    expand_iri unchanged and fail validation (ref :525-533 +
+    util.js validateTypeValue)."""
+    is_frame = bool(options.get("isFrame"))
+    if isinstance(value, dict):
+        value = {
+            expand_iri(type_ctx, k, vocab=True, options=options): [
+                expand_iri(type_ctx, vv, vocab=True, base=True,
+                           options=options, type_expansion=True)
+                for vv in (v if isinstance(v, list) else [v])]
+            for k, v in value.items()}
+    _validate_type_value(value, is_frame)
     vals = value if isinstance(value, list) else [value]
     out = []
     for v in vals:
         if isinstance(v, str):
             out.append(expand_iri(type_ctx, v, vocab=True, base=True,
                                   options=options, type_expansion=True))
-        elif options.get("isFrame") and isinstance(v, dict) and len(v) == 0:
-            out.append(v)
-        elif isinstance(v, dict) and "@default" in v and options.get("isFrame"):
-            out.append({"@default": expand_iri(type_ctx, v["@default"],
-                                               vocab=True, base=True,
-                                               options=options,
-                                               type_expansion=True)})
         else:
-            raise JsonLdError('"@type" value must be a string.',
-                              "invalid type value")
+            out.append(v)
     if not out:
         # addValue semantics (ref lib/expand.js:537-544 +
         # util.js:265-280): an EMPTY @type array adds nothing unless
@@ -621,10 +651,12 @@ def _expand_type(type_ctx, value, rval, options):
         existing = existing if isinstance(existing, list) else [existing]
         rval["@type"] = existing + out
     else:
-        # scalar input stays scalar here; the dispatcher arrayifies node
-        # objects and value-object validation requires a plain string
-        rval["@type"] = out if isinstance(value, list) or len(out) != 1 \
-            else out[0]
+        # scalar input stays scalar here (the dispatcher arrayifies
+        # node objects; value-object validation requires a plain
+        # string) — except in frame mode, where propertyIsArray=isFrame
+        # always materializes the array (ref lib/expand.js:537-544)
+        rval["@type"] = out if is_frame or isinstance(value, list) \
+            or len(out) != 1 else out[0]
 
 
 def _expand_value(active_ctx, active_property, value, options):

@@ -107,9 +107,12 @@ def _frame(state, subjects, frame, parent, property):  # noqa: C901
                       property_is_array=True)
         link[id_] = output
 
-        if flags["embed"] in ("@first", "@last") and options.get("is11"):
-            raise JsonLdError("invalid value of @embed.",
-                              "invalid @embed value")
+        # the reference's 1.1 gate on legacy @first/@last (ref
+        # lib/frame.js:129-133) is DEAD CODE: it reads `state.is11`,
+        # but only `state.options.is11` is ever assigned
+        # (lib/jsonld.js:495), so the error can never fire — legacy
+        # embed flavors work in every mode (verified against node,
+        # fuzz seed 960021)
 
         if not state["embedded"] and \
                 id_ in state["uniqueEmbeds"][state["graph"]]:

@@ -2625,6 +2625,56 @@ CASES += [
                  "TypedThing": {"@id": EX + "TypedThing",
                                 "@context": {"alpha": EX + "sa"}}},
     ),
+    # frame @type validation (ref lib/util.js validateTypeValue via
+    # expand isFrame): a lone @default object must hold ALL-string
+    # values...
+    dict(
+        name="fuzz-frame-type-default-nonstring-error",
+        op_override=["frame-error"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "@type": "T1", "p": "v"},
+        frame={"@context": {"@vocab": EX}, "@type": {"@default": 7}},
+    ),
+    # ...and a mixed ARRAY containing an object is invalid even in
+    # frame mode — only a lone object passes validateTypeValue
+    dict(
+        name="fuzz-frame-type-array-object-error",
+        op_override=["frame-error"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "@type": "T1", "p": "v"},
+        frame={"@context": {"@vocab": EX}, "@type": ["T1", {}]},
+    ),
+    # a valid @type default object: @default comes out of frame
+    # expansion ARRAY-valued and fills unmatched nodes
+    dict(
+        name="fuzz-frame-type-default-fill",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@graph": [{"@id": EX + "a", "@type": "T1", "p": "va"},
+                          {"@id": EX + "b", "p": "vb"}]},
+        frame={"@context": {"@vocab": EX}, "@type": {"@default": "T9"}},
+    ),
+    # legacy @embed flavors: the reference's 1.1 gate on @first/@last
+    # (lib/frame.js:129-133) reads `state.is11`, which is never
+    # assigned (only state.options.is11 is) — dead code, so legacy
+    # flavors work in 1.1 mode (fuzz seed 960021)
+    dict(
+        name="fuzz-frame-embed-first-11-ok",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@graph": [{"@id": EX + "a", "child": {"@id": EX + "c"}},
+                          {"@id": EX + "c", "p": "leaf"}]},
+        frame={"@context": {"@vocab": EX}, "@embed": "@first"},
+    ),
+    dict(
+        name="fuzz-frame-embed-last-11-ok",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@graph": [{"@id": EX + "a", "child": {"@id": EX + "c"}},
+                          {"@id": EX + "b", "child": {"@id": EX + "c"}},
+                          {"@id": EX + "c", "p": "leaf"}]},
+        frame={"@context": {"@vocab": EX}, "@embed": "@last"},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
