@@ -14,7 +14,8 @@ from __future__ import annotations
 import re
 
 from .context import (
-    expand_iri, get_context_value, get_inverse_context, process_context,
+    _MISS as _CTX_MISS, expand_iri, get_context_value, get_inverse_context,
+    get_scoped_context, process_context,
 )
 from .util import (
     JsonLdError, is_keyword, is_absolute_iri, add_value, is_value, is_list,
@@ -60,9 +61,11 @@ def compact(active_ctx, active_property, element, options=None):
     # Via process_context's clone this is also where the default
     # @direction dies (reference clone quirk), which compact_value
     # then observes (difftest seed 154053)
-    scoped_ctx = get_context_value(active_ctx, active_property,
-                                   "@context")
-    if scoped_ctx is not None:
+    # ABSENT vs null: an explicit null scoped context is PROCESSED
+    # (context reset — allowed here by overrideProtected), not skipped
+    # (ref lib/compact.js:104-113 gates on !_isUndefined)
+    scoped_ctx = get_scoped_context(active_ctx, active_property)
+    if scoped_ctx is not _CTX_MISS:
         active_ctx = process_context(active_ctx, scoped_ctx, options,
                                      override_protected=True)
 
@@ -109,10 +112,10 @@ def compact(active_ctx, active_property, element, options=None):
                 prev = _clone_active_context(prev)
             active_ctx = prev
 
-    # property-scoped context, looked up on input_ctx (ref :172-182)
-    property_scoped_ctx = get_context_value(input_ctx, active_property,
-                                            "@context")
-    if property_scoped_ctx is not None:
+    # property-scoped context, looked up on input_ctx (ref :172-182);
+    # an explicit null is processed (reset), not skipped
+    property_scoped_ctx = get_scoped_context(input_ctx, active_property)
+    if property_scoped_ctx is not _CTX_MISS:
         active_ctx = process_context(active_ctx, property_scoped_ctx,
                                      options, override_protected=True)
 
@@ -125,8 +128,11 @@ def compact(active_ctx, active_property, element, options=None):
         type_context = active_ctx
         for t in sorted(t for t in types if isinstance(t, str)):
             ctype = compact_iri(type_context, t, vocab=True)
-            ctx = get_context_value(input_ctx, ctype, "@context")
-            if ctx is not None:
+            # null type-scoped context: processed WITHOUT
+            # overrideProtected (ref :209-216) → nullification error
+            # over protected terms
+            ctx = get_scoped_context(input_ctx, ctype)
+            if ctx is not _CTX_MISS:
                 active_ctx = process_context(active_ctx, ctx, options,
                                              propagate=False)
 

@@ -813,6 +813,22 @@ def _expand_iri_tail_mapped(active_ctx, value, vocab, base, local_ctx,
     return result
 
 
+def get_scoped_context(ctx: dict, key):
+    """Scoped-@context lookup that distinguishes ABSENT (JS undefined —
+    returns _MISS) from a stored null: the reference's getContextValue
+    returns the stored entry whenever '@context' in the term mapping
+    (ref lib/context.js:1414-1420), and every scoped-context caller
+    gates on `!_isUndefined(ctx)` — so an explicit `"@context": null`
+    must be PROCESSED (context reset; 'invalid context nullification'
+    over protected terms without overrideProtected), never skipped."""
+    if key is None or not isinstance(key, str):
+        return _MISS
+    mapping = ctx["mappings"].get(key)
+    if mapping is not None and "@context" in mapping:
+        return mapping["@context"]
+    return _MISS
+
+
 def get_context_value(ctx: dict, key: Optional[str], type_: str):
     """Term → @type/@container/@language/... with context defaults
     (ref lib/context.js:1410-1447)."""

@@ -10,7 +10,8 @@ context coming from a broadcast; no shuffle.
 from __future__ import annotations
 
 from .context import (
-    expand_iri, get_context_value, process_context,
+    _MISS as _CTX_MISS, expand_iri, get_context_value, get_scoped_context,
+    process_context,
 )
 from .util import (
     JsonLdError, BCP47_RE, is_keyword, is_absolute_iri, add_value,
@@ -174,8 +175,12 @@ def expand(active_ctx, element, active_property=None, options=None,
             types = element[key]
             types = types if isinstance(types, list) else [types]
             for t in sorted(t for t in types if isinstance(t, str)):
-                ctx = get_context_value(type_scoped_context, t, "@context")
-                if ctx is not None:
+                # ABSENT vs null matters: an explicit null type-scoped
+                # context is PROCESSED without overrideProtected, so it
+                # raises 'invalid context nullification' over protected
+                # terms (ref lib/expand.js:237-247; fuzz seed 962041)
+                ctx = get_scoped_context(type_scoped_context, t)
+                if ctx is not _CTX_MISS:
                     active_ctx = process_context(active_ctx, ctx, options,
                                                  propagate=False)
 
@@ -459,8 +464,8 @@ def _expand_object(active_ctx, active_property, element, rval, options,
 
         # regular property ------------------------------------------------
         term_ctx = active_ctx
-        term_local_ctx = get_context_value(active_ctx, key, "@context")
-        if term_local_ctx is not None:
+        term_local_ctx = get_scoped_context(active_ctx, key)
+        if term_local_ctx is not _CTX_MISS:
             term_ctx = process_context(active_ctx, term_local_ctx, options,
                                        propagate=True,
                                        override_protected=True)
@@ -743,8 +748,8 @@ def _expand_index_map(active_ctx, active_property, value, index_key, as_graph,
     is_type_index = index_key == "@type"
     for key in sorted(value.keys()):
         if is_type_index:
-            ctx = get_context_value(active_ctx, key, "@context")
-            if ctx is not None:
+            ctx = get_scoped_context(active_ctx, key)
+            if ctx is not _CTX_MISS:
                 active_ctx = process_context(active_ctx, ctx, options,
                                              propagate=False)
 

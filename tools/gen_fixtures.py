@@ -2675,6 +2675,33 @@ CASES += [
                           {"@id": EX + "c", "p": "leaf"}]},
         frame={"@context": {"@vocab": EX}, "@embed": "@last"},
     ),
+    # an EXPLICIT null scoped context is PROCESSED, never skipped
+    # (absent=undefined vs stored null, ref getContextValue): a null
+    # TYPE-scoped context runs without overrideProtected and raises
+    # 'invalid context nullification' over protected terms (fuzz seed
+    # 962041)...
+    dict(
+        name="fuzz-null-type-scoped-ctx-protected-error",
+        op_override=["expand-error"],
+        input={"@context": {"@protected": True, "@vocab": EX,
+                            "NType": {"@id": EX + "NType",
+                                      "@context": None}},
+               "@type": "NType", "p": "v"},
+    ),
+    # ...while a null PROPERTY-scoped context resets the context for
+    # the subtree (overrideProtected allows it) — the inner term must
+    # NOT resolve through the outer @vocab after the reset
+    dict(
+        name="fuzz-null-property-scoped-ctx-reset",
+        op_override=["expand", "compact"],
+        input={"@context": {"@vocab": EX,
+                            "reset_t": {"@id": EX + "reset_t",
+                                        "@context": None}},
+               "@id": EX + "a",
+               "reset_t": {"@id": EX + "inner", "plain": "dropped"}},
+        context={"@vocab": EX,
+                 "reset_t": {"@id": EX + "reset_t", "@context": None}},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
