@@ -168,6 +168,12 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
         # @import (JSON-LD 1.1; ref lib/context.js:302-364)
         if "@import" in ctx:
             value = ctx["@import"]
+            # the 1.0 gate fires BEFORE the string check and reads the
+            # ACTIVE ctx's mode (ref lib/context.js:304-310 — so the
+            # @propagate mode-erasure quirk suppresses it too)
+            if active_ctx["processingMode"] == "json-ld-1.0":
+                raise JsonLdError("@import not compatible with "
+                                  "json-ld-1.0.", "invalid context entry")
             if not isinstance(value, str):
                 raise JsonLdError("@import must be a string.",
                                   "invalid @import value")

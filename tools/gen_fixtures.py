@@ -2702,6 +2702,19 @@ CASES += [
         context={"@vocab": EX,
                  "reset_t": {"@id": EX + "reset_t", "@context": None}},
     ),
+    # @import's 1.0 gate fires FIRST in the @import branch — before
+    # the string check and before any term-definition error (so it
+    # wins over e.g. an invalid container elsewhere in the context);
+    # it reads the ACTIVE ctx's mode (fuzz seeds 966121/966095)
+    dict(
+        name="fuzz-import-mode10-error",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX, "@import": 7,
+                            "bad": {"@id": EX + "bad",
+                                    "@container": ["@graph", "@set"]}},
+               "bad": "v"},
+        options={"processingMode": "json-ld-1.0"},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
