@@ -165,7 +165,85 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
                     "json-ld-1.0.", "processing mode conflict")
             rval["processingMode"] = "json-ld-1.1"
 
-        # @import (JSON-LD 1.1; ref lib/context.js:302-364)
+        # @base (ref lib/context.js:200-218): only honored on a root context
+        if "@base" in ctx:
+            rval["_ctx_has_base"] = True
+            base = ctx["@base"]
+            if base is None:
+                rval["@base"] = None
+                rval["base_iri"] = None
+            elif isinstance(base, str):
+                if is_absolute_iri(base):
+                    rval["base_iri"] = base
+                else:
+                    # relative @base resolves against the in-effect base
+                    # (ref lib/context.js:203-206; document base defaults
+                    # to '', and prepend_base(None, x) == x matches the
+                    # reference's prependBase(null, x) after @base: null)
+                    rval["base_iri"] = prepend_base(rval["base_iri"], base)
+                rval["@base"] = parse_iri(rval["base_iri"])
+            else:
+                raise JsonLdError('"@base" must be a string or null.',
+                                  "invalid base IRI")
+
+        # @vocab (ref lib/context.js:219-239)
+        if "@vocab" in ctx:
+            value = ctx["@vocab"]
+            if value is None:
+                rval["@vocab"] = None
+            elif not isinstance(value, str):
+                raise JsonLdError('"@vocab" must be a string or null.',
+                                  "invalid vocab mapping")
+            elif not is_absolute_iri(value) and \
+                    rval["processingMode"] == "json-ld-1.0":
+                raise JsonLdError('"@vocab" must be an absolute IRI.',
+                                  "invalid vocab mapping")
+            else:
+                rval["@vocab"] = expand_iri(rval, value, vocab=True,
+                                            base=True, options=options)
+
+        # @language (ref lib/context.js:241-257)
+        if "@language" in ctx:
+            value = ctx["@language"]
+            if value is None:
+                rval["@language"] = None
+            elif not isinstance(value, str):
+                raise JsonLdError('"@language" must be a string or null.',
+                                  "invalid default language")
+            else:
+                rval["@language"] = value.lower()
+
+        # @direction (ref lib/context.js:258-281)
+        if "@direction" in ctx:
+            value = ctx["@direction"]
+            if rval["processingMode"] == "json-ld-1.0":
+                raise JsonLdError("@direction not allowed in JSON-LD 1.0.",
+                                  "invalid context member")
+            if value is None:
+                rval["@direction"] = None
+            elif value not in ("ltr", "rtl"):
+                raise JsonLdError('"@direction" must be "ltr" or "rtl".',
+                                  "invalid base direction")
+            else:
+                rval["@direction"] = value
+
+        # @propagate (ref lib/context.js:282-301) — validated only; the
+        # caller passes the effective propagate flag.
+        if "@propagate" in ctx:
+            value = ctx["@propagate"]
+            if active_ctx.get("processingMode") == "json-ld-1.0":
+                # ref lib/context.js:285-291
+                raise JsonLdError(
+                    "@propagate not compatible with json-ld-1.0.",
+                    "invalid context entry")
+            if not isinstance(value, bool):
+                raise JsonLdError("@propagate must be boolean.",
+                                  "invalid @propagate value")
+
+        # @import (JSON-LD 1.1; ref lib/context.js:302-364) — processed
+        # AFTER @version..@propagate (error ORDERING is observable: a
+        # 1.0-mode ctx with both @direction and @import raises
+        # @direction's 'invalid context member' first, fuzz seed 966082)
         if "@import" in ctx:
             value = ctx["@import"]
             # the 1.0 gate fires BEFORE the string check and reads the
@@ -192,13 +270,13 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
                 raise JsonLdError("imported context must not include @import.",
                                   "invalid context entry")
             # REFERENCE ORDERING QUIRK MIRRORED (verified vs node): the
-            # reference merges @import only AFTER its @version..@propagate
-            # passes ran (lib/context.js:175-301 precede :302-364), so any
-            # of those keywords arriving ONLY via the import is neither
-            # processed nor marked `defined` — the TERM LOOP reaches it
-            # (in insertion order: ctx keys first, imported-only keys
-            # appended, ref :348-352) and raises 'keyword redefinition'.
-            # @protected is processed after @import and merges fine.
+            # @version..@propagate passes above already ran on the
+            # ORIGINAL ctx, so any of those keywords arriving ONLY via
+            # the import is neither processed nor marked `defined` —
+            # the TERM LOOP reaches it (in insertion order: ctx keys
+            # first, imported-only keys appended, ref :348-352) and
+            # raises 'keyword redefinition'. @protected is read after
+            # @import and merges fine.
             imported_only_kws = {
                 kw for kw in ("@version", "@base", "@vocab", "@language",
                               "@direction", "@propagate")
@@ -208,81 +286,6 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
                 if k not in merged:
                     merged[k] = v
             ctx = merged
-
-        # @base (ref lib/context.js:200-218): only honored on a root context
-        if "@base" in ctx and "@base" not in imported_only_kws:
-            rval["_ctx_has_base"] = True
-            base = ctx["@base"]
-            if base is None:
-                rval["@base"] = None
-                rval["base_iri"] = None
-            elif isinstance(base, str):
-                if is_absolute_iri(base):
-                    rval["base_iri"] = base
-                else:
-                    # relative @base resolves against the in-effect base
-                    # (ref lib/context.js:203-206; document base defaults
-                    # to '', and prepend_base(None, x) == x matches the
-                    # reference's prependBase(null, x) after @base: null)
-                    rval["base_iri"] = prepend_base(rval["base_iri"], base)
-                rval["@base"] = parse_iri(rval["base_iri"])
-            else:
-                raise JsonLdError('"@base" must be a string or null.',
-                                  "invalid base IRI")
-
-        # @vocab (ref lib/context.js:219-239)
-        if "@vocab" in ctx and "@vocab" not in imported_only_kws:
-            value = ctx["@vocab"]
-            if value is None:
-                rval["@vocab"] = None
-            elif not isinstance(value, str):
-                raise JsonLdError('"@vocab" must be a string or null.',
-                                  "invalid vocab mapping")
-            elif not is_absolute_iri(value) and \
-                    rval["processingMode"] == "json-ld-1.0":
-                raise JsonLdError('"@vocab" must be an absolute IRI.',
-                                  "invalid vocab mapping")
-            else:
-                rval["@vocab"] = expand_iri(rval, value, vocab=True,
-                                            base=True, options=options)
-
-        # @language (ref lib/context.js:241-257)
-        if "@language" in ctx and "@language" not in imported_only_kws:
-            value = ctx["@language"]
-            if value is None:
-                rval["@language"] = None
-            elif not isinstance(value, str):
-                raise JsonLdError('"@language" must be a string or null.',
-                                  "invalid default language")
-            else:
-                rval["@language"] = value.lower()
-
-        # @direction (ref lib/context.js:258-281)
-        if "@direction" in ctx and "@direction" not in imported_only_kws:
-            value = ctx["@direction"]
-            if rval["processingMode"] == "json-ld-1.0":
-                raise JsonLdError("@direction not allowed in JSON-LD 1.0.",
-                                  "invalid context member")
-            if value is None:
-                rval["@direction"] = None
-            elif value not in ("ltr", "rtl"):
-                raise JsonLdError('"@direction" must be "ltr" or "rtl".',
-                                  "invalid base direction")
-            else:
-                rval["@direction"] = value
-
-        # @propagate (ref lib/context.js:282-301) — validated only; the
-        # caller passes the effective propagate flag.
-        if "@propagate" in ctx and "@propagate" not in imported_only_kws:
-            value = ctx["@propagate"]
-            if active_ctx.get("processingMode") == "json-ld-1.0":
-                # ref lib/context.js:285-291
-                raise JsonLdError(
-                    "@propagate not compatible with json-ld-1.0.",
-                    "invalid context entry")
-            if not isinstance(value, bool):
-                raise JsonLdError("@propagate must be boolean.",
-                                  "invalid @propagate value")
 
         # term definitions
         protected_default = ctx.get("@protected", False)

@@ -2702,6 +2702,17 @@ CASES += [
         context={"@vocab": EX,
                  "reset_t": {"@id": EX + "reset_t", "@context": None}},
     ),
+    # @import is processed AFTER @version..@propagate, so a 1.0-mode
+    # ctx with BOTH @direction and @import raises @direction's
+    # 'invalid context member' first (fuzz seed 966082)
+    dict(
+        name="fuzz-direction-error-beats-import",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX, "@direction": "rtl",
+                            "@import": 7},
+               "p": "v"},
+        options={"processingMode": "json-ld-1.0"},
+    ),
     # @import's 1.0 gate fires FIRST in the @import branch — before
     # the string check and before any term-definition error (so it
     # wins over e.g. an invalid container elsewhere in the context);
