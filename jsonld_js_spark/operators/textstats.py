@@ -510,3 +510,70 @@ FROM a ORDER BY doc_id
 
 QUERIES["text_pii_scrub"] = q_text_pii_scrub
 ORACLES["text_pii_scrub"] = ORACLE_TEXT_PII_SCRUB
+
+
+# ---------------------------------------------------------------------------
+# corpus TF-IDF: per-document distinctive terms. Integer-exact variant
+# (score = tf * 1e6 DIV df — linear inverse document frequency instead
+# of log) so both engines rank identically: ln() can differ in the
+# last ulp between libm implementations, and a flipped tie would fail
+# the hash gate. Scale shape: one scan → explode → two-level agg
+# ((doc,token) count has map-side partial combine; token df aggregates
+# the already-reduced tf table) → shuffle join on token (AQE handles
+# the hot-stopword skew; the join input is the tf table, already one
+# row per (doc,token)) → per-doc window top-k.
+TFIDF_TOP_K = 5
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Top-{TFIDF_TOP_K} distinctive tokens per document by
+    tf * 1e6 DIV df (integer-exact tf-idf flavor), ties broken by
+    token."""
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(df, "token")
+              .select("doc_id", "token", "tf", "df",
+                      F.expr("tf * 1000000L DIV df").alias("score_ppm")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TFIDF_TOP_K)
+            .select("doc_id", "rank", "token", "tf", "df", "score_ppm")
+            .orderBy("doc_id", "rank"))
+
+
+ORACLE_TEXT_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, cast(count(*) as bigint) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, cast(count(*) as bigint) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         cast((tf.tf * 1000000) // df.df as bigint) AS score_ppm
+  FROM tf JOIN df USING (token)
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, score_ppm,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_ppm DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token, tf, df, score_ppm FROM ranked
+WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank
+"""
+
+QUERIES["text_tfidf_topk"] = q_text_tfidf_topk
+ORACLES["text_tfidf_topk"] = ORACLE_TEXT_TFIDF

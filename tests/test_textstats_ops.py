@@ -78,3 +78,25 @@ def test_pii_scrub_semantics(spark):
         and "[ID]" in scrubbed
     assert "@mail.example.com" not in scrubbed
     assert "+1-555-" not in scrubbed
+
+
+def test_tfidf_topk_invariants(spark):
+    """Per doc: <= K rows, ranks dense from 1, scores non-increasing,
+    and score = tf * 1e6 DIV df with df = number of docs containing
+    the token."""
+    from jsonld_js_spark.operators.textstats import (
+        TFIDF_TOP_K, q_text_tfidf_topk,
+    )
+    out = q_text_tfidf_topk(spark, SF)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"))
+    bad = per_doc.filter((F.col("n") > TFIDF_TOP_K) |
+                         (F.col("rmin") != 1) |
+                         (F.col("rmax") != F.col("n")))
+    assert bad.count() == 0
+    rows = out.filter(F.col("doc_id") == out.first()["doc_id"]).collect()
+    scores = [r["score_ppm"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["score_ppm"] == r["tf"] * 1000000 // r["df"]
