@@ -595,7 +595,16 @@ def random_frame(seed: int, doc: dict) -> dict:
         frame["@type"] = rng.choice(terms + [EX + "Type", "relType"]) \
             if terms else EX + "Type"
     elif r < 0.8 and terms:
-        frame[rng.choice(terms)] = {}
+        sub: dict = {}
+        sr = rng.random()
+        if sr < 0.3 and len(terms) > 1:
+            # nested sub-frame: embed recursion + per-level flags
+            sub[rng.choice(terms)] = {}
+        elif sr < 0.45:
+            sub["@embed"] = rng.choice(["@never", "@always"])
+        elif sr < 0.55:
+            sub["@explicit"] = True
+        frame[rng.choice(terms)] = sub
     if r >= 0.8 and terms and rng.random() < 0.5:
         # property sub-frame with @default (filled when absent,
         # cleaned by the @default/@preserve/@null pass)
