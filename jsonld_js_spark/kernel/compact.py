@@ -220,9 +220,8 @@ def compact(active_ctx, active_property, element, options=None):
         # per-item loop below (ref lib/compact.js:349-361) — that is
         # what preserves an empty @included array and compacts each
         # included node with term selection
-        if expanded_property in ("@value", "@language", "@direction",
-                                 "@explicit", "@default",
-                                 "@embed", "@requireAll", "@omitDefault"):
+        if (is_keyword(expanded_property) and
+                expanded_property not in ("@graph", "@list", "@included")):
             alias = compact_iri(active_ctx, expanded_property, vocab=True)
             add_value(rval, alias, expanded_value)
             continue

@@ -46,11 +46,17 @@ XSD_DOUBLE = XSD + "double"
 # closed keyword list (JSON-LD 1.1 §9; ref lib/context.js:1473-1508)
 KEYWORDS = frozenset([
     "@base", "@container", "@context", "@default", "@direction", "@embed",
-    "@explicit", "@graph", "@id", "@import", "@included", "@index", "@json",
+    "@explicit", "@graph", "@id", "@included", "@index", "@json",
     "@language", "@list", "@nest", "@none", "@omitDefault", "@prefix",
-    "@preserve", "@propagate", "@protected", "@requireAll", "@reverse",
+    "@preserve", "@protected", "@requireAll", "@reverse",
     "@set", "@type", "@value", "@version", "@vocab",
 ])
+# NOTE: "@import" and "@propagate" are deliberately ABSENT — the
+# reference's isKeyword switch (ref lib/context.js:1473-1507) omits
+# both, so they are keyword-FORM only: a term/@id/@reverse of
+# "@import" warns + is ignored, and a node-level "@import" property
+# expands to null (dropped), rather than passing through as a keyword.
+# Context processing handles them by explicit key name.
 
 # anything matching @[a-zA-Z]+ is "keyword-like" and ignored as a term
 _KEYWORD_FORM_RE = re.compile(r"^@[A-Za-z]+$")

@@ -2726,6 +2726,42 @@ CASES += [
                "bad": "v"},
         options={"processingMode": "json-ld-1.0"},
     ),
+    # compact's keyword fallthrough (ref lib/compact.js:349-361) uses
+    # addValue "as is" for EVERY keyword except @graph/@list/@included
+    # — a GIGO @protected key surviving expansion (via a @graph@index
+    # map whose key expands to a keyword) compacts back to a SCALAR
+    # true, not [true] (fuzz seed 970175)
+    dict(
+        name="fuzz-compact-keyword-fallthrough-scalar",
+        op_override=["expand", "compact", "toRDF"],
+        input={"@context": {"@version": 1.1,
+                            "beta": {"@container": ["@graph", "@index"],
+                                     "@id": EX + "beta"}},
+               "beta": {"@context": {"@protected": True, "newp": EX + "newp"},
+                        "@id": "http://example.com/px#q",
+                        "zeta": [2.5]}},
+        context={"@version": 1.1,
+                 "beta": {"@container": ["@graph", "@index"],
+                          "@id": EX + "beta"}},
+    ),
+    # "@import"/"@propagate" are NOT in the reference's isKeyword
+    # switch (lib/context.js:1473-1507): node-level properties named
+    # "@import"/"@propagate" are keyword-FORM only and expand to null
+    # (dropped), and a term with @id/@reverse "@import" is warned +
+    # ignored, not a keyword-redefinition error
+    dict(
+        name="fuzz-import-propagate-not-keywords",
+        input={"@context": {"ex": EX},
+               "@import": "dropped", "@propagate": True,
+               "ex:p": "kept"},
+    ),
+    dict(
+        name="fuzz-term-id-import-ignored",
+        input={"@context": {"t": {"@id": "@import"},
+                            "r": {"@reverse": "@propagate"},
+                            "ex": EX},
+               "t": "dropped", "r": {"@id": EX + "x"}, "ex:p": 1},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
