@@ -247,6 +247,12 @@ def random_node(rng, depth) -> dict:
                             random_node(rng, 0)}
     if rng.random() < 0.1:
         node["@index"] = "ix"
+    if rng.random() < 0.06:
+        # keyword-FORM @-words: @import/@propagate are NOT in the
+        # reference's isKeyword switch (dropped with a warning), and
+        # unknown @-words take the same keyword-pattern path
+        node[rng.choice(["@import", "@propagate", "@futureKeyword"])] = \
+            rng.choice(["v", True, {"@id": EX + "x"}])
     return node
 
 
