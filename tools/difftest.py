@@ -151,6 +151,12 @@ def random_context(rng: random.Random) -> dict:
     if rng.random() < 0.05:
         # keyword-lookalike term: reference drops with a warning
         ctx["@futureKeyword"] = EX + "futkw"
+    if rng.random() < 0.04:
+        # @import/@propagate are keyword-FORM only as @id/@reverse
+        # values too (warn + ignore the term, not an error)
+        ctx[rng.choice(["termkw1", "termkw2"])] = rng.choice([
+            {"@id": "@import"}, {"@id": "@propagate"},
+            {"@reverse": "@import"}])
     return ctx
 
 
