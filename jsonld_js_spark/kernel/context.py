@@ -165,26 +165,43 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
                     "json-ld-1.0.", "processing mode conflict")
             rval["processingMode"] = "json-ld-1.1"
 
-        # @base (ref lib/context.js:200-218): only honored on a root context
+        # @base (ref lib/context.js:200-218). The reference stores the
+        # CONTEXT-set base chain in activeCtx['@base'] WITHOUT the API
+        # base option — a relative @base resolves against the previous
+        # context @base only (initially undefined → parse('') → "./"
+        # becomes "/") — and composes options.base lazily at expandIri
+        # time (ref :1086-1097 prependBase(options.base, ctx@base)).
+        # We keep that chain in `ctx_base` and compose the EFFECTIVE
+        # base (`base_iri`/`@base`) eagerly, which is equivalent
+        # because options.base is fixed per API call (the activeCtx
+        # perf option contract requires matching base, api.py:203).
         if "@base" in ctx:
-            rval["_ctx_has_base"] = True
             base = ctx["@base"]
+            prev_cb = rval.get("ctx_base") if rval.get("_ctx_has_base") \
+                else ""
+            rval["_ctx_has_base"] = True
             if base is None:
-                rval["@base"] = None
-                rval["base_iri"] = None
+                cb = None
             elif isinstance(base, str):
                 if is_absolute_iri(base):
-                    rval["base_iri"] = base
+                    cb = base
                 else:
-                    # relative @base resolves against the in-effect base
-                    # (ref lib/context.js:203-206; document base defaults
-                    # to '', and prepend_base(None, x) == x matches the
-                    # reference's prependBase(null, x) after @base: null)
-                    rval["base_iri"] = prepend_base(rval["base_iri"], base)
-                rval["@base"] = parse_iri(rval["base_iri"])
+                    # prepend_base(None, x) == x matches the
+                    # reference's prependBase(null, x) after @base:null
+                    cb = prepend_base(prev_cb, base)
             else:
                 raise JsonLdError('"@base" must be a string or null.',
                                   "invalid base IRI")
+            rval["ctx_base"] = cb
+            if cb:
+                eff = prepend_base(options.get("base") or "", cb)
+                rval["base_iri"] = eff
+                rval["@base"] = parse_iri(eff)
+            else:
+                # JS-falsy ctx @base (null or '') → IRIs stay relative
+                # (ref :1090-1092)
+                rval["base_iri"] = None
+                rval["@base"] = None
 
         # @vocab (ref lib/context.js:219-239)
         if "@vocab" in ctx:

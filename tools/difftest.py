@@ -720,9 +720,38 @@ def main(n_docs: int, seed0: int) -> int:
         docmaps = [c[1] for c in cases]
         frames = [random_frame(s, d) for s, d in zip(seeds, docs)]
         # every 13th seed runs in json-ld-1.0 processing mode (1.1
-        # features must raise with reference-identical error codes)
-        opts_for = {s: ({"processingMode": "json-ld-1.0"}
-                        if s % 13 == 0 else {}) for s in seeds}
+        # features must raise with reference-identical error codes);
+        # every 8th gets an explicit API `base` (relative-IRI
+        # resolution + compactToRelative interplay)
+        def _base_opts(s):
+            o = {}
+            if s % 13 == 0:
+                o["processingMode"] = "json-ld-1.0"
+            if s % 8 == 1:
+                o["base"] = "http://base.org/dir/doc"
+            return o
+        opts_for = {s: _base_opts(s) for s in seeds}
+
+        # every 6th seed expands through an API expandContext (applied
+        # to the expand op only — both engines process it before the
+        # document's own context)
+        def _e_opts(s, base):
+            o = dict(base)
+            if s % 6 == 1:
+                o["expandContext"] = (
+                    {"@context": {"ectx_t": EX + "from-expand-context",
+                                  "gamma": EX + "ectx-gamma"}}
+                    if s % 12 == 1 else
+                    {"@vocab": "http://expandctx.org/"})
+            return o
+
+        # every 10th seed serializes direction-tagged literals via
+        # rdfDirection=i18n-datatype
+        def _rdf_opts(s, base):
+            o = dict(base)
+            if s % 10 == 6:
+                o["rdfDirection"] = "i18n-datatype"
+            return o
 
         # per-seed compact-option variation (singleton-array
         # preservation and top-level @graph wrapping interact with
@@ -743,10 +772,10 @@ def main(n_docs: int, seed0: int) -> int:
         for s, d, fr, dm in zip(seeds, docs, frames, docmaps):
             extra = {"documents": dm} if dm else {}
             o = opts_for[s]
-            reqs.append({"op": "expand", "input": d, "options": dict(o),
-                         **extra})
-            reqs.append({"op": "toRDF", "input": d, "options": dict(o),
-                         **extra})
+            reqs.append({"op": "expand", "input": d,
+                         "options": _e_opts(s, o), **extra})
+            reqs.append({"op": "toRDF", "input": d,
+                         "options": _rdf_opts(s, o), **extra})
             reqs.append({"op": "compact", "input": d,
                          "context": d.get("@context") or {},
                          "options": _c_opts(s, o), **extra})
@@ -761,7 +790,7 @@ def main(n_docs: int, seed0: int) -> int:
         for i, (seed, doc, docmap) in enumerate(zip(seeds, docs, docmaps)):
             ref_ex, ref_rdf, ref_c, ref_fl, ref_fr = refs[5 * i:5 * i + 5]
             mine_ex = run_mine("expand", doc, documents=docmap,
-                               options=opts_for[seed])
+                               options=_e_opts(seed, opts_for[seed]))
             ok = True
             why = ""
             if ref_ex["ok"] != mine_ex["ok"]:
@@ -777,7 +806,7 @@ def main(n_docs: int, seed0: int) -> int:
                     f"mine={mine_ex.get('code')}")
             if ok and ref_rdf["ok"]:
                 mine_rdf = run_mine("toRDF", doc, documents=docmap,
-                                    options=opts_for[seed])
+                                    options=_rdf_opts(seed, opts_for[seed]))
                 if not mine_rdf["ok"]:
                     ok, why = False, f"toRDF mine errored: {mine_rdf}"
                 else:

@@ -2762,6 +2762,25 @@ CASES += [
                             "ex": EX},
                "t": "dropped", "r": {"@id": EX + "x"}, "ex:p": 1},
     ),
+    # the reference stores the context-@base chain WITHOUT options.base
+    # (initial activeCtx has no @base; a relative @base resolves
+    # against undefined → parse('') → "./" becomes "/") and prepends
+    # options.base lazily at expandIri time — so @base:"./" under
+    # options.base=http://base.org/dir/doc yields http://base.org/,
+    # NOT http://base.org/dir/ (fuzz seeds 6000033/6000073)
+    dict(
+        name="fuzz-relative-base-chain-vs-options-base",
+        input={"@context": {"@base": "./", "@vocab": "./rel#"},
+               "@id": "relative-x", "p": "v",
+               "nested": {"@id": "x/y", "q": 1}},
+        options={"base": "http://base.org/dir/doc"},
+    ),
+    dict(
+        name="fuzz-relative-base-chain-two-steps",
+        input={"@context": [{"@base": "./"}, {"@base": "sub/"}],
+               "@id": "leaf", "http://example.com/p": "v"},
+        options={"base": "http://base.org/dir/doc"},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
