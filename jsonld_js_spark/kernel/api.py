@@ -82,6 +82,11 @@ def compact(doc, ctx, options=None):
     if ctx is None:
         raise JsonLdError("The compaction context must not be null.",
                           "invalid local context")
+    # compactToRelative:false deletes the base BEFORE expansion too
+    # (ref lib/jsonld.js:158-160) — relative @id inputs then stay
+    # relative instead of resolving against the document base
+    if options.get("compactToRelative") is False:
+        options["base"] = None
     if options.get("skipExpansion"):
         expanded = doc
     else:

@@ -501,6 +501,19 @@ def compact_iri(active_ctx, iri, *, value=None, vocab=False, reverse=False,
                                     ["@set", "@none"], "@type", "@id")
                 if term is not None:
                     return term
+            # on inverse miss the reference keeps going with the array
+            # (verified vs node, fuzz seed 6400032): JS Array.indexOf
+            # is element-wise, so a first-element exact @vocab match
+            # reaches iri.substr and CRASHES; the char-trie CURIE scan
+            # never matches an array; the prefix-confusion loop then
+            # calls iri.startsWith and CRASHES iff any @prefix term
+            # exists (ref lib/compact.js:873-934)
+            vocab_val = active_ctx.get("@vocab")
+            if vocab_val is not None and iri and iri[0] == vocab_val:
+                raise TypeError("iri.substr is not a function")
+            for td in active_ctx["mappings"].values():
+                if td and td.get("_prefix"):
+                    raise TypeError("iri.startsWith is not a function")
         return iri
     if is_keyword(iri):
         # keyword simple-alias fast path: exact guard chain (ref

@@ -762,6 +762,9 @@ def main(n_docs: int, seed0: int) -> int:
                 o["compactArrays"] = False
             if s % 11 == 5:
                 o["graph"] = True
+            if s % 16 == 1:
+                # only observable with a base set (s % 8 == 1 seeds)
+                o["compactToRelative"] = False
             return o
 
         # every 5th seed flattens WITH the doc's context (flatten then

@@ -2781,6 +2781,17 @@ CASES += [
                "@id": "leaf", "http://example.com/p": "v"},
         options={"base": "http://base.org/dir/doc"},
     ),
+    # compactToRelative:false deletes the base BEFORE expansion (ref
+    # lib/jsonld.js:158-160): relative @ids stay relative end-to-end
+    dict(
+        name="fuzz-compact-to-relative-false",
+        op_override=["compact"],
+        input={"@context": {"ex": EX},
+               "@id": "relative-x", "ex:p": {"@id": "child/y"}},
+        context={"ex": EX},
+        options={"base": "http://base.org/dir/doc",
+                 "compactToRelative": False},
+    ),
     dict(
         name="emap-mixed-graph",
         op_override=["expandEvents"],
