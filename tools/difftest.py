@@ -157,6 +157,14 @@ def random_context(rng: random.Random) -> dict:
         ctx[rng.choice(["termkw1", "termkw2"])] = rng.choice([
             {"@id": "@import"}, {"@id": "@propagate"},
             {"@reverse": "@import"}])
+    if rng.random() < 0.08:
+        # blank-node-valued term: a _:p predicate is legal in
+        # expansion/flatten but only reaches RDF under
+        # produceGeneralizedRdf (ref lib/toRdf.js:126)
+        ctx["bnp"] = rng.choice(
+            ["_:p0", {"@id": "_:p0"},
+             {"@id": "_:p0", "@type": "@id"},
+             {"@reverse": "_:p1"}])
     return ctx
 
 
@@ -302,6 +310,9 @@ def random_doc(seed: int):
                 node["alpha"] = {"@value": "dv", alias: "rtl"}
             elif kw == "@json":
                 node["alpha"] = {"@value": {"j": [1, None]}, "@type": alias}
+    if "bnp" in ctx and rng.random() < 0.8:
+        node["bnp"] = rng.choice(["bv", {"@id": EX + "bo"},
+                                  {"@id": "_:bo1"}, [1, "two"]])
     if rng.random() < 0.1:
         node[rng.choice(["alpha", "beta"])] = None  # null-valued prop drop
     if rng.random() < 0.05:
@@ -751,6 +762,10 @@ def main(n_docs: int, seed0: int) -> int:
             o = dict(base)
             if s % 10 == 6:
                 o["rdfDirection"] = "i18n-datatype"
+            if s % 14 == 9:
+                # blank-node predicates survive toRDF (ref
+                # lib/toRdf.js:126)
+                o["produceGeneralizedRdf"] = True
             return o
 
         # per-seed compact-option variation (singleton-array

@@ -746,6 +746,19 @@ CASES += [
                "_:bnodeprop": "dropped by default",
                "normal": "v"},
     ),
+    # term-mapped blank predicates: forward `_:p0` is relabeled by the
+    # node-map issuer but a @reverse-mapped `_:p1` is NOT (the reverse
+    # path bypasses the rename — verified vs node); labels-exact so
+    # the asymmetry is locked byte-for-byte
+    dict(
+        name="tordf-labels-exact-generalized-reverse-bnp",
+        op_override=["toRDF", "expand", "flatten"],
+        input={"@context": {"bnp": {"@id": "_:p0"},
+                            "rvp": {"@reverse": "_:p1"}},
+               "@id": "http://x/s", "bnp": [{"@id": "_:bo1"}, "lit"],
+               "rvp": {"@id": "http://x/o"}},
+        options={"produceGeneralizedRdf": True},
+    ),
     dict(
         name="fromrdf-i18n-direction",
         op_override=["fromRDF"],
