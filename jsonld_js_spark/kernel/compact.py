@@ -231,6 +231,13 @@ def compact(active_ctx, active_property, element, options=None):
         # keywords OTHER than @graph/@list/@included) and the final
         # isArray rule keeps it an array always (ref :651-662)
 
+        # expansion guarantees arrays here; skipExpansion inputs may
+        # violate — the reference throws (ref lib/compact.js:363-368)
+        if not isinstance(expanded_value, list):
+            raise JsonLdError(
+                "JSON-LD expansion error; expanded value must be an "
+                "array.", "invalid JSON-LD syntax")
+
         # empty array → preserve with property-as-array
         if isinstance(expanded_value, list) and len(expanded_value) == 0:
             item_active_property = compact_iri(

@@ -55,3 +55,15 @@ def test_url_is_absolute():
         assert is_absolute_iri(v), v
     for v in (":", "a", "/:", "/a:", "/a:b", "_"):
         assert not is_absolute_iri(v), v
+
+
+def test_skip_expansion_nonarray_value_raises():
+    """skipExpansion hands the input verbatim to compaction; a
+    non-array property value then raises exactly as the reference does
+    (ref lib/compact.js:363-368 — verified vs node)."""
+    from jsonld_js_spark.kernel import compact
+    doc = [{"@id": "rel-s", "p": "bare-string"}]
+    with pytest.raises(JsonLdError) as e:
+        compact(doc, {"@vocab": "http://example.com/"},
+                {"skipExpansion": True})
+    assert "must be an array" in e.value.message

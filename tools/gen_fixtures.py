@@ -759,6 +759,31 @@ CASES += [
                "rvp": {"@id": "http://x/o"}},
         options={"produceGeneralizedRdf": True},
     ),
+    # skipExpansion: input is taken as already-expanded verbatim (ref
+    # lib/jsonld.js:164-169 compact, :685-691 toRDF)
+    dict(
+        name="skip-expansion-expanded-input",
+        op_override=["compact", "toRDF"],
+        input=[{"@id": EX + "s",
+                "http://example.com/p": [{"@value": 1}],
+                "http://example.com/q": [{"@id": EX + "o"}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True},
+    ),
+    # GIGO flavor: a non-expanded doc under skipExpansion goes through
+    # compaction/toRDF untouched — both engines must agree on what the
+    # downstream algorithms do with the un-expanded shape (non-array
+    # values raise "expanded value must be an array" in both — unit
+    # test in test_misc_parity.py; array-shaped GIGO flows through)
+    dict(
+        name="skip-expansion-gigo-compact-shape",
+        op_override=["compact", "toRDF"],
+        input=[{"@id": "rel-s", "p": ["bare"],
+                EX + "q": [{"@value": 2}]}],
+        context={"@vocab": EX},
+        options={"skipExpansion": True,
+                 "base": "http://base.org/dir/doc"},
+    ),
     dict(
         name="fromrdf-i18n-direction",
         op_override=["fromRDF"],
