@@ -5,22 +5,26 @@ from __future__ import annotations
 
 
 def queries() -> dict:
-    from . import dedup, jsonld_column, multimodal, similarity, textstats
+    from . import (dedup, jsonld_column, multimodal, sampling,
+                   similarity, textstats)
     out = {}
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
+    out.update(sampling.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(jsonld_column.QUERIES)
     return out
 
 
 def oracle_sql() -> dict:
-    from . import dedup, jsonld_column, multimodal, similarity, textstats
+    from . import (dedup, jsonld_column, multimodal, sampling,
+                   similarity, textstats)
     out = {}
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
+    out.update(sampling.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(jsonld_column.ORACLES)
     return out

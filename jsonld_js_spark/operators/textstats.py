@@ -577,3 +577,55 @@ WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank
 
 QUERIES["text_tfidf_topk"] = q_text_tfidf_topk
 ORACLES["text_tfidf_topk"] = ORACLE_TEXT_TFIDF
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level top-k bigrams by DOCUMENT frequency. Scale shape: one
+# scan → per-doc distinct bigram list (bounded by doc length, built
+# JVM-side) → explode → count. The bigram-key aggregation gets
+# map-side partial combine, so the shuffle carries one row per
+# (partition, bigram) — hot stopword bigrams reduce before the wire,
+# the classic word-count skew answer. Output is top-k only; the
+# orderBy sorts K rows, not the corpus.
+NGRAM_TOP_K = 20
+
+
+def q_corpus_ngram_topk(spark, sf_dir):
+    """Top-{NGRAM_TOP_K} word bigrams by document frequency, ties
+    broken lexicographically."""
+    # staged projection: tokenize ONCE per row (CollapseProject keeps
+    # the stage because `t` is expensive and referenced 4×; inlined,
+    # the normalize+split tree ran 4× per row — same janino/codegen
+    # trap as text_langid, see module notes)
+    toks = _docs(spark, sf_dir).select(
+        F.split(_norm(F.col("text")), " ").alias("t"))
+    t = F.col("t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat(F.element_at(t, i + 1), F.lit(" "),
+                               F.element_at(t, i + 2))))
+    ).otherwise(F.array().cast("array<string>"))
+    return (toks.select(F.explode(bigrams).alias("ngram"))
+            .groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), F.asc("ngram"))
+            .limit(NGRAM_TOP_K))
+
+
+ORACLE_CORPUS_NGRAM_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_distinct(list_transform(
+           range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS ngram
+  FROM toks
+)
+SELECT ngram, cast(count(*) as bigint) AS df
+FROM bi GROUP BY ngram
+ORDER BY df DESC, ngram LIMIT {NGRAM_TOP_K}
+"""
+
+QUERIES["corpus_ngram_topk"] = q_corpus_ngram_topk
+ORACLES["corpus_ngram_topk"] = ORACLE_CORPUS_NGRAM_TOPK

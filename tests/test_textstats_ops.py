@@ -100,3 +100,55 @@ def test_tfidf_topk_invariants(spark):
     assert scores == sorted(scores, reverse=True)
     for r in rows:
         assert r["score_ppm"] == r["tf"] * 1000000 // r["df"]
+
+
+def test_corpus_split_deterministic_partition(spark):
+    """Splits are a pure function of doc_id: re-running yields the
+    same assignment, every doc lands in exactly one split, and the
+    90/5/5 buckets hold to within sampling noise."""
+    from jsonld_js_spark.operators.sampling import q_corpus_split
+    a = {r["doc_id"]: r["split"] for r in q_corpus_split(spark, SF).collect()}
+    b = {r["doc_id"]: r["split"] for r in q_corpus_split(spark, SF).collect()}
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.80 < frac_train < 0.97
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_corpus_sample_rates_and_stability(spark):
+    """Stratified sample keeps <= the per-language rate (hash bucket
+    is uniform) and is a subset-stable pure function of doc_id."""
+    from jsonld_js_spark.operators.sampling import (
+        SAMPLE_RATES, q_corpus_sample_stratified)
+    sampled = q_corpus_sample_stratified(spark, SF)
+    per_lang = {r["lang"]: r["n"] for r in
+                sampled.groupBy("lang").agg(F.count("*").alias("n"))
+                .collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # en is downsampled hard; the tail languages keep most docs
+    assert per_lang.get("en", 0) < totals["en"]
+    for lang, kept in per_lang.items():
+        rate = SAMPLE_RATES.get(lang, 1000) / 1000
+        assert kept <= totals[lang]
+        # loose two-sided bound: binomial, small n at sf0.001
+        assert kept >= rate * totals[lang] * 0.4
+    # pure function: same rows on re-run
+    assert (sampled.collect() ==
+            q_corpus_sample_stratified(spark, SF).collect())
+
+
+def test_corpus_ngram_topk_shape(spark):
+    """Top-k bigrams: k rows, df descending, each ngram is two
+    space-joined tokens, and df counts DOCUMENTS (<= corpus size)."""
+    from jsonld_js_spark.operators.textstats import (
+        NGRAM_TOP_K, q_corpus_ngram_topk)
+    rows = q_corpus_ngram_topk(spark, SF).collect()
+    assert len(rows) == NGRAM_TOP_K
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert all(1 <= r["df"] <= n_docs for r in rows)
+    assert all(len(r["ngram"].split(" ")) == 2 for r in rows)
