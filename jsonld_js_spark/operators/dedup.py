@@ -33,25 +33,27 @@ SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 SIMHASH_MAX_HAMMING = 6
 
 # One-hash MinHash mixing: each shingle is hashed ONCE (60-bit md5
-# prefix), then the 8 signature values are affine mixes of the two
-# 30-bit halves modulo a Mersenne prime — pure int64 arithmetic with no
-# overflow (a*h1 + b*h2 + c < 2^60 + 2^60 + 2^60 < 2^63), identical in
-# Spark and DuckDB. Replaces round 1's 8 md5 calls per shingle
-# (VERDICT: "one md5 + 8 cheap mixes would do").
+# prefix), then the 8 signature values are TRUE multiplicative hashes
+# A_i * h mod (2^61 - 1), computed overflow-free in int64 via the
+# Mersenne rotation identity (2^61 ≡ 1, so x*2^30 mod p is a 61-bit
+# rotation). Replaces round 1's 8 md5 calls per shingle.
+#
+# WHY full mod-wrap (round-3 soak find): the earlier "affine mix of
+# the two 30-bit halves" a*(h>>30) + b*(h&mask) + c never wraps p, so
+# it is jointly MONOTONE in (h_hi, h_lo) — all 8 mixes preserve the
+# raw-h rank order, and a doc whose unique shingle holds the group's
+# smallest raw hash captures every signature and misses every band.
+# Measured recall on planted J=0.95 near-dup groups was 0.96 (theory
+# for 4 bands x 2 rows: 0.9999); the orderings were one permutation,
+# not eight. A_i*h mod p wraps ~A_i times per 2^61, so the 8 orderings
+# decorrelate (capture now needs h < p/A_i ~ 2^31: P ~ 2^-29).
 MIX_PRIME = (1 << 61) - 1
 MASK30 = (1 << 30) - 1
-# deterministic 30-bit odd multipliers + <2^60 offsets, generated by
-# random.Random(42): a,b = randrange(1, 2**30) | 1; c = randrange(2**60)
-MIX_CONSTS = [
-    (686579305, 119540833, 564682175042572887),
-    (239670713, 149827707, 236337776990707881),
-    (726600541, 795285933, 73285879187313049),
-    (31994525, 100604503, 536479499684456587),
-    (542621109, 646412691, 967346844944386294),
-    (236696313, 482334539, 641464097016782252),
-    (869119331, 933404115, 368149309990513597),
-    (749621471, 453778757, 640727693739599990),
-]
+MASK31 = (1 << 31) - 1
+# deterministic 30-bit odd multipliers, random.Random(42):
+# randrange(1, 2**30) | 1
+MIX_CONSTS = [686579305, 119540833, 239670713, 149827707,
+              726600541, 795285933, 31994525, 100604503]
 
 
 # ---------------------------------------------------------------------------
@@ -141,12 +143,13 @@ FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint
 
 
 # ---------------------------------------------------------------------------
-def _with_shingles(spark, sf_dir):
-    """Shingle table, cached: every dedup op self-joins it 2-3 times
-    (signature build, candidate sides, verification) — one scan +
-    in-memory columnar reuse instead of recomputing the corpus DAG
-    per branch. At 100 TB the same role is played by materializing
-    the shingle/signature table once per run.
+def shingle_table(corpus):
+    """Shingle table from a (doc_id, text) DataFrame, cached: every
+    dedup op self-joins it 2-3 times (signature build, candidate
+    sides, verification) — one scan + in-memory columnar reuse instead
+    of recomputing the corpus DAG per branch. At 100 TB the same role
+    is played by materializing the shingle/signature table once per
+    run.
 
     The token split is materialized in its own projection so the
     3-gram lambda reads the token ARRAY instead of re-running
@@ -154,9 +157,8 @@ def _with_shingles(spark, sf_dir):
     build is O(tokens²) string work per document (measured 3× the
     whole minhash job at sf0.1). CollapseProject keeps the non-cheap
     split single-evaluated because it is referenced 5×."""
-    toks = (corpus_df(spark, sf_dir)
-            .select("doc_id", F.split(_norm(F.col("text")), " ")
-                    .alias("toks")))
+    toks = corpus.select("doc_id", F.split(_norm(F.col("text")), " ")
+                         .alias("toks"))
     n = F.size("toks")
     grams = F.array_distinct(F.transform(
         F.sequence(F.lit(0), n - 3),
@@ -169,32 +171,45 @@ def _with_shingles(spark, sf_dir):
     return toks.select("doc_id", shingles.alias("shingles")).cache()
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(8) + LSH(4 bands x 2 rows): shingle→minhash→band→
-    bucket-join→exact-Jaccard verify (J >= 0.5).
+def _with_shingles(spark, sf_dir):
+    return shingle_table(corpus_df(spark, sf_dir))
+
+
+def minhash_pairs(corpus):
+    """MinHash(8) + LSH(4 bands x 2 rows) near-dup pairs from a
+    (doc_id, text) DataFrame: shingle→minhash→band→bucket-join→
+    exact-Jaccard verify (J >= 0.5). Unordered; the q_ wrapper adds
+    the gate's determinism orderBy.
 
     Scale path: band-key self-join is the only shuffle over candidates;
     signatures are 8 longs/doc (tiny); verification joins shingle
     arrays only for candidate pairs."""
-    docs = _with_shingles(spark, sf_dir)
+    docs = shingle_table(corpus)
     # one md5 per shingle, materialized as its own projection so the 8
     # signature mixes reuse it (CollapseProject keeps non-cheap exprs
-    # single-evaluated); each sig is min over affine mixes mod 2^61-1
+    # single-evaluated); each sig is min over A_i*h mod 2^61-1
     hashed = docs.select(
         "doc_id", "shingles",
         F.transform(F.col("shingles"), hash60).alias("hs"))
 
-    def mixer(a, b, c):
-        # single-arg lambda on purpose: pyspark treats 2-arg lambdas
-        # as (element, index) functions
-        return lambda h: (F.lit(a) * F.shiftright(h, 30) +
-                          F.lit(b) * h.bitwiseAND(F.lit(MASK30)) +
-                          F.lit(c)) % F.lit(MIX_PRIME)
+    def mixer(a):
+        # A*h mod (2^61-1) overflow-free: split h into 30-bit halves;
+        # the high product re-enters low via the Mersenne rotation
+        # x*2^30 ≡ (x >> 31) + ((x & MASK31) << 30)  (2^61 ≡ 1 mod p).
+        # Single-arg lambda on purpose: pyspark treats 2-arg lambdas
+        # as (element, index) functions.
+        def g(h):
+            x = F.lit(a) * F.shiftright(h, 30)
+            rot = (F.shiftright(x, 31) +
+                   F.shiftleft(x.bitwiseAND(F.lit(MASK31)), 30))
+            return ((rot + F.lit(a) * h.bitwiseAND(F.lit(MASK30)))
+                    % F.lit(MIX_PRIME))
+        return g
 
     sig = hashed.select(
         "doc_id", "shingles",
-        *[F.array_min(F.transform(F.col("hs"), mixer(*abc)))
-          .alias(f"sig{i}") for i, abc in enumerate(MIX_CONSTS)])
+        *[F.array_min(F.transform(F.col("hs"), mixer(a)))
+          .alias(f"sig{i}") for i, a in enumerate(MIX_CONSTS)])
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -223,13 +238,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                         _jaccard_ppm(F.col("sa"), F.col("sb"))
                         .alias("jaccard_ppm"))
                 .filter(F.col("jaccard_ppm") >= JACCARD_PPM_MIN))
-    return verified.orderBy("doc_a", "doc_b")
+    return verified
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup pairs over the injected-duplicate corpus (gate entry
+    for `minhash_pairs`)."""
+    return (minhash_pairs(corpus_df(spark, sf_dir))
+            .orderBy("doc_a", "doc_b"))
 
 
 _SIG_SQL = ", ".join(
     f"list_min(list_transform(hs, h -> "
-    f"({a} * (h >> 30) + {b} * (h & {MASK30}) + {c}) % {MIX_PRIME}))"
-    f" AS sig{i}" for i, (a, b, c) in enumerate(MIX_CONSTS))
+    f"(((({a} * (h >> 30)) >> 31) + ((({a} * (h >> 30)) & {MASK31}) << 30)"
+    f" + {a} * (h & {MASK30})) % {MIX_PRIME})))"
+    f" AS sig{i}" for i, a in enumerate(MIX_CONSTS))
 _BANDS_SQL = ", ".join(
     f"md5(cast(sig{2*b} as string) || '_' || cast(sig{2*b+1} as string))"
     f" AS bkey{b}" for b in range(N_BANDS))
