@@ -775,6 +775,49 @@ ORDER BY total_degree DESC, node LIMIT 50
 """
 
 
+def q_kg_entity_comention(spark, sf_dir):
+    """Entity co-mention graph: pairs of entities mentioned in the
+    SAME conversation, weighted by the number of such conversations —
+    the standard KG-enrichment edge a construction pipeline ships next
+    to the raw triples. Scale: the per-conversation distinct
+    (conv, entity) projection bounds the self-join input by
+    conversation length, the join key is conv (AQE skew-split handles
+    hot conversations), and each conversation contributes at most
+    C(m,2) pairs for its m distinct entities — at 10^12 turns you cap
+    m (drop open-domain convs above a threshold) BEFORE the join; the
+    entity-pair aggregation gets map-side partial combine and the
+    top-k is a TakeOrdered."""
+    t = _triples(spark, sf_dir, cache=True)
+    me = (t.filter(F.col("pred") == TR + "mentions")
+          .select(F.regexp_replace("subj", "/turn/[0-9]+$", "")
+                  .alias("conv"),
+                  F.col("obj_value").alias("ent"))
+          .distinct())
+    return (me.alias("a").join(
+                me.alias("b"),
+                (F.col("a.conv") == F.col("b.conv")) &
+                (F.col("a.ent") < F.col("b.ent")))
+            .groupBy(F.col("a.ent").alias("ent_a"),
+                     F.col("b.ent").alias("ent_b"))
+            .agg(F.count("*").alias("n_convs"))
+            .orderBy(F.desc("n_convs"), "ent_a", "ent_b")
+            .limit(50))
+
+
+def oracle_kg_entity_comention(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+)
+SELECT a.ent AS ent_a, b.ent AS ent_b, cast(count(*) as bigint) AS n_convs
+FROM me a JOIN me b ON a.conv = b.conv AND a.ent < b.ent
+GROUP BY 1, 2 ORDER BY n_convs DESC, ent_a, ent_b LIMIT 50
+"""
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -791,6 +834,7 @@ def queries() -> dict:
         "kg_nquads_source_roundtrip": q_kg_nquads_source_roundtrip,
         "kg_incremental_triples": q_kg_incremental_triples,
         "kg_degree_stats": q_kg_degree_stats,
+        "kg_entity_comention": q_kg_entity_comention,
     }
 
 
@@ -821,4 +865,6 @@ def oracles(n_conv: int) -> dict:
         "kg_incremental_triples":
             oracle_kg_incremental_triples(triples_sql, n_conv),
         "kg_degree_stats": oracle_kg_degree_stats(triples_sql),
+        "kg_entity_comention":
+            oracle_kg_entity_comention(triples_sql),
     }

@@ -292,3 +292,28 @@ def test_incremental_triples_delta_exact(spark):
         expected.filter(F.col("obj_datatype").isNull()).count()
     # and the delta contains no duplicate triples
     assert delta.distinct().count() == delta.count()
+
+
+def test_kg_entity_comention_invariants(spark):
+    """Co-mention pairs are canonicalized (ent_a < ent_b), weights are
+    bounded by the conversation count, and a pair's weight never
+    exceeds either entity's own conversation frequency."""
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.kg_api import _triples, q_kg_entity_comention
+    from jsonld_js_spark.vocab import TR
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = q_kg_entity_comention(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r["ent_a"] < r["ent_b"] for r in rows)
+    t = _triples(spark, sf_dir)
+    ent_convs = {r["ent"]: r["n"] for r in (
+        t.filter(F.col("pred") == TR + "mentions")
+        .select(F.regexp_replace("subj", "/turn/[0-9]+$", "").alias("conv"),
+                F.col("obj_value").alias("ent"))
+        .distinct().groupBy("ent").agg(F.count("*").alias("n"))
+        .collect())}
+    for r in rows:
+        assert r["n_convs"] <= min(ent_convs[r["ent_a"]],
+                                   ent_convs[r["ent_b"]])
