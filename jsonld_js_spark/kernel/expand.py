@@ -547,14 +547,18 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                               isinstance(expanded_value, list)
                               else [expanded_value]}
 
-        # @graph container wrap (ref lib/expand.js:844-851)
+        # @graph container wrap (ref lib/expand.js:844-851). The
+        # reference's comment says "and value is not, itself, a graph"
+        # but the CODE wraps unconditionally — the _isGraph guard only
+        # exists in the index/id-map path (lib/expand.js:1090). A
+        # graph-shaped value ({@graph,@id}) is double-wrapped (fuzz
+        # seed 15600531, verified vs node).
         if "@graph" in container and "@id" not in container and \
                 "@index" not in container:
             ev = expanded_value if isinstance(expanded_value, list) \
                 else [expanded_value]
             expanded_value = [
-                v if is_graph(v) else {"@graph": v if isinstance(v, list)
-                                       else [v]} for v in ev]
+                {"@graph": v if isinstance(v, list) else [v]} for v in ev]
 
         # reverse-term merge (ref lib/expand.js:853-868)
         mapping = term_ctx["mappings"].get(key)

@@ -513,11 +513,18 @@ def _cc_star(edges, max_iters):
                  .distinct())
         small = _reliable_checkpoint(small)
         lg.unpersist()
-        # fixpoint on the UNDIRECTED edge set
-        new_cur = (small.unionAll(small.select(F.col("dst").alias("src"),
-                                               F.col("src").alias("dst")))
-                   .distinct().cache())
-        sig = _edge_checksum(new_cur)  # also materializes new_cur
+        # fixpoint on the DIRECTED small set (every row has src > dst —
+        # dst is the strict min — so the undirected mirror is a
+        # bijection of it and adds nothing to the test); computed on
+        # the checkpointed rows, no extra shuffle
+        sig = _edge_checksum(small)
+        # mirror WITHOUT distinct: src > dst on one side, src < dst on
+        # the other — the union is disjoint by construction, and both
+        # uses next round re-read the checkpoint parquet (cheaper than
+        # re-materializing a cache of a derived mirror)
+        new_cur = small.unionAll(
+            small.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
         cur.unpersist()
         cur = new_cur
         if sig == prev_sig:

@@ -759,6 +759,34 @@ CASES += [
                "rvp": {"@id": "http://x/o"}},
         options={"produceGeneralizedRdf": True},
     ),
+    # simple @graph container wraps UNCONDITIONALLY — the reference's
+    # comment ("and value is not, itself, a graph") lies; the code has
+    # no _isGraph guard (lib/expand.js:844-848; the guard exists only
+    # in the index-map path :1090). A graph-shaped value ({@graph,@id})
+    # is double-wrapped. Fuzz seed 15600531.
+    dict(
+        name="fuzz-graph-container-double-wrap",
+        op_override=["expand", "compact", "toRDF"],
+        input={"@context": {"beta": {"@id": EX + "beta",
+                                     "@container": "@graph"}},
+               "@id": EX + "top",
+               "beta": {"@graph": [{"@id": EX + "inner",
+                                    "@type": EX + "Type"}],
+                        "@id": EX + "named-g"}},
+        context={"beta": {"@id": EX + "beta", "@container": "@graph"}},
+    ),
+    # contrast: the @graph+@id / @graph+@index map paths DO guard with
+    # _isGraph (lib/expand.js:1090) — a graph-shaped map value is NOT
+    # double-wrapped there
+    dict(
+        name="fuzz-graph-id-map-no-double-wrap",
+        op_override=["expand", "toRDF"],
+        input={"@context": {"beta": {"@id": EX + "beta",
+                                     "@container": ["@graph", "@id"]}},
+               "@id": EX + "top",
+               "beta": {EX + "g1": {"@graph": [{"@id": EX + "inner",
+                                                "@type": EX + "Type"}]}}},
+    ),
     # skipExpansion: input is taken as already-expanded verbatim (ref
     # lib/jsonld.js:164-169 compact, :685-691 toRDF)
     dict(
