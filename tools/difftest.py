@@ -193,6 +193,16 @@ def _container_value(rng, container, depth):
     if "@type" in c:
         return {rng.choice(["T1", EX + "T2", "@none"]):
                 random_node(rng, depth)}
+    if "@graph" in c and rng.random() < 0.6:
+        # graph-SHAPED values stress the unconditional simple-@graph
+        # double-wrap (lib/expand.js:844-848) vs the guarded map path
+        # (:1090) — fuzz seed 15600531's class
+        v = {"@graph": [random_node(rng, depth)]}
+        if rng.random() < 0.6:
+            v["@id"] = _iri(rng)
+        if rng.random() < 0.3:
+            v["@index"] = "gix"
+        return v
     if "@list" in c or "@set" in c:
         return [random_value(rng, depth) for _ in range(rng.randint(0, 3))]
     return random_value(rng, depth)
