@@ -637,6 +637,17 @@ def random_frame(seed: int, doc: dict) -> dict:
             sub["@embed"] = rng.choice(["@never", "@always"])
         elif sr < 0.55:
             sub["@explicit"] = True
+        elif sr < 0.7:
+            # VALUE patterns (ref lib/frame.js _valueMatch): exact,
+            # disjunction, wildcard-{} value with @language/@type
+            # constraints, match-none []
+            sub = rng.choice([
+                {"@value": "plain"},
+                {"@value": [42, "plain", True]},
+                {"@value": {}, "@language": ["en"]},
+                {"@value": {}, "@type": [XSD + "integer"]},
+                {"@value": [], "@language": []},
+            ])
         frame[rng.choice(terms)] = sub
     if r >= 0.8 and terms and rng.random() < 0.5:
         # property sub-frame with @default (filled when absent,
