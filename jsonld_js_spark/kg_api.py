@@ -775,24 +775,32 @@ ORDER BY total_degree DESC, node LIMIT 50
 """
 
 
-def q_kg_entity_comention(spark, sf_dir):
+def q_kg_entity_comention(spark, sf_dir, max_entities_per_conv=None):
     """Entity co-mention graph: pairs of entities mentioned in the
     SAME conversation, weighted by the number of such conversations —
     the standard KG-enrichment edge a construction pipeline ships next
     to the raw triples. Scale: the per-conversation distinct
     (conv, entity) projection bounds the self-join input by
     conversation length, the join key is conv (AQE skew-split handles
-    hot conversations), and each conversation contributes at most
-    C(m,2) pairs for its m distinct entities — at 10^12 turns you cap
-    m (drop open-domain convs above a threshold) BEFORE the join; the
-    entity-pair aggregation gets map-side partial combine and the
-    top-k is a TakeOrdered."""
+    hot conversations), and each conversation contributes C(m,2) pairs
+    for its m distinct entities — `max_entities_per_conv` drops
+    open-domain conversations above the threshold BEFORE the join
+    (one extra conv-keyed partial-agg count, same shuffle key), the
+    quadratic-guard you turn on at 10^12 turns; the entity-pair
+    aggregation gets map-side partial combine and the top-k is a
+    TakeOrdered."""
     t = _triples(spark, sf_dir, cache=True)
     me = (t.filter(F.col("pred") == TR + "mentions")
           .select(F.regexp_replace("subj", "/turn/[0-9]+$", "")
                   .alias("conv"),
                   F.col("obj_value").alias("ent"))
           .distinct())
+    if max_entities_per_conv is not None:
+        small = (me.groupBy("conv")
+                 .agg(F.count("*").alias("_m"))
+                 .filter(F.col("_m") <= max_entities_per_conv)
+                 .select("conv"))
+        me = me.join(small, "conv")
     return (me.alias("a").join(
                 me.alias("b"),
                 (F.col("a.conv") == F.col("b.conv")) &

@@ -317,3 +317,41 @@ def test_kg_entity_comention_invariants(spark):
     for r in rows:
         assert r["n_convs"] <= min(ent_convs[r["ent_a"]],
                                    ent_convs[r["ent_b"]])
+
+
+def test_kg_entity_comention_cap(spark):
+    """max_entities_per_conv drops whole conversations above the
+    threshold BEFORE pairing: every surviving pair weight is
+    reproducible from the capped conv set, and an extreme cap of 1
+    yields no pairs at all."""
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.kg_api import _triples, q_kg_entity_comention
+    from jsonld_js_spark.vocab import TR
+
+    sf_dir = "/root/testdata/sf0.001"
+    assert q_kg_entity_comention(spark, sf_dir,
+                                 max_entities_per_conv=1).count() == 0
+    capped = {(r["ent_a"], r["ent_b"]): r["n_convs"] for r in
+              q_kg_entity_comention(spark, sf_dir,
+                                    max_entities_per_conv=3).collect()}
+    t = _triples(spark, sf_dir)
+    me = (t.filter(F.col("pred") == TR + "mentions")
+          .select(F.regexp_replace("subj", "/turn/[0-9]+$", "")
+                  .alias("conv"), F.col("obj_value").alias("ent"))
+          .distinct())
+    sizes = me.groupBy("conv").agg(F.count("*").alias("m"))
+    kept = me.join(sizes.filter(F.col("m") <= 3).select("conv"), "conv")
+    expect = {}
+    rows = kept.collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv"], []).append(r["ent"])
+    for ents in by_conv.values():
+        es = sorted(set(ents))
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                expect[(es[i], es[j])] = expect.get((es[i], es[j]), 0) + 1
+    top = dict(sorted(expect.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:50])
+    assert capped == top
