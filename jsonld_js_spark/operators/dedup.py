@@ -702,3 +702,93 @@ ORACLES = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_clusters_star": ORACLE_DEDUP_CLUSTERS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate-line removal stats (the CCNet/RefinedWeb
+# move: a "line" shared by >= K documents is boilerplate; report how
+# much of each document survives). Runs over the injected-duplicate
+# corpus (dedup.corpus_df) so shared lines genuinely exist. Scale
+# shape: both aggregations key on the line string — the global
+# document-frequency count reduces map-side (hot boilerplate lines
+# collapse before the wire), and the boilerplate set is tiny relative
+# to the corpus, so the rejoin broadcasts at any scale where the
+# filter is selective (AQE decides); per-doc stats are one more
+# partial-agg groupBy on doc_id.
+LINE_TOKENS = 10
+BOILERPLATE_MIN_DOCS = 3
+
+
+def _line_table(spark, sf_dir):
+    toks = corpus_df(spark, sf_dir).select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("t"))
+    n = F.size("t")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / LINE_TOKENS).cast("int") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("t"), i * LINE_TOKENS + 1, LINE_TOKENS)))
+    return toks.select("doc_id", F.explode(lines).alias("line"))
+
+
+def q_corpus_boilerplate_stats(spark, sf_dir):
+    """Per-document boilerplate-line stats: lines (non-overlapping
+    {LINE_TOKENS}-token windows) occurring in >= {BOILERPLATE_MIN_DOCS}
+    distinct documents are boilerplate; kept_ppm is the integer
+    per-mille^2 of lines that survive the filter."""
+    ld = _line_table(spark, sf_dir).cache()
+    boiler = (ld.distinct()
+              .groupBy("line").agg(F.count(F.lit(1)).alias("n_docs"))
+              .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+              .select("line"))
+    totals = ld.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    dropped = (ld.join(boiler, "line")
+               .groupBy("doc_id").agg(F.count(F.lit(1))
+                                      .alias("n_boilerplate")))
+    return (totals.join(dropped, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    F.coalesce("n_boilerplate", F.lit(0))
+                    .alias("n_boilerplate"),
+                    F.floor((F.col("n_lines") -
+                             F.coalesce("n_boilerplate", F.lit(0)))
+                            * F.lit(1000000) / F.col("n_lines"))
+                    .cast("long").alias("kept_ppm"))
+            .orderBy("doc_id"))
+
+
+_LINES_SQL = f"""
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, cast(ceil(len(string_split({_NORM_SQL}, ' '))
+                              / {LINE_TOKENS}.0) as bigint)),
+           i -> array_to_string(
+             (string_split({_NORM_SQL}, ' '))
+               [(i * {LINE_TOKENS} + 1):(i * {LINE_TOKENS} + {LINE_TOKENS})],
+             ' '))) AS line
+  FROM corpus
+)"""
+
+ORACLE_CORPUS_BOILERPLATE = f"""
+WITH {CORPUS_SQL}, {_LINES_SQL},
+boiler AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+  GROUP BY line HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+),
+totals AS (
+  SELECT doc_id, cast(count(*) as bigint) AS n_lines
+  FROM lines GROUP BY doc_id
+),
+dropped AS (
+  SELECT doc_id, cast(count(*) as bigint) AS n_boilerplate
+  FROM lines JOIN boiler USING (line) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       cast(coalesce(d.n_boilerplate, 0) as bigint) AS n_boilerplate,
+       cast(floor((t.n_lines - coalesce(d.n_boilerplate, 0)) * 1000000.0
+                  / t.n_lines) as bigint) AS kept_ppm
+FROM totals t LEFT JOIN dropped d ON t.doc_id = d.doc_id
+ORDER BY t.doc_id
+"""
+
+QUERIES["corpus_boilerplate_stats"] = q_corpus_boilerplate_stats
+ORACLES["corpus_boilerplate_stats"] = ORACLE_CORPUS_BOILERPLATE

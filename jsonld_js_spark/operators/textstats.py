@@ -629,3 +629,4 @@ ORDER BY df DESC, ngram LIMIT {NGRAM_TOP_K}
 
 QUERIES["corpus_ngram_topk"] = q_corpus_ngram_topk
 ORACLES["corpus_ngram_topk"] = ORACLE_CORPUS_NGRAM_TOPK
+

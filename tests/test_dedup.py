@@ -214,3 +214,28 @@ def test_cc_long_chain_star_converges_label_raises(spark):
     rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert len(rows) == n
     assert set(rows.values()) == {0}
+
+
+def test_boilerplate_lines_hit_injected_dups(spark):
+    """Exact-copy docs share ALL lines with their original; with
+    BOILERPLATE_MIN_DOCS=3 a line must appear in >= 3 docs, which the
+    exact+near chains (orig, +100000, +200000) provide for every 50th
+    doc — those docs must show n_boilerplate > 0 and kept_ppm < 1e6,
+    while a unique doc keeps everything."""
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.operators.dedup import q_corpus_boilerplate_stats
+    rows = {r["doc_id"]: r for r in
+            q_corpus_boilerplate_stats(spark, SF).collect()}
+    assert rows, "no stats emitted"
+    flagged = [r for r in rows.values() if r["n_boilerplate"] > 0]
+    assert flagged, "no boilerplate found despite injected duplicates"
+    for r in flagged:
+        assert 0 <= r["n_boilerplate"] <= r["n_lines"]
+        assert r["kept_ppm"] == (r["n_lines"] - r["n_boilerplate"]) \
+            * 1000000 // r["n_lines"]
+    # a doc in a 3-member identity chain is fully boilerplate
+    chains = [i for i in rows if i % 50 == 0 and i + 200000 in rows
+              and i + 100000 in rows]
+    assert chains and any(rows[i]["n_boilerplate"] == rows[i]["n_lines"]
+                          for i in chains)
