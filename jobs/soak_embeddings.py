@@ -1,0 +1,136 @@
+"""Embedding near-dup soak: OR-blocked cosine dedup at 10-40x the
+bench vector corpus, with recall-vs-planted-truth, candidate-growth,
+and peak-memory evidence (the vector-side analog of soak_dedup.py).
+
+Corpus: deterministic in-engine synthesis — unit-scale 64-dim vectors
+from xxhash64 draws; every 10th base vector gets a +100000-id twin
+perturbed by ~2% of its norm (cos ~ 0.9998, above the 0.999
+threshold). Random 64-dim pairs sit near cos 0, so verified output =
+planted twins exactly; the interesting measurements are the LSH
+candidate count (blocking efficiency at fixed 2^16 buckets/band — the
+documented add-planes-per-band knob kicks in when this grows
+super-linearly) and recall.
+
+Usage: python jobs/soak_embeddings.py [n_small=20000] [factor=4]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+DIM = 64
+DUP_EVERY = 10
+NOISE = 0.02  # relative perturbation; cos ~ 1 - NOISE^2/2
+
+
+def synth_vectors(spark, n_base: int):
+    """(vec_id, v): base vectors + perturbed twins (vec_id+10^7)."""
+    ids = spark.range(n_base).select(F.col("id").alias("vec_id"))
+    def draw(seed_col, j, scale):
+        # deterministic float in [-scale, scale)
+        return (F.xxhash64(seed_col + F.lit(j)) / F.lit(float(1 << 63))
+                * F.lit(scale))
+    base = ids.select(
+        "vec_id",
+        F.array(*[draw(F.col("vec_id") * 1000003, j, 1.0)
+                  for j in range(DIM)]).alias("v"))
+    twins = (ids.filter(F.col("vec_id") % DUP_EVERY == 0)
+             .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                     F.array(*[
+                         draw(F.col("vec_id") * 1000003, j, 1.0) +
+                         draw(F.col("vec_id") * 7 + 13, j, NOISE)
+                         for j in range(DIM)]).alias("v")))
+    return base.unionAll(twins)
+
+
+def _jvm_peak_rss_gib():
+    best = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if "java" not in f.read():
+                    continue
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmHWM:"):
+                        best = max(best, int(line.split()[1]))
+        except OSError:
+            continue
+    return round(best / (1024 * 1024), 2)
+
+
+def run_one(spark, n_base: int, planes_per_band: int = 16) -> dict:
+    from jsonld_js_spark.operators.similarity import (
+        embedding_neardup_pairs, nd_band_sigs)
+    corpus = synth_vectors(spark, n_base).cache()
+    # candidate count alone (pre-verify) — blocking efficiency
+    bands = corpus.select(
+        "vec_id", F.posexplode(nd_band_sigs(F.col("v"),
+                                            planes_per_band))
+    ).select("vec_id", F.col("pos").alias("band"),
+             F.col("col").alias("bsig"))
+    n_cand = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band")) &
+        (F.col("a.bsig") == F.col("b.bsig")) &
+        (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select("a.vec_id", "b.vec_id").distinct().count())
+    t0 = time.time()
+    pairs = embedding_neardup_pairs(corpus, planes_per_band)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    expected = len(range(0, n_base, DUP_EVERY))
+    rec = {
+        "planes_per_band": planes_per_band,
+        "n_vectors": n_base + expected,
+        "planted_twins": expected,
+        "candidates": n_cand,
+        "verified_pairs": n_pairs,
+        "recall": round(n_pairs / expected, 4),
+        "candidates_per_kvec": round(n_cand / (n_base + expected) * 1000, 2),
+        "wall_sec": round(wall, 1),
+        "peak_jvm_rss_gib": _jvm_peak_rss_gib(),
+    }
+    corpus.unpersist()
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "20g")
+        .appName("soak-embeddings").getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    small = run_one(spark, n_small)
+    big = run_one(spark, n_small * factor)
+    # the documented scale knob: +4 planes/band = 16x more buckets
+    big_wide = run_one(spark, n_small * factor, planes_per_band=20)
+    print(json.dumps({
+        "metric": "embedding_soak",
+        "pair_growth_vs_size_growth": round(
+            (big["verified_pairs"] / max(1, small["verified_pairs"]))
+            / factor, 3),
+        "candidate_growth_vs_size_growth": round(
+            (big["candidates"] / max(1, small["candidates"])) / factor, 3),
+        "recall_small": small["recall"],
+        "recall_big": big["recall"],
+        "candidates_big_16_planes": big["candidates"],
+        "candidates_big_20_planes": big_wide["candidates"],
+        "recall_big_20_planes": big_wide["recall"],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -256,28 +256,37 @@ ND_PLANES = [_plane(100 + p)
              for p in range(ND_N_BANDS * ND_PLANES_PER_BAND)]
 
 
-def nd_band_sigs(vcol):
-    """array<long>[4]: per-band 16-plane sign signatures of the
-    quantized vector, via an Arrow-batched numpy matmul (64 plane dots
-    as ONE int64 matrix product per batch — exact integer arithmetic,
-    so DuckDB's per-plane list_sum reproduces it bit-for-bit; 64
-    Catalyst `aggregate` expressions for the same math blow up
-    analysis/codegen time ~6x)."""
+def nd_band_sigs(vcol, planes_per_band: int = ND_PLANES_PER_BAND,
+                 n_bands: int = ND_N_BANDS):
+    """array<long>[n_bands]: per-band sign signatures of the quantized
+    vector, via an Arrow-batched numpy matmul (all plane dots as ONE
+    int64 matrix product per batch — exact integer arithmetic, so
+    DuckDB's per-plane list_sum reproduces it bit-for-bit; the same
+    math as Catalyst `aggregate` expressions blows up analysis/codegen
+    time ~6x). `planes_per_band` is the bucket-count knob
+    (2^planes_per_band buckets/band) you raise with corpus size;
+    non-default values derive extra planes from the same deterministic
+    family."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.array(ND_PLANES, dtype=np.int64)  # (64 planes, 64 dims)
-    weights = (np.arange(ND_PLANES_PER_BAND, dtype=np.int64)
-               .__rpow__(2))  # [1, 2, 4, ..., 2^15]
+    if (planes_per_band, n_bands) == (ND_PLANES_PER_BAND, ND_N_BANDS):
+        plane_rows = ND_PLANES
+    else:
+        plane_rows = [_plane(100 + p)
+                      for p in range(n_bands * planes_per_band)]
+    planes = np.array(plane_rows, dtype=np.int64)  # (planes, 64 dims)
+    weights = (np.arange(planes_per_band, dtype=np.int64)
+               .__rpow__(2))  # [1, 2, 4, ...]
 
     def _sigs(vs):
         vq = np.floor(np.stack(vs.to_numpy()) * 1000.0).astype(np.int64)
-        bits = (vq @ planes.T) > 0  # (B, 64) exact int64 dots
+        bits = (vq @ planes.T) > 0  # (B, planes) exact int64 dots
         out = [
-            (bits[:, b * ND_PLANES_PER_BAND:(b + 1) * ND_PLANES_PER_BAND]
+            (bits[:, b * planes_per_band:(b + 1) * planes_per_band]
              * weights).sum(axis=1)
-            for b in range(ND_N_BANDS)]  # each (B,)
+            for b in range(n_bands)]  # each (B,)
         return pd.Series(np.stack(out, axis=1).tolist())
 
     sigs = pandas_udf(_sigs, "array<long>")
@@ -310,9 +319,19 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     within-bucket quadratic term shrinks 16x vs the single-signature
     scheme while recall RISES. At larger corpora add planes per band
     (buckets scale 2x per plane; recall recovered by adding a band)."""
-    corpus = _nd_corpus(spark, sf_dir)
+    return (embedding_neardup_pairs(_nd_corpus(spark, sf_dir))
+            .orderBy("vec_a", "vec_b"))
+
+
+def embedding_neardup_pairs(corpus, planes_per_band: int =
+                            ND_PLANES_PER_BAND,
+                            n_bands: int = ND_N_BANDS):
+    """OR-blocked + exactly-verified near-dup pairs from a
+    (vec_id, v: array<double>) DataFrame (see q_dedup_embedding_cosine
+    for the blocking design). Unordered."""
     bands = corpus.select(
-        "vec_id", F.posexplode(nd_band_sigs(F.col("v")))
+        "vec_id", F.posexplode(nd_band_sigs(F.col("v"), planes_per_band,
+                                            n_bands))
     ).select("vec_id", F.col("pos").alias("band"),
              F.col("col").alias("bsig"))
     cand = (bands.alias("a").join(
@@ -331,7 +350,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
              .select("vec_a", "vec_b",
                      _cos_ppm(F.col("v_a"), F.col("v_b")).alias("cos_ppm"))
              .filter(F.col("cos_ppm") >= NEARDUP_PPM))
-    return pairs.orderBy("vec_a", "vec_b")
+    return pairs
 
 
 def _nd_band_sig_sql(b: int, vq: str = "vq") -> str:
