@@ -32,6 +32,14 @@ TERM_NAMES = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "id",
 
 
 def _iri(rng):
+    if rng.random() < 0.12:
+        # exotic absolute IRIs: scheme-only forms, urn/tag/mailto,
+        # unicode path — stress absolute-IRI detection, CURIE
+        # compaction candidates, and base-relativization roots
+        return rng.choice([
+            "urn:uuid:0f9e", "tag:ex,2020:t", "mailto:a@b.c",
+            "a:", "a:b:c", EX + "%C3%BC/pct", EX + "üni/ß",
+        ])
     return EX + rng.choice(["a", "b", "c", "d", "n1", "n2", "x/y",
                             "frag#z", "px#q", "px#deep/leaf"])
 
@@ -39,7 +47,10 @@ def _iri(rng):
 def random_context(rng: random.Random) -> dict:
     ctx: dict = {}
     if rng.random() < 0.5:
-        ctx["@vocab"] = EX
+        # blank-node @vocab is legal in 1.1: every vocab-mapped term
+        # expands to a bnode predicate (dropped by toRDF unless
+        # produceGeneralizedRdf — interacts with that fuzz dimension)
+        ctx["@vocab"] = EX if rng.random() < 0.92 else "_:vb"
     if rng.random() < 0.3:
         ctx["@base"] = rng.choice(
             ["http://base.org/dir/", "http://base.org/dir/doc", "./"])
