@@ -100,17 +100,14 @@ def compact(active_ctx, active_property, element, options=None):
     # revert type-scoped context for new node objects — SINGLE step
     # (ref :167-169 + context.js:1391-1396 revertToPreviousContext).
     # The reference reverts BY CLONING and its clone drops @direction
-    # (context.js:1364-1385 quirk), so the default direction does NOT
-    # come back with the reverted context — compact_value inside this
-    # node must not re-simplify direction-tagged values (fuzz seed
-    # 952008); clone only when that is observable, like expand's revert
+    # AND processingMode (context.js:1364-1385 quirk), so the default
+    # direction does NOT come back with the reverted context —
+    # compact_value inside this node must not re-simplify
+    # direction-tagged values (fuzz seed 952008) — and 1.0-mode gates
+    # stop firing past a revert (fuzz seed 25500111)
     if not is_value(element) and not is_subject_reference(element):
-        prev = active_ctx.get("previousContext")
-        if prev is not None:
-            if "@direction" in prev:
-                from .context import _clone_active_context
-                prev = _clone_active_context(prev)
-            active_ctx = prev
+        from .context import revert_to_previous_context
+        active_ctx = revert_to_previous_context(active_ctx)
 
     # property-scoped context, looked up on input_ctx (ref :172-182);
     # an explicit null is processed (reset), not skipped

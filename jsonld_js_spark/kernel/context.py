@@ -75,6 +75,25 @@ def _clone_active_context(active_ctx: dict) -> dict:
     return child
 
 
+def revert_to_previous_context(active_ctx: dict) -> dict:
+    """ref lib/context.js:1391-1396: revertToPreviousContext returns
+    previousContext.CLONE(), and the clone copies only mappings/
+    protected/@base/@language/@vocab — so @direction AND processingMode
+    are both dropped by a revert. The mode drop is observable: 1.0-mode
+    keyword gates stop firing for anything processed on top of a
+    reverted context (e.g. a property-scoped context with
+    @propagate:true after a non-propagating top context — verified vs
+    node, fuzz seed 25500111). Clone lazily, only when a dropped field
+    is present."""
+    prev = active_ctx.get("previousContext")
+    if prev is None:
+        return active_ctx
+    if "@direction" in prev or prev.get("processingMode") is not None:
+        prev = _clone_active_context(prev)
+        prev["processingMode"] = None
+    return prev
+
+
 def process_context(active_ctx: dict, local_ctx, options: dict,
                     *, override_protected: bool = False,
                     propagate: bool = True) -> dict:

@@ -42,15 +42,10 @@ def _get_type_scoped_context(active_ctx, options):
     terms must survive one revert.
 
     The reference reverts BY CLONING, and its clone drops @direction
-    (lib/context.js:1364-1385 quirk — see _clone_active_context);
-    clone only when that is observable."""
-    prev = active_ctx.get("previousContext")
-    if prev is None:
-        return active_ctx
-    if "@direction" in prev:
-        from .context import _clone_active_context
-        return _clone_active_context(prev)
-    return prev
+    AND processingMode (lib/context.js:1364-1385 quirk — see
+    revert_to_previous_context)."""
+    from .context import revert_to_previous_context
+    return revert_to_previous_context(active_ctx)
 
 
 def expand(active_ctx, element, active_property=None, options=None,
@@ -493,8 +488,10 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                                                as_graph, options)
         elif "@type" in container and isinstance(value, dict):
             # @type containers revert the type-scoped context before
-            # expanding the map (ref lib/expand.js:768-779)
-            reverted = term_ctx.get("previousContext") or term_ctx
+            # expanding the map (ref lib/expand.js:768-779) — a CLONING
+            # revert, so @direction/processingMode drop here too
+            from .context import revert_to_previous_context
+            reverted = revert_to_previous_context(term_ctx)
             expanded_value = _expand_index_map(reverted, key, value, "@type",
                                                False, options)
         elif expanded_property in ("@list", "@set"):

@@ -759,6 +759,30 @@ CASES += [
                "rvp": {"@id": "http://x/o"}},
         options={"produceGeneralizedRdf": True},
     ),
+    # a revert is a CLONE that does not copy processingMode
+    # (lib/context.js:1364-1385 + :1391-1396): after a non-propagating
+    # top context, expanding a node value reverts — and the 1.0-mode
+    # gates stop firing, so a property-scoped context with 1.1-only
+    # keywords (@propagate) is legal mid-document even under options
+    # processingMode json-ld-1.0. Fuzz seed 25500111.
+    dict(
+        name="fuzz-revert-erases-processing-mode",
+        op_override=["expand", "compact", "toRDF"],
+        input={"@context": {"@propagate": False,
+                            "PropType": {
+                                "@id": EX + "PropType",
+                                "@context": {"@propagate": True,
+                                             "palpha": EX + "palpha"}},
+                            "alpha": EX + "alpha"},
+               "@id": EX + "top",
+               "PropType": {"alpha": "v", "palpha": "pv"}},
+        context={"@propagate": False,
+                 "PropType": {"@id": EX + "PropType",
+                              "@context": {"@propagate": True,
+                                           "palpha": EX + "palpha"}},
+                 "alpha": EX + "alpha"},
+        options={"processingMode": "json-ld-1.0"},
+    ),
     # simple @graph container wraps UNCONDITIONALLY — the reference's
     # comment ("and value is not, itself, a graph") lies; the code has
     # no _isGraph guard (lib/expand.js:844-848; the guard exists only
