@@ -199,8 +199,13 @@ def expand(active_ctx, element, active_property=None, options=None,
             value if isinstance(value, list) else [value])
         types = rval.get("@type", [])
         types = types if isinstance(types, list) else [types]
-        if types == ["@json"]:
-            pass  # any JSON value allowed
+        if types == ["@json"] and \
+                active_ctx.get("processingMode") != "json-ld-1.0":
+            # any JSON value allowed — but ONLY in 1.1 mode (ref
+            # lib/expand.js:300-302 gates on _processingMode 1.1); in
+            # 1.0 an object @value with @type @json falls through to
+            # 'invalid value object value' (fuzz seed 29500175)
+            pass
         elif not values:
             # null @value dropped unless custom mapped
             # (ref lib/expand.js:299-316)

@@ -768,7 +768,11 @@ def main(n_docs: int, seed0: int) -> int:
         # resolution + compactToRelative interplay)
         def _base_opts(s):
             o = {}
-            if s % 13 == 0:
+            if s % 13 == 0 or os.environ.get("DIFFTEST_MODE10"):
+                # DIFFTEST_MODE10=1 forces 1.0 mode on EVERY seed —
+                # the 1.0 keyword gates interact with reverts/scoped
+                # contexts (seed 25500111's class) far more densely
+                # than the 1-in-13 default
                 o["processingMode"] = "json-ld-1.0"
             if s % 8 == 1:
                 o["base"] = "http://base.org/dir/doc"

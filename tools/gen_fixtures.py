@@ -759,6 +759,17 @@ CASES += [
                "rvp": {"@id": "http://x/o"}},
         options={"produceGeneralizedRdf": True},
     ),
+    # the any-JSON-value allowance for @type:@json is gated on 1.1
+    # (ref lib/expand.js:300-302): in 1.0 mode an object @value with
+    # a @json-aliased @type raises invalid value object value instead.
+    # Fuzz seed 29500175.
+    dict(
+        name="fuzz-json-type-value-object-1-0-error",
+        op_override=["expand-error"],
+        input={"@context": {"@vocab": EX, "ix": "@json"},
+               "alpha": {"@type": "ix", "@value": {"j": [1, None]}}},
+        options={"processingMode": "json-ld-1.0"},
+    ),
     # a revert is a CLONE that does not copy processingMode
     # (lib/context.js:1364-1385 + :1391-1396): after a non-propagating
     # top context, expanding a node value reverts — and the 1.0-mode
