@@ -88,7 +88,11 @@ def revert_to_previous_context(active_ctx: dict) -> dict:
     prev = active_ctx.get("previousContext")
     if prev is None:
         return active_ctx
-    if "@direction" in prev or prev.get("processingMode") is not None:
+    # lazy clone: the drop is observable only for @direction or the
+    # 1.0 mode string (every mode check compares == "json-ld-1.0";
+    # None and the default "json-ld-1.1" are indistinguishable)
+    if "@direction" in prev or \
+            prev.get("processingMode") == "json-ld-1.0":
         prev = _clone_active_context(prev)
         prev["processingMode"] = None
     return prev
