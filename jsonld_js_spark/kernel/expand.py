@@ -386,7 +386,10 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                     active_ctx["processingMode"] != "json-ld-1.0":
                 rval["@value"] = value
             else:
-                add_value(rval, "@value", value, value_is_array=False)
+                # frame expansion keeps @value as an array (ref
+                # lib/expand.js:589-590 propertyIsArray: options.isFrame)
+                add_value(rval, "@value", value,
+                          property_is_array=bool(options.get("isFrame")))
             continue
 
         # @language (ref lib/expand.js:597-623)
