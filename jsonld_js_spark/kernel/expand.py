@@ -404,9 +404,11 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                 if isinstance(v, str) and not BCP47_RE.match(v):
                     pass  # warning only (ref lib/expand.js:612-616)
             out = [v.lower() if isinstance(v, str) else v for v in vals]
+            # ref lib/expand.js:617-619: propertyIsArray: options.isFrame
+            # (a scalar @language in a FRAME is stored as an array)
             add_value(rval, "@language",
                       out if isinstance(value, list) else out[0],
-                      value_is_array=isinstance(value, list))
+                      property_is_array=bool(options.get("isFrame")))
             continue
 
         # @direction (ref lib/expand.js:624-650) — NO processing-mode
@@ -422,8 +424,9 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                 if isinstance(v, str) and v not in ("ltr", "rtl"):
                     raise JsonLdError('"@direction" must be "ltr"/"rtl".',
                                       "invalid base direction")
+            # ref lib/expand.js:641-646: propertyIsArray: options.isFrame
             add_value(rval, "@direction", value,
-                      value_is_array=isinstance(value, list))
+                      property_is_array=bool(options.get("isFrame")))
             continue
 
         # @index (ref lib/expand.js:651-661)
