@@ -778,8 +778,14 @@ def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
 def _expand_iri_tail(active_ctx, value, vocab, base, local_ctx, defined):
     if vocab:
         mapping = active_ctx["mappings"].get(value)
-        if mapping is not None:
-            return mapping.get("@id")
+        # a mapping WITHOUT '@id' (mid-definition partial — terms are
+        # inserted into mappings before their @id is resolved, ref
+        # lib/context.js:520) falls THROUGH to the CURIE split (ref
+        # :1005-1010 `'@id' in mapping`): that is how a compound
+        # term's own-definition check reaches the prefix definition
+        # and surfaces ITS error first (seed 41000422)
+        if mapping is not None and "@id" in mapping:
+            return mapping["@id"]
 
     if len(value) > 1 and ":" in value[1:]:
         prefix, suffix = value.split(":", 1)
@@ -813,8 +819,8 @@ def _expand_iri_tail_mapped(active_ctx, value, vocab, base, local_ctx,
     emap = options["expansionMap"]
     if vocab:
         mapping = active_ctx["mappings"].get(value)
-        if mapping is not None:
-            return mapping.get("@id")
+        if mapping is not None and "@id" in mapping:
+            return mapping["@id"]
 
     if len(value) > 1 and ":" in value[1:]:
         prefix, suffix = value.split(":", 1)

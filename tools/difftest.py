@@ -539,7 +539,7 @@ def random_adversarial_context(seed: int):
            "t1": "v", "t3": "w", "t4": ["a", "b"],
            "pref:x": "y", "tp": "z"}
     opts = {}
-    if rng.random() < 0.2:
+    if rng.random() < 0.2 or os.environ.get("DIFFTEST_MODE10"):
         opts["processingMode"] = "json-ld-1.0"
     return doc, opts
 

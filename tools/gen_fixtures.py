@@ -759,6 +759,29 @@ CASES += [
                "rvp": {"@id": "http://x/o"}},
         options={"produceGeneralizedRdf": True},
     ),
+    # partial mappings (inserted before @id resolves) fall THROUGH the
+    # vocab lookup in expandIri ('@id' in mapping, ref
+    # lib/context.js:1005-1010) — so a compound term's own-definition
+    # check recurses into the PREFIX definition, and in 1.0 mode the
+    # prefix's '@prefix not allowed' error surfaces first (invalid term
+    # definition, not invalid IRI mapping). Fuzz seed 41000422.
+    dict(
+        name="fuzz-prefix-term-error-order-1-0",
+        op_override=["expand-error"],
+        input={"@context": {"pref:suf": {"@id": EX + "other"},
+                            "pref": {"@id": EX + "p#", "@prefix": True}},
+               "pref:suf": "v"},
+        options={"processingMode": "json-ld-1.0"},
+    ),
+    # same doc in 1.1: the prefix defines fine and the compound term's
+    # expansion mismatch raises invalid IRI mapping
+    dict(
+        name="fuzz-prefix-term-mismatch-1-1",
+        op_override=["expand-error"],
+        input={"@context": {"pref:suf": {"@id": EX + "other"},
+                            "pref": {"@id": EX + "p#", "@prefix": True}},
+               "pref:suf": "v"},
+    ),
     # the any-JSON-value allowance for @type:@json is gated on 1.1
     # (ref lib/expand.js:300-302): in 1.0 mode an object @value with
     # a @json-aliased @type raises invalid value object value instead.
