@@ -527,12 +527,18 @@ def _rdf_to_object(quad, use_native_types: bool, rdf_direction):
             rval["@type"] = datatype
         return rval
     if rdf_direction == "i18n-datatype" and datatype.startswith(I18N_NS):
-        lang_dir = datatype[len(I18N_NS):]
-        lang, _, direction = lang_dir.partition("_")
+        # ref lib/fromRdf.js:333-341: `type.split(/[#_]/)` — direction
+        # is the SECOND segment only (extra underscores drop), and the
+        # assignment is UNCONDITIONAL, so an empty direction
+        # ('i18n#en_') round-trips as "@direction": "" (fuzz seed
+        # 49000245). With NO underscore the JS assignment is
+        # `undefined` (invisible in JSON) — mirrored by omitting.
+        parts = re.split(r"[#_]", datatype)
+        lang = parts[1] if len(parts) > 1 else ""
         if lang:
             rval["@language"] = lang
-        if direction:
-            rval["@direction"] = direction
+        if len(parts) > 2:
+            rval["@direction"] = parts[2]
         return rval
     if datatype == "@json":
         rval["@type"] = "@json"

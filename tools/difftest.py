@@ -399,6 +399,12 @@ def random_quads(seed: int):
         if r < 0.85:
             return (rng.choice(['{"a":1}', '[1,2]', 'bogus']),
                     RDF_NS + "JSON", None)
+        if r < 0.92:
+            # i18n direction-encoded literal (decoded only under
+            # rdfDirection=i18n-datatype)
+            return ("dirv", "https://www.w3.org/ns/i18n#" +
+                    rng.choice(["en_ltr", "ar_rtl", "_rtl", "en_",
+                                "EN-latn_ltr"]), None)
         return ("plain", XSD + "string", None)
 
     def obj(rng):
@@ -420,7 +426,12 @@ def random_quads(seed: int):
             p, (tt, v, dt, lang) = RDF_NS + "type", (
                 "NamedNode", iri(rng.choice(["T", "U"])), None, None)
         else:
-            p = iri("p" + str(rng.randint(0, 3)))
+            # occasional blank-node predicate: generalized-RDF input —
+            # fromRDF folds it like any property (ref lib/fromRdf.js
+            # has no predicate-kind filter)
+            p = ("_:bp" + str(rng.randint(0, 1))
+                 if rng.random() < 0.08 else
+                 iri("p" + str(rng.randint(0, 3))))
             tt, v, dt, lang = obj(rng)
         quads.append((s, p, v, tt, dt, lang, g))
 
@@ -482,6 +493,8 @@ def random_quads(seed: int):
         opts["useNativeTypes"] = True
     if rng.random() < 0.2:
         opts["useRdfType"] = True
+    if rng.random() < 0.3:
+        opts["rdfDirection"] = "i18n-datatype"
     return ref_quads, deduped, opts
 
 

@@ -878,6 +878,27 @@ CASES += [
              _lit("xyz", "https://www.w3.org/ns/i18n#ar_rtl"))),
         options={"rdfDirection": "i18n-datatype"},
     ),
+    # i18n datatype EDGE forms (ref lib/fromRdf.js:333-341 split on
+    # /[#_]/): empty direction survives as "@direction": "", empty
+    # language omits @language, extra underscores truncate to the
+    # second segment, no underscore leaves @direction unset. Fuzz seed
+    # 49000245.
+    dict(
+        name="fromrdf-i18n-direction-edges",
+        op_override=["fromRDF"],
+        input=quads(
+            (EX + "a", EX + "p0",
+             _lit("d1", "https://www.w3.org/ns/i18n#en_")),
+            (EX + "a", EX + "p1",
+             _lit("d2", "https://www.w3.org/ns/i18n#_rtl")),
+            (EX + "a", EX + "p2",
+             _lit("d3", "https://www.w3.org/ns/i18n#a_b_c")),
+            (EX + "a", EX + "p3",
+             _lit("d4", "https://www.w3.org/ns/i18n#en")),
+            (EX + "a", EX + "p4",
+             _lit("d5", "https://www.w3.org/ns/i18n#EN-latn_ltr"))),
+        options={"rdfDirection": "i18n-datatype"},
+    ),
 ]
 
 
