@@ -423,8 +423,12 @@ def random_quads(seed: int):
         s = rng.choice([iri(rng.choice("abcd")),
                         "_:b" + str(rng.randint(0, 4))])
         if rng.random() < 0.2:
+            # rdf:type objects: named types and BLANK-node types (both
+            # legal; fromRDF emits "@type": "_:bN" for the latter)
             p, (tt, v, dt, lang) = RDF_NS + "type", (
-                "NamedNode", iri(rng.choice(["T", "U"])), None, None)
+                ("NamedNode", iri(rng.choice(["T", "U"])), None, None)
+                if rng.random() < 0.8 else
+                ("BlankNode", "_:bt" + str(rng.randint(0, 1)), None, None))
         else:
             # occasional blank-node predicate: generalized-RDF input —
             # fromRDF folds it like any property (ref lib/fromRdf.js
