@@ -775,6 +775,82 @@ ORDER BY total_degree DESC, node LIMIT 50
 """
 
 
+PAGERANK_ITERS = 5
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as integer arithmetic
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration integer PageRank over the constructed KG's
+    NamedNode→NamedNode edge set — the standard post-construction
+    importance ranking. All arithmetic is int64 (rank in ppm, d=85/100
+    via DIV; dangling mass leaks, the simple variant) so SUM-order
+    never matters and the DuckDB oracle reproduces every iteration
+    bit-for-bit.
+
+    Scale shape: each iteration is one edges⋈ranks shuffle on the src
+    key + one partial-aggregated groupBy(dst) — the same co-located
+    join every Pregel-style engine runs; ranks are 2 longs/node. Five
+    iterations keep lineage shallow locally; at 100 TB checkpoint the
+    rank table every few rounds exactly like connected_components
+    (operators/dedup.py:_reliable_checkpoint). Top-k is a TakeOrdered."""
+    t = _triples(spark, sf_dir, cache=True)
+    edges = (t.filter(F.col("obj_termtype") == "NamedNode")
+             .select("subj", F.col("obj_value").alias("dst"))
+             .distinct().cache())
+    nodes = (edges.select(F.col("subj").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    outd = edges.groupBy("subj").agg(F.count("*").alias("outd"))
+    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (edges.join(ranks, edges["subj"] == ranks["node"])
+                   .join(outd, "subj")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("rank DIV outd").alias("c")))
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (nodes.join(inflow, "node", "left")
+                 .select("node",
+                         (F.lit(150000) +
+                          F.expr(f"{PR_DAMP_NUM} * coalesce(inflow, 0) "
+                                 f"DIV {PR_DAMP_DEN}")).cast("long")
+                         .alias("rank")))
+    return (ranks.orderBy(F.desc("rank"), "node").limit(50))
+
+
+def oracle_kg_pagerank(triples_sql: str) -> str:
+    prev = "pr0"
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+pr{i} AS (
+  SELECT n.node,
+         cast(150000 + {PR_DAMP_NUM} * coalesce((
+           SELECT sum(p.rank // o.outd)
+           FROM edges e JOIN {prev} p ON e.subj = p.node
+                        JOIN outd o ON e.subj = o.subj
+           WHERE e.dst = n.node), 0) // {PR_DAMP_DEN} as bigint) AS rank
+  FROM nodes n
+)""")
+        prev = f"pr{i}"
+    return f"""
+WITH triples AS ({triples_sql}),
+edges AS (
+  SELECT DISTINCT subj, obj_value AS dst FROM triples
+  WHERE obj_termtype = 'NamedNode'
+),
+nodes AS (
+  SELECT subj AS node FROM edges UNION SELECT dst FROM edges
+),
+outd AS (
+  SELECT subj, cast(count(*) as bigint) AS outd FROM edges GROUP BY subj
+),
+pr0 AS (
+  SELECT node, cast(1000000 as bigint) AS rank FROM nodes
+),{",".join(iters)}
+SELECT node, rank FROM {prev} ORDER BY rank DESC, node LIMIT 50
+"""
+
+
 def q_kg_entity_comention(spark, sf_dir, max_entities_per_conv=None):
     """Entity co-mention graph: pairs of entities mentioned in the
     SAME conversation, weighted by the number of such conversations —
@@ -843,6 +919,7 @@ def queries() -> dict:
         "kg_incremental_triples": q_kg_incremental_triples,
         "kg_degree_stats": q_kg_degree_stats,
         "kg_entity_comention": q_kg_entity_comention,
+        "kg_pagerank": q_kg_pagerank,
     }
 
 
@@ -875,4 +952,5 @@ def oracles(n_conv: int) -> dict:
         "kg_degree_stats": oracle_kg_degree_stats(triples_sql),
         "kg_entity_comention":
             oracle_kg_entity_comention(triples_sql),
+        "kg_pagerank": oracle_kg_pagerank(triples_sql),
     }

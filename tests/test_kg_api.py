@@ -355,3 +355,27 @@ def test_kg_entity_comention_cap(spark):
     top = dict(sorted(expect.items(),
                       key=lambda kv: (-kv[1], kv[0]))[:50])
     assert capped == top
+
+
+def test_kg_pagerank_invariants(spark):
+    """Integer PageRank: every rank has the 150000 teleport floor, the
+    hub ordering is sane (conversation nodes collect hasTurn inflow),
+    and total mass is bounded by N * 1e6 (dangling leak only)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.kg_api import _triples, q_kg_pagerank
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = q_kg_pagerank(spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert all(r["rank"] >= 150000 for r in rows)
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # hubs: entity IRIs receive `mentions` inflow from many turns —
+    # the global top node must be one of the high-inflow IRIs
+    t = _triples(spark, sf_dir)
+    indeg = (t.filter(F.col("obj_termtype") == "NamedNode")
+             .groupBy("obj_value").agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n")).limit(5).collect())
+    top_indeg = {r["obj_value"] for r in indeg}
+    assert rows[0]["node"] in top_indeg
