@@ -267,7 +267,15 @@ def random_node(rng, depth) -> dict:
                         "PropType"])
         node["@type"] = [t, EX + "T2"] if rng.random() < 0.3 else t
     if rng.random() < 0.12:
-        node["meta"] = {"nest_t": "nested-v", "scoped": "sv"}
+        node["meta"] = rng.choice([
+            {"nest_t": "nested-v", "scoped": "sv"},
+            # nested @nest (ref lib/expand.js:894-916 recursion),
+            # array-of-nests, and the @value-in-nest error path
+            {"meta": {"nest_t": "deep-nested"}, "nest_t": "shallow"},
+            [{"nest_t": "a"}, {"nest_t": "b", "scoped": "sv"}],
+            {"@value": "bad-nest"},
+            {"nested": {"meta": {"nest_t": "inner"}}},
+        ])
     for name in rng.sample(TERM_NAMES, rng.randint(1, 4)):
         if name in ("id", "type"):
             continue
