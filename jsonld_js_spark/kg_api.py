@@ -797,12 +797,21 @@ def q_kg_pagerank(spark, sf_dir):
     edges = (t.filter(F.col("obj_termtype") == "NamedNode")
              .select("subj", F.col("obj_value").alias("dst"))
              .distinct().cache())
+    return (pagerank(edges).orderBy(F.desc("rank"), "node").limit(50))
+
+
+def pagerank(edges, iters: int = PAGERANK_ITERS):
+    """(subj, dst) distinct edge DataFrame → (node, rank) after
+    `iters` exact-int64 supersteps. Hand-computed tiny-graph pytest
+    guards the arithmetic independently of BOTH engines (the DuckDB
+    oracle shares the formula, so a synchronized defect would pass the
+    gate — the MinHash lesson, BENCH/SOAK_DEDUP_r3.md)."""
     nodes = (edges.select(F.col("subj").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct().cache())
     outd = edges.groupBy("subj").agg(F.count("*").alias("outd")).cache()
     ranks = nodes.select("node", F.lit(1000000).cast("long").alias("rank"))
-    for _ in range(PAGERANK_ITERS):
+    for _ in range(iters):
         contrib = (edges.join(ranks, edges["subj"] == ranks["node"])
                    .join(outd, "subj")
                    .select(F.col("dst").alias("node"),
@@ -824,7 +833,7 @@ def q_kg_pagerank(spark, sf_dir):
         # every few rounds (executor-loss safety + lineage truncation),
         # exactly like connected_components; rank state is 2 longs/node.
         ranks = ranks.cache()
-    return (ranks.orderBy(F.desc("rank"), "node").limit(50))
+    return ranks
 
 
 def oracle_kg_pagerank(triples_sql: str) -> str:

@@ -379,3 +379,25 @@ def test_kg_pagerank_invariants(spark):
              .orderBy(F.desc("n")).limit(5).collect())
     top_indeg = {r["obj_value"] for r in indeg}
     assert rows[0]["node"] in top_indeg
+
+
+def test_pagerank_hand_computed_tiny_graph(spark):
+    """Exact int64 PageRank on a 3-node graph, computed BY HAND — the
+    DuckDB oracle shares the engine's formula, so only an independent
+    ground truth can catch a synchronized arithmetic defect (the
+    MinHash lesson, BENCH/SOAK_DEDUP_r3.md)."""
+    from jsonld_js_spark.kg_api import PAGERANK_ITERS, pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "subj string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    # independent reference implementation in plain python ints
+    rank = {n: 1000000 for n in "abc"}
+    outd = {"a": 2, "b": 1, "c": 1}
+    inn = {"a": ["c"], "b": ["a"], "c": ["b", "a"]}
+    for _ in range(PAGERANK_ITERS):
+        rank = {n: 150000 + 85 * sum(rank[s] // outd[s]
+                                     for s in inn[n]) // 100
+                for n in "abc"}
+    assert got == rank, (got, rank)
