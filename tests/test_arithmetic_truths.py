@@ -1,0 +1,87 @@
+"""Hand-computed ground truths for the shared cross-engine formulas.
+
+The DuckDB oracles compute the SAME portable arithmetic as the Spark
+side, so the gate proves agreement, not correctness (the MinHash
+lesson — BENCH/SOAK_DEDUP_r3.md). These tests pin the primitives to
+values computed independently (by hand / plain Python from the
+definitions), so a synchronized defect cannot hide.
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_hash60_definition(spark):
+    """hash60('abc') must equal int(md5('abc').hex[:15], 16)."""
+    from jsonld_js_spark.operators.textstats import hash60
+    vals = ["abc", "", "Ünïcode ß", "a b c"]
+    got = [r[0] for r in spark.createDataFrame(
+        [(v,) for v in vals], "s string")
+        .select(hash60(F.col("s"))).collect()]
+    expect = [int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+              for v in vals]
+    assert got == expect
+
+
+def test_cos_ppm_hand_computed(spark):
+    """Quantized-cosine ppm on tiny integer vectors, by hand:
+    v=[3,4], w=[4,3] quantized x1000 → dot=24e6, norms 5000 → cos=0.96
+    → 960000 ppm exactly; orthogonal → 0; identical → 1000000."""
+    from jsonld_js_spark.operators.similarity import _cos_ppm, _vec_d
+    rows = [([0.003, 0.004], [0.004, 0.003]),
+            ([0.001, 0.0], [0.0, 0.001]),
+            ([0.002, 0.001], [0.002, 0.001])]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = [r[0] for r in df.select(
+        _cos_ppm(_vec_d(F.col("a")), _vec_d(F.col("b")))).collect()]
+    assert got == [960000, 0, 1000000], got
+
+
+def test_jaccard_ppm_hand_computed(spark):
+    """|{a,b}∩{b,c}|/|{a,b,c}| = 1/3 → floor(333333.33) = 333333."""
+    from jsonld_js_spark.operators.dedup import _jaccard_ppm
+    df = spark.createDataFrame(
+        [(["a", "b"], ["b", "c"])], "sa array<string>, sb array<string>")
+    got = df.select(_jaccard_ppm(F.col("sa"), F.col("sb"))).collect()[0][0]
+    assert got == 333333
+
+
+def test_tfidf_score_hand_computed(spark, tmp_path):
+    """Two docs: 'x x y' and 'x z'. df(x)=2, df(y)=df(z)=1.
+    score(x in d0) = 2*1e6 DIV 2 = 1000000; score(y in d0) = 1e6;
+    score(x in d1) = 500000; score(z in d1) = 1000000."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = str(tmp_path / "tiny")
+    import os
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": [0, 1], "text": ["x x y", "x z"],
+        "lang": ["en", "en"], "source": ["s", "s"],
+        "n_chars": [5, 3]}), f"{d}/documents.parquet")
+    from jsonld_js_spark.operators.textstats import q_text_tfidf_topk
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["df"], r["score_ppm"])
+           for r in q_text_tfidf_topk(spark, d).collect()}
+    assert got == {(0, "x"): (2, 2, 1000000), (0, "y"): (1, 1, 1000000),
+                   (1, "x"): (1, 2, 500000), (1, "z"): (1, 1, 1000000)}
+
+
+def test_minhash_signature_hand_computed():
+    """sig_i = min over shingles of A_i*h mod (2^61-1), checked with
+    plain-Python big-int arithmetic on two known shingles."""
+    from jsonld_js_spark.operators.dedup import MIX_CONSTS, MIX_PRIME
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    hs = [h60("a b c"), h60("b c d")]
+    for a in MIX_CONSTS:
+        expect = min((a * h) % MIX_PRIME for h in hs)
+        # engine formula (same splitting the SQL/Column exprs use)
+        got = min((((a * (h >> 30)) >> 31) +
+                   (((a * (h >> 30)) & ((1 << 31) - 1)) << 30) +
+                   a * (h & ((1 << 30) - 1))) % MIX_PRIME for h in hs)
+        assert got == expect
