@@ -903,7 +903,12 @@ def compact_value(active_ctx, active_property, value, options=None):
     compacted = compact_iri(active_ctx, value["@id"],
                             vocab=type_ == "@vocab",
                             base=options.get("base"))
-    if type_ in ("@id", "@vocab") and expanded_property != "@graph":
+    # compact to a SCALAR for @id/@vocab coercion OR directly under
+    # @graph (ref lib/compact.js:1080-1082 is a DISJUNCTION — graph
+    # members that are subject references become bare id strings; only
+    # reachable via framing/node-map outputs, since expansion drops
+    # free-floating id-only graph members. Fuzz seed 60000747.)
+    if type_ in ("@id", "@vocab") or expanded_property == "@graph":
         return compacted
     id_alias = compact_iri(active_ctx, "@id", vocab=True)
     return {id_alias: compacted}

@@ -759,6 +759,32 @@ CASES += [
                "rvp": {"@id": "http://x/o"}},
         options={"produceGeneralizedRdf": True},
     ),
+    # compactValue scalarizes subject references under @graph (ref
+    # lib/compact.js:1080-1082 disjunction): a framed named-graph
+    # member that is an id-only reference compacts to the bare id
+    # STRING. Only reachable through framing/node-map outputs
+    # (expansion drops free-floating id-only graph members). Fuzz seed
+    # 60000747 — the engine's inverted day-one conditional survived
+    # ~28k fuzz cases until the nested-graph-container grammar landed.
+    dict(
+        name="fuzz-graph-member-subject-ref-scalar",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX,
+                            "epsi": {"@id": EX + "epsi",
+                                     "@container": "@graph"}},
+               "@id": EX + "top",
+               "epsi": {"@graph": [{"@graph": [
+                            {"@id": EX + "d",
+                             "epsi": {"@direction": "rtl",
+                                      "@value": "dv"},
+                             "zeta": "v"}],
+                        "nested": False}],
+                        "@index": "gix"}},
+        frame={"@context": {"@vocab": EX,
+                            "epsi": {"@id": EX + "epsi",
+                                     "@container": "@graph"}},
+               "epsi": {}},
+    ),
     # partial mappings (inserted before @id resolves) fall THROUGH the
     # vocab lookup in expandIri ('@id' in mapping, ref
     # lib/context.js:1005-1010) — so a compound term's own-definition
