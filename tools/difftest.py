@@ -701,6 +701,12 @@ def random_frame(seed: int, doc: dict) -> dict:
         # includes the LEGACY embed flavors (@first/@last, boolean)
         frame["@embed"] = rng.choice(["@once", "@always", "@never",
                                       "@first", "@last", True, False])
+    if rng.random() < 0.15:
+        # @graph sub-frame: drives the graph-name recursion's subframe
+        # selection (ref lib/frame.js:175-193; a non-object subframe
+        # falls back to {})
+        frame["@graph"] = [rng.choice([{}, {"@embed": "@never"},
+                                       {"@explicit": True}, "bogus"])]
     return frame
 
 
