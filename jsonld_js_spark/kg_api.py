@@ -809,11 +809,13 @@ def pagerank(edges, iters: int = PAGERANK_ITERS):
     nodes = (edges.select(F.col("subj").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct().cache())
-    outd = edges.groupBy("subj").agg(F.count("*").alias("outd")).cache()
+    outd = edges.groupBy("subj").agg(F.count("*").alias("outd"))
+    # out-degree rides the edge table: ONE join outside the loop
+    # instead of an outd join per superstep (5 joins saved)
+    edges_w = edges.join(outd, "subj").cache()
     ranks = nodes.select("node", F.lit(1000000).cast("long").alias("rank"))
     for _ in range(iters):
-        contrib = (edges.join(ranks, edges["subj"] == ranks["node"])
-                   .join(outd, "subj")
+        contrib = (edges_w.join(ranks, edges_w["subj"] == ranks["node"])
                    .select(F.col("dst").alias("node"),
                            F.expr("rank DIV outd").alias("c")))
         inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
