@@ -148,6 +148,11 @@ def compact(active_ctx, active_property, element, options=None):
                 compacted_value = [compact_iri(active_ctx, v,
                                                base=options.get("base"))
                                    for v in expanded_value]
+                # singleton arrays collapse regardless of compactArrays
+                # (ref lib/compact.js:233-235) — @id reaches here as an
+                # array only via isFrame expansion or skipExpansion
+                if len(compacted_value) == 1:
+                    compacted_value = compacted_value[0]
             alias = compact_iri(active_ctx, "@id", vocab=True)
             rval[alias] = compacted_value
             continue

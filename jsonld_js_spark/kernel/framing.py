@@ -148,7 +148,12 @@ def _frame(state, subjects, frame, parent, property):  # noqa: C901
                 recurse = state["graph"] != "@merged"
                 subframe = {}
             else:
-                subframe = frame["@graph"][0]
+                # JS frame['@graph'][0] on an EMPTY array is undefined
+                # (ref :181), then the isObject fallback applies — an
+                # empty/scalar-pruned @graph sub-frame must not crash
+                # (fuzz seed 65000854)
+                fg = frame["@graph"]
+                subframe = fg[0] if isinstance(fg, list) and fg else None
                 recurse = id_ not in ("@merged", "@default")
                 if not isinstance(subframe, dict):
                     subframe = {}

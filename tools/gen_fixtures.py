@@ -759,6 +759,19 @@ CASES += [
                "rvp": {"@id": "http://x/o"}},
         options={"produceGeneralizedRdf": True},
     ),
+    # a scalar-pruned (empty-after-expansion) @graph sub-frame must not
+    # crash the graph-name recursion: JS frame['@graph'][0] is
+    # undefined and falls back to {} (ref lib/frame.js:181-186). Fuzz
+    # seed 65000854 (our port IndexError'd).
+    dict(
+        name="fuzz-empty-graph-subframe",
+        op_override=["frame"],
+        input={"@context": {"@vocab": EX},
+               "@id": EX + "top", "@type": "Type",
+               "@graph": [{"@id": "_:bn1", "@index": "ix"}]},
+        frame={"@context": {"@vocab": EX},
+               "@embed": False, "@graph": ["bogus"]},
+    ),
     # compactValue scalarizes subject references under @graph (ref
     # lib/compact.js:1080-1082 disjunction): a framed named-graph
     # member that is an id-only reference compacts to the bare id
