@@ -360,6 +360,13 @@ def random_doc(seed: int):
         node["remote_t"] = "rv"
         node["imported_t"] = "iv"
     doc = {"@context": ctx, **node}
+    if rng.random() < 0.07:
+        # top-level ARRAY document (jsonld.expand([...]) surface):
+        # each element carries its own context
+        sibling = {"@context": dict(ctx) if isinstance(ctx, dict) else ctx,
+                   "@id": EX + "sibling",
+                   "alpha": rng.choice(["sv", 7, {"@id": EX + "sref"}])}
+        return [doc, sibling], documents
     return doc, documents
 
 
@@ -655,7 +662,8 @@ def run_reference_batch(requests: list[dict]) -> list[dict]:
 
 def random_frame(seed: int, doc: dict) -> dict:
     rng = random.Random(seed * 31 + 7)
-    ctx = doc.get("@context") or {}
+    ctx = (doc.get("@context") if isinstance(doc, dict)
+           else doc[0].get("@context")) or {}
     frame: dict = {"@context": ctx}
     terms = [k for k in ctx
              if isinstance(k, str) and not k.startswith("@")]
@@ -852,7 +860,10 @@ def main(n_docs: int, seed0: int) -> int:
         # every 5th seed flattens WITH the doc's context (flatten then
         # compacts the node map through the compaction engine)
         def _fl_ctx(s, d):
-            return (d.get("@context") or {}) if s % 5 == 2 else None
+            if s % 5 != 2:
+                return None
+            return (d.get("@context") or {}) if isinstance(d, dict) \
+                else (d[0].get("@context") or {})
         reqs = []
         for s, d, fr, dm in zip(seeds, docs, frames, docmaps):
             extra = {"documents": dm} if dm else {}
@@ -861,8 +872,10 @@ def main(n_docs: int, seed0: int) -> int:
                          "options": _e_opts(s, o), **extra})
             reqs.append({"op": "toRDF", "input": d,
                          "options": _rdf_opts(s, o), **extra})
+            d_ctx = (d.get("@context") or {}) if isinstance(d, dict) \
+                else (d[0].get("@context") or {})
             reqs.append({"op": "compact", "input": d,
-                         "context": d.get("@context") or {},
+                         "context": d_ctx,
                          "options": _c_opts(s, o), **extra})
             fl_req = {"op": "flatten", "input": d, "options": dict(o),
                       **extra}
@@ -904,8 +917,11 @@ def main(n_docs: int, seed0: int) -> int:
                             f" extra={res['extra'][:3]}")
             # full compact(doc, same ctx) round-trip
             if ok:
+                doc_ctx = (doc.get("@context") or {}) \
+                    if isinstance(doc, dict) else \
+                    (doc[0].get("@context") or {})
                 mine_c = run_mine("compact", doc,
-                                  doc.get("@context") or {},
+                                  doc_ctx,
                                   documents=docmap,
                                   options=_c_opts(seed, opts_for[seed]))
                 if ref_c["ok"] != mine_c["ok"]:
