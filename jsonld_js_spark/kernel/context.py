@@ -14,6 +14,7 @@ only do dict lookups. Nothing in this module touches Spark.
 from __future__ import annotations
 
 import copy
+import json
 import re
 from typing import Callable, Optional
 
@@ -65,6 +66,10 @@ def _clone_active_context(active_ctx: dict) -> dict:
     # never share the IRI memos: the clone's mappings may diverge
     child.pop("_iri_memo", None)
     child.pop("_ci_memo", None)
+    # the processed-context cache is keyed per active-ctx IDENTITY
+    # (the reference's getProcessed(activeCtx)) — a clone is a new
+    # identity, so it starts empty
+    child.pop("_processed_ctx_cache", None)
     # REFERENCE QUIRK (ref lib/context.js:1364-1385): the clone copies
     # @base/@language/@vocab but NOT @direction, and processingMode is
     # restored after the clone (ref :195-196) while @direction never
@@ -170,6 +175,36 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
 
         if not isinstance(ctx, dict):
             raise JsonLdError("@context must be an object.", "invalid local context")
+
+        # processed-context cache (ref ContextResolver.js:71 keys the
+        # resolved context by JSON.stringify(ctx) — insertion order —
+        # and context.js:147-150/:417 reuses the PROCESSED result per
+        # active context): an identical inline context processed twice
+        # against the same active context returns the first result and
+        # fires NO second round of expansionMap events (observable in
+        # the event stream for top-level array docs — fuzz seed
+        # 78000106). Stored on the active ctx, which plays the role of
+        # the reference's getProcessed(activeCtx) identity key; clones
+        # drop it like the IRI memos.
+        cache = active_ctx.get("_processed_ctx_cache")
+        if cache is None:
+            cache = active_ctx["_processed_ctx_cache"] = {}
+        try:
+            # memo-purity rule (CLAUDE.md): the key captures every
+            # options input the dict branch reads — options.base plus
+            # the resolver IDENTITY (@import resolution), held strongly
+            # in the cache value so its id cannot be recycled — since
+            # perf options like activeCtx/preparedFrame can carry an
+            # active context across API calls with different options
+            ckey = (json.dumps(ctx), options.get("base"))
+        except (TypeError, ValueError):
+            ckey = None
+        resolver = options.get("contextResolver")
+        if ckey is not None:
+            hit = cache.get(ckey)
+            if hit is not None and hit[1] is resolver:
+                rval = hit[0]
+                continue
 
         rval = _clone_active_context(rval)
         # keywords that arrived ONLY via @import (reference ordering
@@ -356,6 +391,11 @@ def process_context(active_ctx: dict, local_ctx, options: dict,
                 rval, ctx, key, defined, options,
                 override_protected=override_protected,
                 protected_default=protected_default)
+
+        # ref lib/context.js:417 setProcessed — safe to share: every
+        # later processing step clones before mutating
+        if ckey is not None:
+            cache[ckey] = (rval, resolver)
 
     return rval
 
@@ -659,9 +699,15 @@ def _finish_term_definition(active_ctx, local_ctx, term, value, mapping,
             raise JsonLdError("scoped contexts need JSON-LD 1.1.",
                               "invalid term definition")
         mapping["@context"] = value["@context"]
-        # validate eagerly (spec: invalid scoped context fails at definition)
+        # validate eagerly (spec: invalid scoped context fails at
+        # definition) — against a CLONE, exactly like the reference
+        # (ref lib/context.js:389-396 `activeCtx: rval.clone()`): the
+        # clone is a fresh identity, so the processed-context cache
+        # entry from this validation dies with it instead of serving a
+        # mid-definition context to later scoped-context processing
         try:
-            process_context(active_ctx, value["@context"], options,
+            process_context(_clone_active_context(active_ctx),
+                            value["@context"], options,
                             override_protected=True)
         except JsonLdError as e:
             raise JsonLdError(f"Invalid scoped context for term {term}: "

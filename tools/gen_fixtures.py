@@ -759,6 +759,22 @@ CASES += [
                "rvp": {"@id": "http://x/o"}},
         options={"produceGeneralizedRdf": True},
     ),
+    # processed-context caching is OBSERVABLE through the expansionMap
+    # event stream: two array elements with the IDENTICAL inline
+    # context fire the context-processing events (relative-@vocab
+    # resolution against @base) exactly ONCE (ref ContextResolver.js:71
+    # JSON-keyed resolve + context.js:147/417 getProcessed). Fuzz seed
+    # 78000106.
+    dict(
+        name="fuzz-processed-ctx-cache-events",
+        op_override=["expandEvents", "expand"],
+        input=[{"@context": {"@base": "http://base.org/dir/",
+                             "@vocab": "", "a": EX + "a"},
+                "@id": EX + "one", "k": "v1"},
+               {"@context": {"@base": "http://base.org/dir/",
+                             "@vocab": "", "a": EX + "a"},
+                "@id": EX + "two", "k": "v2"}],
+    ),
     # a scalar-pruned (empty-after-expansion) @graph sub-frame must not
     # crash the graph-name recursion: JS frame['@graph'][0] is
     # undefined and falls back to {} (ref lib/frame.js:181-186). Fuzz
