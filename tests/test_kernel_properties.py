@@ -149,3 +149,44 @@ def test_prepared_frame_option_equal(doc):
             json.dumps(fast1, sort_keys=True)
         assert json.dumps(fast1, sort_keys=True) == \
             json.dumps(fast2, sort_keys=True)
+
+
+def test_processed_ctx_cache_purity_across_options():
+    """The processed-context cache rides the active-ctx object, which
+    perf options can carry across API calls — a changed options.base
+    or a different contextResolver must MISS, never serve the first
+    call's result (CLAUDE.md memo-purity invariant)."""
+    from jsonld_js_spark.kernel import expand
+    from jsonld_js_spark.kernel.context import (
+        initial_context, process_context)
+
+    # same ctx VALUE, different resolver identities for @import
+    ctx_with_import = {"@import": "http://r/ctx", "a": "http://e/a"}
+    r1 = lambda url: {"@context": {"imp": "http://e/imp-ONE"}}
+    r2 = lambda url: {"@context": {"imp": "http://e/imp-TWO"}}
+    base_ctx = initial_context({})
+    p1 = process_context(base_ctx, ctx_with_import,
+                         {"contextResolver": r1})
+    p2 = process_context(base_ctx, ctx_with_import,
+                         {"contextResolver": r2})
+    assert p1["mappings"]["imp"]["@id"] == "http://e/imp-ONE"
+    assert p2["mappings"]["imp"]["@id"] == "http://e/imp-TWO"
+
+    # same ctx VALUE, different options.base: relative @vocab resolves
+    # against the base captured in the INITIAL ctx, so pin the base
+    # difference through the option the dict branch reads
+    shared = initial_context({})
+    ctxv = {"rel_t": "http://e/t"}
+    q1 = process_context(shared, ctxv, {"base": "http://one/"})
+    q2 = process_context(shared, ctxv, {"base": "http://two/"})
+    assert q1 is not q2  # distinct cache entries, not a stale hit
+
+    # and the cache DOES hit for identical (value, options): same
+    # object back, and identical expansion output either way
+    q3 = process_context(shared, ctxv, {"base": "http://one/"})
+    assert q3 is q1
+    doc = [{"@context": {"v": "http://e/v"}, "v": "x"},
+           {"@context": {"v": "http://e/v"}, "v": "y"}]
+    assert expand(doc, {}) == [
+        {"http://e/v": [{"@value": "x"}]},
+        {"http://e/v": [{"@value": "y"}]}]
