@@ -725,7 +725,21 @@ def _frame_opts(seed: int, base: dict) -> dict:
         o["omitGraph"] = False
     if seed % 11 == 7:
         o["omitDefault"] = True
+    # API-level flag DEFAULTS (ref lib/jsonld.js:431-436) — frames
+    # without explicit @embed/@explicit/@requireAll inherit these
+    # NOT '@link': linked output is circular and cannot JSON-serialize
+    # through the node harness
+    if seed % 7 == 2:
+        o["embed"] = rng_choice(seed, ["@always", "@never"])
+    if seed % 13 == 5:
+        o["explicit"] = True
+    if seed % 17 == 3:
+        o["requireAll"] = True
     return o
+
+
+def rng_choice(seed, items):
+    return items[(seed * 2654435761) % len(items)]
 
 
 def run_mine(op: str, doc, context=None, documents=None, options=None):
