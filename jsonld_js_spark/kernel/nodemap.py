@@ -80,6 +80,14 @@ def create_node_map(input_, graphs: dict, graph: str,
             # JS-undefined name quirk (see gate above): keyed under
             # 'undefined', node carries no @id
             name = "undefined"
+        elif "@id" in input_ and not isinstance(input_["@id"], str):
+            # GIGO parity (verified vs node, fuzz seed 96000999): the
+            # reference's isBlankNode() calls input['@id'].indexOf on
+            # the PRESENT key — a null/non-string @id (e.g. a graph-id
+            # map key that expanded to null) crashes with a TypeError,
+            # not a JsonLdError
+            raise TypeError(
+                "Cannot read properties of null (reading 'indexOf')")
         elif name is None or is_blank_node_id(name):
             name = issuer.get_id(name)
 
@@ -105,6 +113,12 @@ def create_node_map(input_, graphs: dict, graph: str,
             for reverse_property, items in reverse_map.items():
                 for item in items:
                     item_name = item.get("@id")
+                    if "@id" in item and not isinstance(item_name, str):
+                        # GIGO parity: the reference's isBlankNode(item)
+                        # reads item['@id'].indexOf — present-but-null
+                        # @id crashes (fuzz seed 96000999)
+                        raise TypeError("Cannot read properties of null "
+                                        "(reading 'indexOf')")
                     if item_name is None or is_blank_node_id(item_name):
                         item_name = issuer.get_id(item_name)
                     create_node_map(item, graphs, graph, issuer, item_name)
