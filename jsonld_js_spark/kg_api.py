@@ -783,9 +783,9 @@ def q_kg_pagerank(spark, sf_dir):
     """Fixed-iteration integer PageRank over the constructed KG's
     NamedNode→NamedNode edge set — the standard post-construction
     importance ranking. All arithmetic is int64 (rank in ppm, d=85/100
-    via DIV; dangling mass leaks, the simple variant) so SUM-order
-    never matters and the DuckDB oracle reproduces every iteration
-    bit-for-bit.
+    via DIV; dangling mass redistributed uniformly each superstep) so
+    SUM-order never matters and the DuckDB oracle reproduces every
+    iteration bit-for-bit.
 
     Scale shape: each iteration is one edges⋈ranks shuffle on the src
     key + one partial-aggregated groupBy(dst) — the same co-located
@@ -800,12 +800,32 @@ def q_kg_pagerank(spark, sf_dir):
     return (pagerank(edges).orderBy(F.desc("rank"), "node").limit(50))
 
 
-def pagerank(edges, iters: int = PAGERANK_ITERS):
-    """(subj, dst) distinct edge DataFrame → (node, rank) after
-    `iters` exact-int64 supersteps. Hand-computed tiny-graph pytest
-    guards the arithmetic independently of BOTH engines (the DuckDB
-    oracle shares the formula, so a synchronized defect would pass the
-    gate — the MinHash lesson, BENCH/SOAK_DEDUP_r3.md)."""
+def pagerank(edges, iters: int = PAGERANK_ITERS, tol_ppm: int | None = None):
+    """(subj, dst) distinct edge DataFrame → (node, rank) after up to
+    `iters` exact-int64 supersteps, with dangling mass (rank held by
+    nodes with no out-edges) redistributed uniformly each superstep:
+
+        rank' = 150000 + d * (inflow + dangling_sum DIV N) DIV 100
+
+    The dangling term is ONE extra 1-row aggregation per superstep
+    (left-anti against the out-degree table, summed, floor-divided by
+    the node count, crossJoined back as a broadcast scalar) — still
+    exact int64, still oracle-expressible as an unrolled CTE. Without
+    it a sink node's rank leaks out of the system every round and hub
+    ranks diverge from standard PageRank (round-3 verdict item 4).
+
+    `tol_ppm` (optional, OFF in the gated query to keep the fixed-
+    iteration oracle parity) adds an early stop: after each superstep
+    a 1-row max|Δrank| action runs and the loop breaks when the max
+    per-node change ≤ tol_ppm. The superstep count actually run is
+    exposed as `result._pr_supersteps`.
+
+    Hand-computed tiny-graph pytest guards the arithmetic
+    independently of BOTH engines (the DuckDB oracle shares the
+    formula, so a synchronized defect would pass the gate — the
+    MinHash lesson, BENCH/SOAK_DEDUP_r3.md); a dangling-sink graph
+    where redistribution and the old leaky variant DIFFER proves the
+    new term is live."""
     nodes = (edges.select(F.col("subj").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct().cache())
@@ -813,18 +833,31 @@ def pagerank(edges, iters: int = PAGERANK_ITERS):
     # out-degree rides the edge table: ONE join outside the loop
     # instead of an outd join per superstep (5 joins saved)
     edges_w = edges.join(outd, "subj").cache()
+    # graph order as a 1-row DF: stays lazy, broadcast-crossJoined
+    # into each superstep (no driver action at plan-build time)
+    n_df = nodes.agg(F.count("*").alias("n_nodes"))
+    has_out = outd.select(F.col("subj").alias("node"))
     ranks = nodes.select("node", F.lit(1000000).cast("long").alias("rank"))
+    steps = 0
     for _ in range(iters):
         contrib = (edges_w.join(ranks, edges_w["subj"] == ranks["node"])
                    .select(F.col("dst").alias("node"),
                            F.expr("rank DIV outd").alias("c")))
         inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        ranks = (nodes.join(inflow, "node", "left")
-                 .select("node",
-                         (F.lit(150000) +
-                          F.expr(f"{PR_DAMP_NUM} * coalesce(inflow, 0) "
-                                 f"DIV {PR_DAMP_DEN}")).cast("long")
-                         .alias("rank")))
+        # dangling mass: ranks of nodes with zero out-degree, shared
+        # uniformly (floor) across all N nodes — a 1-row broadcast
+        dshare = (ranks.join(has_out, "node", "left_anti")
+                  .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dsum"))
+                  .crossJoin(n_df)
+                  .select(F.expr("dsum DIV n_nodes").alias("dshare")))
+        new_ranks = (nodes.join(inflow, "node", "left")
+                     .crossJoin(dshare)
+                     .select("node",
+                             (F.lit(150000) +
+                              F.expr(f"{PR_DAMP_NUM} * "
+                                     f"(coalesce(inflow, 0) + dshare) "
+                                     f"DIV {PR_DAMP_DEN}")).cast("long")
+                             .alias("rank")))
         # LAZY cache each superstep: the single final action then
         # materializes every iteration exactly once (cached plan nodes
         # reuse within the job), with no per-iteration job overhead —
@@ -834,7 +867,19 @@ def pagerank(edges, iters: int = PAGERANK_ITERS):
         # full nested lineage. At 100 TB swap for _reliable_checkpoint
         # every few rounds (executor-loss safety + lineage truncation),
         # exactly like connected_components; rank state is 2 longs/node.
-        ranks = ranks.cache()
+        new_ranks = new_ranks.cache()
+        steps += 1
+        if tol_ppm is not None:
+            delta = (new_ranks.alias("n")
+                     .join(ranks.alias("o"), "node")
+                     .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank")))
+                          .alias("d")).collect()[0]["d"])
+            ranks = new_ranks
+            if delta is not None and delta <= tol_ppm:
+                break
+        else:
+            ranks = new_ranks
+    ranks._pr_supersteps = steps
     return ranks
 
 
@@ -842,14 +887,24 @@ def oracle_kg_pagerank(triples_sql: str) -> str:
     prev = "pr0"
     iters = []
     for i in range(1, PAGERANK_ITERS + 1):
+        # dangling share: sum of prev ranks over nodes with no
+        # out-edge, floor-divided by the node count BEFORE adding to
+        # inflow — the same int64 op order as the Spark supersteps
         iters.append(f"""
+d{i} AS (
+  SELECT coalesce(sum(p.rank), 0) // (SELECT count(*) FROM nodes)
+    AS dshare
+  FROM {prev} p WHERE p.node NOT IN (SELECT subj FROM outd)
+),
 pr{i} AS (
   SELECT n.node,
-         cast(150000 + {PR_DAMP_NUM} * coalesce((
+         cast(150000 + {PR_DAMP_NUM} * (coalesce((
            SELECT sum(p.rank // o.outd)
            FROM edges e JOIN {prev} p ON e.subj = p.node
                         JOIN outd o ON e.subj = o.subj
-           WHERE e.dst = n.node), 0) // {PR_DAMP_DEN} as bigint) AS rank
+           WHERE e.dst = n.node), 0)
+           + (SELECT dshare FROM d{i}))
+           // {PR_DAMP_DEN} as bigint) AS rank
   FROM nodes n
 )""")
         prev = f"pr{i}"
@@ -872,7 +927,18 @@ SELECT node, rank FROM {prev} ORDER BY rank DESC, node LIMIT 50
 """
 
 
-def q_kg_entity_comention(spark, sf_dir, max_entities_per_conv=None):
+# Quadratic guard for co-mention pairing: a conversation with m
+# distinct entities contributes C(m,2) pairs, so ONE open-domain
+# mega-conversation at 10^4 entities adds 5·10^7 pairs. 1000 keeps the
+# worst single conversation under 5·10^5 pairs (~ the whole sf0.1
+# pair budget) while no realistic transcript conversation comes close;
+# DEFAULT-ON per round-3 verdict item 1, with the dropped-conversation
+# count observed on the plan (no silent caps).
+MAX_ENTITIES_PER_CONV = 1000
+
+
+def q_kg_entity_comention(spark, sf_dir,
+                          max_entities_per_conv=MAX_ENTITIES_PER_CONV):
     """Entity co-mention graph: pairs of entities mentioned in the
     SAME conversation, weighted by the number of such conversations —
     the standard KG-enrichment edge a construction pipeline ships next
@@ -880,33 +946,67 @@ def q_kg_entity_comention(spark, sf_dir, max_entities_per_conv=None):
     (conv, entity) projection bounds the self-join input by
     conversation length, the join key is conv (AQE skew-split handles
     hot conversations), and each conversation contributes C(m,2) pairs
-    for its m distinct entities — `max_entities_per_conv` drops
-    open-domain conversations above the threshold BEFORE the join
-    (one extra conv-keyed partial-agg count, same shuffle key), the
-    quadratic-guard you turn on at 10^12 turns; the entity-pair
-    aggregation gets map-side partial combine and the top-k is a
-    TakeOrdered."""
+    for its m distinct entities — `max_entities_per_conv` (default ON,
+    MAX_ENTITIES_PER_CONV) drops open-domain conversations above the
+    threshold BEFORE the join (one extra conv-keyed partial-agg count,
+    same shuffle key), the quadratic-guard at 10^12 turns; the
+    entity-pair aggregation gets map-side partial combine and the
+    top-k is a TakeOrdered.
+
+    No silent caps: the returned DataFrame carries
+    `._comention_guard_df`, a 1-row (dropped_convs, total_convs)
+    companion aggregation over the same conv-count projection;
+    `comention_guard_stats(df)` runs and logs it. (A `.observe()` on
+    the count node would be free, but that node sits below the pair
+    self-join and executes TWICE — duplicated CollectMetrics rows
+    crash Observation.get in Spark 4.1, so the stats are a separate
+    tiny job instead.)"""
     t = _triples(spark, sf_dir, cache=True)
     me = (t.filter(F.col("pred") == TR + "mentions")
           .select(F.regexp_replace("subj", "/turn/[0-9]+$", "")
                   .alias("conv"),
                   F.col("obj_value").alias("ent"))
           .distinct())
+    guard_df = None
     if max_entities_per_conv is not None:
-        small = (me.groupBy("conv")
-                 .agg(F.count("*").alias("_m"))
-                 .filter(F.col("_m") <= max_entities_per_conv)
+        counts = me.groupBy("conv").agg(F.count("*").alias("_m"))
+        guard_df = counts.agg(
+            F.coalesce(F.sum((F.col("_m") > max_entities_per_conv)
+                             .cast("long")), F.lit(0))
+            .alias("dropped_convs"),
+            F.count("*").alias("total_convs"))
+        small = (counts.filter(F.col("_m") <= max_entities_per_conv)
                  .select("conv"))
         me = me.join(small, "conv")
-    return (me.alias("a").join(
+    out = (me.alias("a").join(
                 me.alias("b"),
                 (F.col("a.conv") == F.col("b.conv")) &
                 (F.col("a.ent") < F.col("b.ent")))
-            .groupBy(F.col("a.ent").alias("ent_a"),
-                     F.col("b.ent").alias("ent_b"))
-            .agg(F.count("*").alias("n_convs"))
-            .orderBy(F.desc("n_convs"), "ent_a", "ent_b")
-            .limit(50))
+           .groupBy(F.col("a.ent").alias("ent_a"),
+                    F.col("b.ent").alias("ent_b"))
+           .agg(F.count("*").alias("n_convs"))
+           .orderBy(F.desc("n_convs"), "ent_a", "ent_b")
+           .limit(50))
+    out._comention_guard_df = guard_df
+    return out
+
+
+def comention_guard_stats(df) -> dict:
+    """Run (and log) the quadratic-guard companion aggregation of a
+    q_kg_entity_comention result. Returns
+    {'dropped_convs': n, 'total_convs': m}."""
+    import logging
+    gdf = getattr(df, "_comention_guard_df", None)
+    if gdf is None:
+        return {"dropped_convs": 0, "total_convs": None}
+    row = gdf.collect()[0]
+    stats = {"dropped_convs": row["dropped_convs"],
+             "total_convs": row["total_convs"]}
+    logging.getLogger("jsonld_js_spark.kg_api").info(
+        "kg_entity_comention guard: dropped %s of %s conversations "
+        "over max_entities_per_conv", stats["dropped_convs"],
+        stats["total_convs"])
+    return stats
 
 
 def oracle_kg_entity_comention(triples_sql: str) -> str:
@@ -916,9 +1016,15 @@ me AS (
   SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
          obj_value AS ent
   FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
 )
 SELECT a.ent AS ent_a, b.ent AS ent_b, cast(count(*) as bigint) AS n_convs
-FROM me a JOIN me b ON a.conv = b.conv AND a.ent < b.ent
+FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
 GROUP BY 1, 2 ORDER BY n_convs DESC, ent_a, ent_b LIMIT 50
 """
 
