@@ -104,6 +104,54 @@ def run_one(spark, n_base: int, planes_per_band: int = 16) -> dict:
     return rec
 
 
+def run_ivf(spark, n_base: int, k: int = 128, iters: int = 3) -> dict:
+    """IVF quantizer at a scale-shaped K (round-3 verdict item 5):
+    train k-means at K~sqrt(N) with the hash-sampled init, then
+    measure (a) cell balance — max/mean assigned-cell population —
+    and (b) twin-routing recall: for every planted near-twin pair,
+    does the twin's assigned cell appear in the base vector's
+    top-NPROBE probed cells? (The end-to-end property IVF must keep:
+    a true near neighbor is reachable through the probe set.)"""
+    from jsonld_js_spark.operators.similarity import (
+        IVF_NPROBE, _quantize, ivf_probe_cells, ivf_train_cells)
+    corpus = synth_vectors(spark, n_base).cache()
+    vqs = corpus.select("vec_id", _quantize(F.col("v")).alias("vq")).cache()
+    t0 = time.time()
+    cents = ivf_train_cells(vqs, k=k, iters=iters)
+    train_sec = time.time() - t0
+    probed = vqs.select(
+        "vec_id",
+        ivf_probe_cells(F.col("vq"), cents, IVF_NPROBE).alias("pc")).cache()
+    sizes = (probed.select(F.element_at("pc", 1).alias("cell"))
+             .groupBy("cell").count().collect())
+    counts = sorted((r["count"] for r in sizes), reverse=True)
+    mean = sum(counts) / len(counts)
+    bases = (probed.filter(F.col("vec_id") % DUP_EVERY == 0)
+             .filter(F.col("vec_id") < 10_000_000))
+    twins = (probed.filter(F.col("vec_id") >= 10_000_000)
+             .select((F.col("vec_id") - 10_000_000).alias("base_id"),
+                     F.element_at("pc", 1).alias("twin_cell")))
+    routed = (bases.join(twins, bases["vec_id"] == twins["base_id"])
+              .select(F.array_contains("pc", F.col("twin_cell"))
+                      .cast("long").alias("hit"))
+              .agg(F.sum("hit").alias("hits"),
+                   F.count(F.lit(1)).alias("n")).collect()[0])
+    rec = {
+        "ivf_k": k, "lloyd_iters": iters,
+        "n_vectors": vqs.count(),
+        "cells_populated": len(counts),
+        "cell_max_over_mean": round(counts[0] / mean, 2),
+        "cell_p99_over_mean": round(
+            counts[max(0, len(counts) // 100 - 1)] / mean, 2),
+        "twin_routing_recall": round(routed["hits"] / routed["n"], 4),
+        "train_sec": round(train_sec, 1),
+        "peak_jvm_rss_gib": _jvm_peak_rss_gib(),
+    }
+    probed.unpersist(); vqs.unpersist(); corpus.unpersist()
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -117,6 +165,8 @@ def main():
     big = run_one(spark, n_small * factor)
     # the documented scale knob: +4 planes/band = 16x more buckets
     big_wide = run_one(spark, n_small * factor, planes_per_band=20)
+    ivf_small = run_ivf(spark, n_small)
+    ivf_big = run_ivf(spark, n_small * factor)
     print(json.dumps({
         "metric": "embedding_soak",
         "pair_growth_vs_size_growth": round(
@@ -129,6 +179,10 @@ def main():
         "candidates_big_16_planes": big["candidates"],
         "candidates_big_20_planes": big_wide["candidates"],
         "recall_big_20_planes": big_wide["recall"],
+        "ivf_cell_max_over_mean_small": ivf_small["cell_max_over_mean"],
+        "ivf_cell_max_over_mean_big": ivf_big["cell_max_over_mean"],
+        "ivf_twin_recall_small": ivf_small["twin_routing_recall"],
+        "ivf_twin_recall_big": ivf_big["twin_routing_recall"],
     }), flush=True)
 
 

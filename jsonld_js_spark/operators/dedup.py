@@ -792,3 +792,236 @@ ORDER BY t.doc_id
 
 QUERIES["corpus_boilerplate_stats"] = q_corpus_boilerplate_stats
 ORACLES["corpus_boilerplate_stats"] = ORACLE_CORPUS_BOILERPLATE
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup (duplicated-span removal): find maximal
+# token spans shared VERBATIM by >= 2 distinct documents — the
+# suffix-array / sorted-ngram pass of a standard training-data
+# pipeline (boilerplate paragraphs, license headers), which whole-doc
+# and near-dup ops cannot see and line-granular boilerplate stats only
+# approximate. Round-3 verdict item 1.
+#
+# Algorithm (sorted-ngram / prefix-group, never all-pairs):
+#   1. emit every positional K-token gram as (ghash, gram, doc_id, pos)
+#   2. group by (ghash, gram): keep grams in >= 2 distinct docs.
+#      The shuffle key is the uniform 60-bit hash; the gram text rides
+#      the key so extent verification is EXACT (a hash collision lands
+#      two different grams in one bucket but they aggregate apart).
+#      At 10^12-gram scale swap hash60 for a 128-bit hash and drop the
+#      text from the key (re-verify colliding buckets by a text join).
+#   3. per doc, merge consecutive duplicated positions into maximal
+#      runs (gaps-and-islands: pos - row_number over pos); a run
+#      pos p..q covers tokens [p, q+K-1]. Any shared span of >= K
+#      tokens is duplicated at every internal gram position, so the
+#      reconstruction is exact and maximal.
+#   4. cluster = hash60 of the exact covered text: docs whose maximal
+#      spans are byte-identical share a cluster id.
+#
+# Scale shape: one explode (positions), one shuffle on the gram hash
+# (uniform — the hot keys are true boilerplate, which collapse via
+# partial countDistinct), one doc_id-partitioned window (bounded by
+# document length), one doc_id join to rebuild span text. Candidate
+# volume is the number of POSITIONS inside genuinely duplicated spans
+# — linear in corpus size for fixed duplication rate (asserted by
+# jobs/soak_substring.py at 4x corpus).
+
+SUBSTR_K = 8  # seed gram width = minimum detectable span, in tokens
+# planted cross-doc spans so the gated corpus genuinely contains
+# duplicated paragraphs (reproduced verbatim by the DuckDB oracle):
+SUBSTR_BOILER = ("this transcript is provided under the creative "
+                 "commons attribution license version four point zero")
+SUBSTR_TAIL = ("generated by the synthetic conversation pipeline "
+               "for internal evaluation use only")
+
+
+def substr_corpus_df(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    txt = F.concat(
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(SUBSTR_BOILER + " ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" " + SUBSTR_TAIL)).otherwise(F.lit("")))
+    return d.select("doc_id", txt.alias("text"))
+
+
+SUBSTR_CORPUS_SQL = f"""
+corpus_sub AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN '{SUBSTR_BOILER} ' || text
+         ELSE text END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' {SUBSTR_TAIL}' ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def duplicated_spans(docs, k: int = SUBSTR_K):
+    """(doc_id, text) DataFrame -> maximal cross-document duplicated
+    spans (doc_id, span_start, span_end, span_tokens, cluster); token
+    positions are 0-based over whitespace-normalized text."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select("doc_id", F.split(_norm(F.col("text")), " ")
+                       .alias("toks"))
+    n = F.size("toks")
+    grams = (toks.filter(n >= k)
+             .select("doc_id", "toks",
+                     F.explode(F.sequence(
+                         F.lit(0).cast("long"),
+                         (n - k).cast("long"))).alias("pos"))
+             .select("doc_id", "pos",
+                     F.concat_ws(" ", F.slice(
+                         F.col("toks"), F.col("pos") + 1, k))
+                     .alias("gram")))
+    g2 = grams.select("doc_id", "pos", "gram",
+                      hash60(F.col("gram")).alias("ghash"))
+    dupg = (g2.groupBy("ghash", "gram")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2).select("ghash", "gram"))
+    dpos = g2.join(dupg, ["ghash", "gram"]).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dpos.withColumn("rk", F.col("pos") - F.row_number().over(w))
+    spans = (runs.groupBy("doc_id", "rk")
+             .agg(F.min("pos").alias("span_start"),
+                  (F.max("pos") + k - 1).alias("span_end"))
+             .drop("rk"))
+    span_len = (F.col("span_end") - F.col("span_start") + 1)
+    return (spans.join(toks, "doc_id")
+            .select("doc_id", "span_start", "span_end",
+                    span_len.cast("long").alias("span_tokens"),
+                    hash60(F.concat_ws(" ", F.slice(
+                        F.col("toks"),
+                        (F.col("span_start") + 1).cast("int"),
+                        span_len.cast("int")))).alias("cluster")))
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Maximal duplicated spans over the planted-span corpus (gate
+    entry for `duplicated_spans`)."""
+    return (duplicated_spans(substr_corpus_df(spark, sf_dir))
+            .orderBy("doc_id", "span_start"))
+
+
+_SUB_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+ORACLE_DEDUP_SUBSTRING = f"""
+WITH {SUBSTR_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split({_SUB_NORM}, ' ') AS toks FROM corpus_sub
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i+1:i+{SUBSTR_K}], ' ') AS gram
+  FROM toks, unnest(range(0, len(toks) - {SUBSTR_K - 1})) u(i)
+),
+g2 AS (SELECT doc_id, pos, gram, {hash60_sql('gram')} AS ghash
+       FROM grams),
+dupg AS (SELECT ghash, gram FROM g2
+         GROUP BY 1, 2 HAVING count(distinct doc_id) >= 2),
+dpos AS (SELECT g.doc_id, g.pos FROM g2 g
+         JOIN dupg d ON g.ghash = d.ghash AND g.gram = d.gram),
+runs AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS rk
+         FROM dpos),
+spans AS (SELECT doc_id, min(pos) AS span_start,
+                 max(pos) + {SUBSTR_K - 1} AS span_end
+          FROM runs GROUP BY doc_id, rk)
+SELECT s.doc_id, cast(s.span_start as bigint) AS span_start,
+       cast(s.span_end as bigint) AS span_end,
+       cast(s.span_end - s.span_start + 1 as bigint) AS span_tokens,
+       {hash60_sql("array_to_string(t.toks[s.span_start+1:s.span_end+1], ' ')")}
+         AS cluster
+FROM spans s JOIN toks t ON s.doc_id = t.doc_id
+ORDER BY s.doc_id, s.span_start
+"""
+
+QUERIES["dedup_substring"] = q_dedup_substring
+ORACLES["dedup_substring"] = ORACLE_DEDUP_SUBSTRING
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination check: flag training documents sharing a
+# large fraction of an eval document's distinct 3-gram shingles —
+# standard pre-training hygiene (round-3 verdict item 2). The eval
+# side is TINY by construction (a held-out benchmark), so its exploded
+# shingle table broadcasts; the training side streams through a
+# broadcast-hash join with NO shuffle of the corpus. The per-pair
+# count aggregation keys on (train doc, eval doc) — bounded by the
+# broadcast side — and overlap is scored as integer ppm of the EVAL
+# doc's shingles (floor; no float thresholds cross-engine).
+
+CONTAM_OVERLAP_PPM_MIN = 500000  # >= 50% of the eval doc's shingles
+CONTAM_EVAL_EVERY = 50           # eval set: every 50th document
+
+
+def eval_set_df(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % CONTAM_EVAL_EVERY == 0)
+            .select(F.col("doc_id").alias("eval_doc_id"),
+                    F.col("text")))
+
+
+def contamination(train, eval_docs,
+                  min_overlap_ppm: int = CONTAM_OVERLAP_PPM_MIN):
+    """(doc_id, text) training corpus x (eval_doc_id, text) eval set ->
+    (doc_id, eval_doc_id, n_shared, overlap_ppm) for pairs sharing
+    >= min_overlap_ppm of the eval doc's distinct shingles."""
+    ev = eval_docs.select(
+        "eval_doc_id", shingles_col(F.col("text")).alias("sh"))
+    ev_tot = ev.select("eval_doc_id",
+                       F.size("sh").cast("long").alias("n_eval"))
+    ev_sh = ev.select("eval_doc_id", F.explode("sh").alias("shingle"))
+    tr_sh = train.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle"))
+    shared = (tr_sh.join(F.broadcast(ev_sh), "shingle")
+              .filter(F.col("doc_id") != F.col("eval_doc_id"))
+              .groupBy("doc_id", "eval_doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (shared.join(F.broadcast(ev_tot), "eval_doc_id")
+            .select("doc_id", "eval_doc_id", "n_shared",
+                    F.floor(F.col("n_shared") * F.lit(1000000.0)
+                            / F.col("n_eval")).cast("long")
+                    .alias("overlap_ppm"))
+            .filter(F.col("overlap_ppm") >= min_overlap_ppm))
+
+
+def q_corpus_contamination(spark, sf_dir):
+    """Contamination of the injected-duplicate training corpus against
+    the every-{CONTAM_EVAL_EVERY}th-doc eval set: the corpus's exact
+    (+200000) and near (+100000) copies of eval docs MUST be flagged
+    (asserted by tests/test_dedup.py with planted contamination)."""
+    return (contamination(corpus_df(spark, sf_dir),
+                          eval_set_df(spark, sf_dir))
+            .orderBy("doc_id", "eval_doc_id"))
+
+
+ORACLE_CORPUS_CONTAMINATION = f"""
+WITH {CORPUS_SQL},
+ev AS (
+  SELECT doc_id AS eval_doc_id, {SHINGLES_SQL} AS sh
+  FROM documents WHERE doc_id % {CONTAM_EVAL_EVERY} = 0
+),
+ev_sh AS (SELECT eval_doc_id, unnest(sh) AS shingle FROM ev),
+ev_tot AS (SELECT eval_doc_id, cast(len(sh) as bigint) AS n_eval FROM ev),
+tr_sh AS (
+  SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM corpus
+),
+shared AS (
+  SELECT t.doc_id, e.eval_doc_id, cast(count(*) as bigint) AS n_shared
+  FROM tr_sh t JOIN ev_sh e ON t.shingle = e.shingle
+  WHERE t.doc_id != e.eval_doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_id, s.eval_doc_id, s.n_shared,
+       cast(floor(s.n_shared * 1000000.0 / v.n_eval) as bigint)
+         AS overlap_ppm
+FROM shared s JOIN ev_tot v ON s.eval_doc_id = v.eval_doc_id
+WHERE floor(s.n_shared * 1000000.0 / v.n_eval)
+      >= {CONTAM_OVERLAP_PPM_MIN}
+ORDER BY s.doc_id, s.eval_doc_id
+"""
+
+QUERIES["corpus_contamination"] = q_corpus_contamination
+ORACLES["corpus_contamination"] = ORACLE_CORPUS_CONTAMINATION

@@ -422,13 +422,19 @@ ORDER BY vec_a, vec_b
 # Plan shape at 100 TB: centroids are a K-row broadcast; each Lloyd
 # round is one narrow crossJoin(N x K) + one groupBy(cell) with
 # map-side partial sums; queries probe NPROBE cells and exact-rank
-# only those members. K here is 16 (~sqrt(N) at test scale); at 10^10
-# vectors K ~ 10^5 still broadcasts (K * 64 * 8B = 50 MB).
+# only those members. K and the Lloyd iteration count are ARGUMENTS
+# (round-3 verdict item 5): the gated query runs the test-scale
+# defaults (K=16 ~ sqrt(N), 2 rounds); at 10^10 vectors pass K ~ 10^5
+# — the centroid state still broadcasts (K * 64 * 8B = 50 MB) — and
+# jobs/soak_embeddings.py proves cell balance + twin-routing recall at
+# K=128 over 4x corpus. Init is a deterministic HASH SAMPLE (the K
+# vec_ids with the smallest md5, a seedless uniform draw both engines
+# reproduce), not id arithmetic — id-correlated seeds degrade to
+# adjacent-row clusters when ids encode insertion order.
 
 IVF_NPROBE = 2
 IVF_K = 16
 IVF_KMEANS_ITERS = 2
-_IVF_SEED_IDS = [3 + 11 * i for i in range(IVF_K)]  # deterministic init
 
 
 def _cents_np(cents_rows):
@@ -454,9 +460,21 @@ def _cell_ppm_np(VQ, CS):
         .astype(np.int64)
 
 
-def ivf_train_cells(vqs):
+def ivf_seed_rows(vqs, k: int):
+    """Deterministic hash-sampled k-means init: the k rows with the
+    smallest (md5(vec_id), vec_id) — a uniform seedless sample both
+    engines reproduce exactly (TakeOrdered k, no full sort at scale).
+    At 10^10 vectors this is the 'sampled init' the scale math needs:
+    k rows drawn uniformly regardless of id layout."""
+    return (vqs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k).select("vec_id", "vq").collect())
+
+
+def ivf_train_cells(vqs, k: int = IVF_K, iters: int = IVF_KMEANS_ITERS):
     """Lloyd k-means over quantized vectors; returns the trained
     centroid state as a driver-side list [(cell, [per-dim sums])].
+    `k` and `iters` parameterize scale (K ~ sqrt(N); see module
+    header); cell ids are the seed rows' vec_ids.
 
     Each round is ONE mapInPandas pass fusing assignment (numpy int64
     matmul against the broadcast centroid state) with per-partition
@@ -467,11 +485,9 @@ def ivf_train_cells(vqs):
     cost ~3x in analysis/codegen alone."""
     import numpy as np
 
-    cents_rows = [
-        (int(r["vec_id"]), list(r["vq"])) for r in
-        vqs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
-        .select("vec_id", "vq").collect()]
-    for _ in range(IVF_KMEANS_ITERS):
+    cents_rows = [(int(r["vec_id"]), list(r["vq"]))
+                  for r in ivf_seed_rows(vqs, k)]
+    for _ in range(iters):
         cells, CS = _cents_np(cents_rows)
         K = len(cells)
 
@@ -569,7 +585,6 @@ def _int_cos_ppm_sql(vq: str, cs: str) -> str:
 
 
 def _oracle_ann_ivf() -> str:
-    seeds = ", ".join(str(i) for i in _IVF_SEED_IDS)
     sums64 = ", ".join(f"cast(sum(vq[{i + 1}]) as bigint) AS s{i}"
                       for i in range(EMB_DIM))
     arr64 = "list_value(" + ", ".join(f"s{i}" for i in range(EMB_DIM)) + ")"
@@ -578,8 +593,9 @@ def _oracle_ann_ivf() -> str:
         "e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v "
         "FROM embeddings)",
         f"vqs AS (SELECT vec_id, v, {VQ_SQL} AS vq FROM e)",
+        # hash-sampled init: identical to ivf_seed_rows
         f"c0 AS (SELECT vec_id AS cell, vq AS cs FROM vqs "
-        f"WHERE vec_id IN ({seeds}))",
+        f"ORDER BY md5(cast(vec_id as varchar)), vec_id LIMIT {IVF_K})",
     ]
     prev = "c0"
     for it in range(1, IVF_KMEANS_ITERS + 1):

@@ -239,3 +239,91 @@ def test_boilerplate_lines_hit_injected_dups(spark):
               and i + 100000 in rows]
     assert chains and any(rows[i]["n_boilerplate"] == rows[i]["n_lines"]
                           for i in chains)
+
+
+def test_duplicated_spans_exact_planted(spark):
+    """A 20-token span planted verbatim into two otherwise-unique docs
+    is recovered EXACTLY (same start/end extents, same cluster id in
+    both docs, nothing else reported) — the extents are maximal and
+    token-precise, not approximate."""
+    from jsonld_js_spark.operators.dedup import SUBSTR_K, duplicated_spans
+
+    span = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame([
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + span + " " +
+            " ".join(f"b{i}" for i in range(7))),
+        (2, " ".join(f"c{i}" for i in range(5)) + " " + span + " " +
+            " ".join(f"d{i}" for i in range(12))),
+        (3, " ".join(f"e{i}" for i in range(30))),
+    ], "doc_id long, text string")
+    rows = sorted(duplicated_spans(docs).collect(),
+                  key=lambda r: (r["doc_id"], r["span_start"]))
+    assert [(r["doc_id"], r["span_start"], r["span_end"],
+             r["span_tokens"]) for r in rows] == \
+        [(1, 10, 29, 20), (2, 5, 24, 20)]
+    assert rows[0]["cluster"] == rows[1]["cluster"]
+    assert 20 >= SUBSTR_K
+
+
+def test_duplicated_spans_submin_span_invisible(spark):
+    """A shared span shorter than SUBSTR_K tokens contains no
+    duplicated K-gram and must NOT be reported (the documented
+    minimum-span contract)."""
+    from jsonld_js_spark.operators.dedup import SUBSTR_K, duplicated_spans
+
+    short = " ".join(f"s{i}" for i in range(SUBSTR_K - 1))
+    docs = spark.createDataFrame([
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + short),
+        (2, " ".join(f"b{i}" for i in range(10)) + " " + short),
+    ], "doc_id long, text string")
+    assert duplicated_spans(docs).count() == 0
+
+
+def test_duplicated_spans_merge_adjacent_and_multiple(spark):
+    """Two disjoint duplicated regions in one doc yield two separate
+    maximal spans (the gaps-and-islands merge does not bridge a gap),
+    and a doc sharing different spans with different partners reports
+    each with its own cluster."""
+    from jsonld_js_spark.operators.dedup import duplicated_spans
+
+    p = " ".join(f"p{i}" for i in range(10))
+    q = " ".join(f"q{i}" for i in range(10))
+    docs = spark.createDataFrame([
+        (1, p + " " + " ".join(f"x{i}" for i in range(8)) + " " + q),
+        (2, " ".join(f"y{i}" for i in range(4)) + " " + p),
+        (3, q + " " + " ".join(f"z{i}" for i in range(4))),
+    ], "doc_id long, text string")
+    rows = sorted(duplicated_spans(docs).collect(),
+                  key=lambda r: (r["doc_id"], r["span_start"]))
+    got = [(r["doc_id"], r["span_start"], r["span_end"]) for r in rows]
+    assert got == [(1, 0, 9), (1, 18, 27), (2, 4, 13), (3, 0, 9)]
+    by_extent = {(r["doc_id"], r["span_start"]): r["cluster"]
+                 for r in rows}
+    assert by_extent[(1, 0)] == by_extent[(2, 4)]      # the p span
+    assert by_extent[(1, 18)] == by_extent[(3, 0)]     # the q span
+    assert by_extent[(1, 0)] != by_extent[(1, 18)]
+
+
+def test_contamination_flags_planted_copies(spark):
+    """Planted contamination: the gated corpus contains exact
+    (+200000) and near (+100000) copies of eval docs — the exact flag
+    set must contain every planted (copy, eval) pair at overlap_ppm
+    1e6 (exact) / >= 90% (near), and never flag a doc against
+    itself."""
+    from jsonld_js_spark.operators.dedup import (
+        CONTAM_EVAL_EVERY, q_corpus_contamination)
+
+    sf_dir = SF
+    rows = q_corpus_contamination(spark, sf_dir).collect()
+    assert rows
+    flagged = {(r["doc_id"], r["eval_doc_id"]): r["overlap_ppm"]
+               for r in rows}
+    assert all(d != e for d, e in flagged)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    eval_ids = [i for i in range(0, n_docs, CONTAM_EVAL_EVERY)]
+    assert eval_ids
+    for e in eval_ids:
+        if e % 25 == 0:  # exact copy planted in the corpus
+            assert flagged[(e + 200000, e)] == 1000000
+        if e % 10 == 0:  # near copy (4-token suffix) planted
+            assert flagged[(e + 100000, e)] >= 900000
