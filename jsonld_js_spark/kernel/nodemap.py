@@ -15,8 +15,8 @@ from __future__ import annotations
 import copy
 
 from .util import (
-    JsonLdError, IdentifierIssuer, add_value, is_keyword, is_value, is_list,
-    is_subject_reference, is_blank_node_id,
+    JsonLdError, IdentifierIssuer, add_value, has_value, is_keyword,
+    is_value, is_list, is_subject_reference, is_blank_node_id,
 )
 
 
@@ -28,13 +28,57 @@ def create_merged_node_map(expanded, issuer: IdentifierIssuer | None = None):
     return merge_node_maps(graphs)
 
 
+def _ref_ids(memo: dict, subject: dict, prop: str) -> set:
+    """Per-(subject, prop) set of the @id values of elements currently
+    in subject[prop] — a PURE optimization for the node-reference
+    set-semantics insert. compare_values makes a subject reference
+    {'@id': x} equal to an existing element IFF that element carries
+    '@id' == x (the @value branch needs @value on BOTH sides), so the
+    O(len) has_value scan per insert reduces exactly to set
+    membership; without it a t-turn conversation pays O(t^2) dict
+    compares on its hasTurn list (measured 2.7M element scans per 30k
+    transcript rows). Built lazily from the live list (correct even if
+    the subject predates this memo) and updated on every insert of an
+    @id-bearing element; keyed by id(subject) — subjects stay alive in
+    `graphs` for the memo's whole lifetime (one top-level
+    create_node_map call), so keys cannot be recycled."""
+    key = (id(subject), prop)
+    s = memo.get(key)
+    if s is None:
+        existing = subject.get(prop)
+        if existing is None:
+            items = ()
+        elif isinstance(existing, list):
+            items = existing
+        else:
+            items = (existing,)
+        s = {e["@id"] for e in items
+             if isinstance(e, dict) and "@id" in e}
+        memo[key] = s
+    return s
+
+
+def _add_ref(memo: dict, subject: dict, prop: str, id_) -> None:
+    """add_value(subject, prop, {'@id': id_}, property_is_array=True,
+    allow_duplicate=False) with the ref-memo replacing the list scan
+    (identical semantics, see _ref_ids)."""
+    s = _ref_ids(memo, subject, prop)
+    if id_ in s:
+        return
+    s.add(id_)
+    # no duplicate exists (the memo is exact), so skip the scan too
+    add_value(subject, prop, {"@id": id_}, property_is_array=True)
+
+
 def create_node_map(input_, graphs: dict, graph: str,
                     issuer: IdentifierIssuer, name: str | None = None,
-                    list_: dict | None = None):
+                    list_: dict | None = None, _memo: dict | None = None):
     """Node Map Generation (ref lib/nodeMap.js:47-223)."""
+    if _memo is None:
+        _memo = {}
     if isinstance(input_, list):
         for node in input_:
-            create_node_map(node, graphs, graph, issuer, None, list_)
+            create_node_map(node, graphs, graph, issuer, None, list_, _memo)
         return
 
     if not isinstance(input_, dict):
@@ -54,7 +98,8 @@ def create_node_map(input_, graphs: dict, graph: str,
 
     if list_ is not None and is_list(input_):
         result = {"@list": []}
-        create_node_map(input_["@list"], graphs, graph, issuer, name, result)
+        create_node_map(input_["@list"], graphs, graph, issuer, name, result,
+                        _memo)
         list_["@list"].append(result)
         return
     # a bare list object OUTSIDE a list context falls through to the
@@ -121,22 +166,29 @@ def create_node_map(input_, graphs: dict, graph: str,
                                         "(reading 'indexOf')")
                     if item_name is None or is_blank_node_id(item_name):
                         item_name = issuer.get_id(item_name)
-                    create_node_map(item, graphs, graph, issuer, item_name)
-                    add_value(subjects[item_name], reverse_property,
-                              referenced_node, property_is_array=True,
-                              allow_duplicate=False)
+                    create_node_map(item, graphs, graph, issuer, item_name,
+                                    None, _memo)
+                    # ref-memo insert; keep the SAME referenced_node
+                    # object across subjects (aliasing as in the ref)
+                    tgt = subjects[item_name]
+                    ids = _ref_ids(_memo, tgt, reverse_property)
+                    if name not in ids:
+                        ids.add(name)
+                        add_value(tgt, reverse_property, referenced_node,
+                                  property_is_array=True)
             continue
 
         # @graph: recurse with graph = name (ref lib/nodeMap.js:139-145)
         if property_ == "@graph":
             graphs.setdefault(name, {})
             g = graph if graph == "@merged" else name
-            create_node_map(objects, graphs, g, issuer)
+            create_node_map(objects, graphs, g, issuer, None, None, _memo)
             continue
 
         # @included (ref lib/nodeMap.js:149-151)
         if property_ == "@included":
-            create_node_map(objects, graphs, graph, issuer)
+            create_node_map(objects, graphs, graph, issuer, None, None,
+                            _memo)
             continue
 
         # other keywords copied (ref lib/nodeMap.js:154-166)
@@ -182,20 +234,29 @@ def create_node_map(input_, graphs: dict, graph: str,
                 # subject's recursion may add more values to THIS
                 # subject's property, and insertion order is observable
                 # in flatten output (ref lib/nodeMap.js:197-201)
-                add_value(subject, prop_out, {"@id": id_},
-                          property_is_array=True, allow_duplicate=False)
-                create_node_map(o, graphs, graph, issuer, id_)
+                _add_ref(_memo, subject, prop_out, id_)
+                create_node_map(o, graphs, graph, issuer, id_, None, _memo)
             elif is_list(o):
                 result = {"@list": []}
                 create_node_map(o["@list"], graphs, graph, issuer, name,
-                                result)
+                                result, _memo)
                 add_value(subject, prop_out, result, property_is_array=True,
                           allow_duplicate=False)
             else:
                 # value object (relabel bnode @type handled in recursion)
-                create_node_map(o, graphs, graph, issuer, name)
-                add_value(subject, prop_out, o, property_is_array=True,
-                          allow_duplicate=False)
+                create_node_map(o, graphs, graph, issuer, name, None, _memo)
+                if isinstance(o, dict) and "@id" in o:
+                    # GIGO value object carrying @id: it participates
+                    # in reference equality via the @id fallback, so
+                    # keep the ref-memo coherent (add its id only when
+                    # the element is genuinely inserted)
+                    if not has_value(subject, prop_out, o):
+                        _ref_ids(_memo, subject, prop_out).add(o["@id"])
+                        add_value(subject, prop_out, o,
+                                  property_is_array=True)
+                else:
+                    add_value(subject, prop_out, o, property_is_array=True,
+                              allow_duplicate=False)
 
 
 def merge_node_maps(graphs: dict) -> dict:

@@ -90,7 +90,22 @@ def is_keyword_form(value) -> bool:
     return isinstance(value, str) and bool(_KEYWORD_FORM_RE.match(value))
 
 
+_ABS_IRI_CACHE: dict = {}
+
+
 def is_absolute_iri(value) -> bool:
+    """Pure predicate of the string — memoized (expand re-checks the
+    same predicate/type IRIs per key and toRDF per node; the regex is
+    ~40% of the check's cost at transcript scale). Capped: cleared at
+    64k entries so a pathological unique-IRI stream can't grow a
+    worker's memory."""
+    if value.__class__ is str:
+        hit = _ABS_IRI_CACHE.get(value)
+        if hit is None:
+            if len(_ABS_IRI_CACHE) > 65536:
+                _ABS_IRI_CACHE.clear()
+            hit = _ABS_IRI_CACHE[value] = bool(_ABSOLUTE_IRI_RE.match(value))
+        return hit
     return isinstance(value, str) and bool(_ABSOLUTE_IRI_RE.match(value))
 
 
@@ -334,26 +349,35 @@ def _js_strict_eq(a, b) -> bool:
     separately-built equal lists are !== (e.g. a value object whose
     @type is an array from a type-map expansion never dedups against
     a twin, ref lib/util.js:393-396; fuzz seed 172041)."""
+    if a is b:
+        return not a != a  # NaN !== NaN even for the same object
     if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
-        return a is b
+        return False  # reference-compare, and a is not b here
     if isinstance(a, bool) != isinstance(b, bool):
         return False
     return a == b
 
 
 def compare_values(v1, v2) -> bool:
-    """JSON-LD value equality (ref lib/util.js:385-409)."""
-    if v1 is v2 or v1 == v2 and type(v1) is type(v2):
-        if not isinstance(v1, dict):
-            return True
-    if is_value(v1) and is_value(v2) and \
+    """JSON-LD value equality (ref lib/util.js:385-409). Hot path of
+    node-map set-semantics insertion: the branches are ordered so a
+    dict pair never pays a deep == (the reference's v1 === v2 is a
+    reference compare there, and the original guard discarded the
+    result anyway) and non-dict pairs skip the value/@id probes."""
+    if not isinstance(v1, dict):
+        if isinstance(v2, dict):
+            return False
+        return v1 is v2 or (v1 == v2 and type(v1) is type(v2))
+    if not isinstance(v2, dict):
+        return False
+    # both dicts (the scalar clause can't return True for these)
+    if "@value" in v1 and "@value" in v2 and \
             _js_strict_eq(v1.get("@value"), v2.get("@value")) and \
             _js_strict_eq(v1.get("@type"), v2.get("@type")) and \
             _js_strict_eq(v1.get("@language"), v2.get("@language")) and \
             _js_strict_eq(v1.get("@index"), v2.get("@index")):
         return True
-    if isinstance(v1, dict) and "@id" in v1 and \
-            isinstance(v2, dict) and "@id" in v2:
+    if "@id" in v1 and "@id" in v2:
         return v1["@id"] == v2["@id"]
     return False
 
@@ -365,7 +389,10 @@ def has_value(subject: dict, prop: str, value) -> bool:
     if is_list(existing):
         existing = existing["@list"]
     if isinstance(existing, list):
-        return any(compare_values(value, e) for e in existing)
+        for e in existing:  # plain loop: no genexpr frame per element
+            if compare_values(value, e):
+                return True
+        return False
     return compare_values(value, existing)
 
 
