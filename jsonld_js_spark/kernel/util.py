@@ -425,33 +425,57 @@ def add_value(subject: dict, prop: str, value, *, property_is_array=False,
 
 # --- canonical literal lexical forms -----------------------------------------
 
+def _js_number_has_dot(v: float) -> bool:
+    """ES Number::toString(10) of a finite float contains '.'.
+    Decimal form is used for -6 < n <= 21 (n = decimal exponent of
+    the shortest round-trip digits): dot iff non-integral.
+    Exponential form otherwise: dot iff more than one significant
+    digit. CPython's repr and V8's String() both emit the unique
+    shortest round-trip digit string, so the digit/exponent pair
+    matches."""
+    if v == 0:
+        return False
+    from decimal import Decimal
+    t = Decimal(repr(abs(v))).normalize().as_tuple()
+    k = len(t.digits)
+    n = t.exponent + k
+    if k <= n <= 21:
+        return False  # integral decimal form, e.g. String(1e16)
+    if (n <= -6 or n > 21) and k == 1:
+        return False  # single-digit exponential, e.g. "1e-7", "5e-324"
+    return True
+
+
 def is_double(v) -> bool:
     """JS `types.isDouble`: String(v) contains '.' or |v| >= 1e21
-    (ref lib/types.js:35-36). JS has no int/float distinction, so a
-    JSON `3.0` is the integer 3 to the reference — an INTEGRAL Python
-    float must therefore emit xsd:integer for parity."""
+    (ref lib/types.js:35-36) — the EXACT ES-toString dot rule, not
+    Python is_integer(): String(1e-7) is "1e-7" and String(5e-324) is
+    "5e-324" (no dot, so the reference calls them INTEGERS and emits
+    toFixed(0) = "0"), while String(2.5e-10) has a dot (round-4 fuzz
+    seeds 9100027/9100075). JS has no int/float distinction, so a
+    JSON `3.0` is the integer 3 to the reference. NaN: String "NaN"
+    has no dot and Math.abs(NaN) >= 1e21 is false → NOT a double
+    (it rides the integer branch as toFixed(0) = "NaN"); +/-Infinity:
+    Math.abs >= 1e21 → double."""
     if isinstance(v, bool) or not isinstance(v, (int, float)):
         return False
     if isinstance(v, float):
         import math
-        if math.isnan(v) or math.isinf(v):
+        if math.isnan(v):
+            return False
+        if math.isinf(v):
             return True
-        return not v.is_integer() or abs(v) >= 1e21
+        return _js_number_has_dot(v) or abs(v) >= 1e21
     return abs(v) >= 1e21
 
 
 def is_integer_number(v) -> bool:
-    """JS `types.isInteger`-equivalent over parsed-JSON values: any
-    non-bool number with integral value and |v| < 1e21
-    (ref lib/types.js:35-56, lib/toRdf.js:244)."""
-    if isinstance(v, bool) or not isinstance(v, (int, float)):
-        return False
-    if isinstance(v, float):
-        import math
-        if math.isnan(v) or math.isinf(v):
-            return False
-        return v.is_integer() and abs(v) < 1e21
-    return abs(v) < 1e21
+    """The reference's integer-literal branch is just `isNumber` —
+    ANY non-bool number that the isDouble test (checked FIRST in
+    _object_to_rdf, exactly as ref lib/toRdf.js:237-246) did not
+    claim rides toFixed(0) + xsd:integer. That includes 1e-7 ("0"),
+    -1e-7 ("-0") and NaN ("NaN")."""
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
 def js_parse_float(value) -> float:
@@ -498,7 +522,23 @@ def canonical_double(value: float) -> str:
 
 
 def canonical_integer(value) -> str:
-    """xsd:integer lexical form — JS `toFixed(0)` (ref lib/toRdf.js:244-246)."""
+    """xsd:integer lexical form — JS `toFixed(0)` exactly (ref
+    lib/toRdf.js:244-246): sign taken from `x < 0` (so -0.0 → "0" but
+    -1e-7 → "-0"), magnitude rounded to the nearest integer with ties
+    to the LARGER n (away from zero on |x|: (-0.5).toFixed(0) is
+    "-1"); NaN → "NaN"."""
+    if isinstance(value, float):
+        if value != value:
+            return "NaN"
+        neg = value < 0
+        a = abs(value)
+        n = math.floor(a + 0.5)
+        # floor(a+0.5) misrounds the halfway-representable edge where
+        # a+0.5 rounds UP in binary (e.g. 0.49999999999999994): guard
+        if n - a > 0.5:
+            n -= 1
+        s = str(int(n))
+        return "-" + s if neg else s
     return str(int(value))
 
 

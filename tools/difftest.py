@@ -179,6 +179,19 @@ def random_context(rng: random.Random) -> dict:
     return ctx
 
 
+# numeric edges for @json (JCS shortest-repr) and double/integer
+# canonical forms: 2^53 cliff, toFixed 1e21 cliff, negative zero,
+# subnormal min, max double, exponent-notation decimals (round-4
+# verdict item 7: "numeric-edge @json literals"). Ints beyond 2^53
+# are NOT fuzzable this way: JS loses them at JSON.parse, before the
+# engine runs, so the two kernels legitimately receive different
+# values (Python json preserves big ints — a deliberate data-model
+# improvement, not a parity target). 2^53 rides as a float.
+_NUM_EDGES = [9007199254740991, 9007199254740992.0, -9007199254740991,
+              1e21, 1e-7, -0.0, 0.1, 123456789.123456789, 5e-324,
+              1.7976931348623157e308, -2.5e-10, 1e100]
+
+
 def _scalar(rng):
     return rng.choice([
         "plain", 42, -7, True, False, 2.5, 0.1, 1e21, "",
@@ -187,6 +200,8 @@ def _scalar(rng):
         {"@value": "typed", "@type": EX + "T"},
         {"@value": "dv", "@direction": "rtl"},
         {"@value": "dl", "@language": "en", "@direction": "ltr"},
+        rng.choice(_NUM_EDGES),
+        {"@value": rng.choice(_NUM_EDGES)},
     ])
 
 
@@ -338,7 +353,14 @@ def random_doc(seed: int):
             elif kw == "@direction":
                 node["alpha"] = {"@value": "dv", alias: "rtl"}
             elif kw == "@json":
-                node["alpha"] = {"@value": {"j": [1, None]}, "@type": alias}
+                node["alpha"] = {"@value": rng.choice([
+                    {"j": [1, None]},
+                    # numeric-edge JSON literals: JCS number
+                    # serialization must match npm canonicalize
+                    {"n": rng.sample(_NUM_EDGES, 3)},
+                    list(_NUM_EDGES[:6]),
+                    rng.choice(_NUM_EDGES),
+                ]), "@type": alias}
     if "bnp" in ctx and rng.random() < 0.8:
         node["bnp"] = rng.choice(["bv", {"@id": EX + "bo"},
                                   {"@id": "_:bo1"}, [1, "two"]])
@@ -512,7 +534,7 @@ def random_quads(seed: int):
         opts["useNativeTypes"] = True
     if rng.random() < 0.2:
         opts["useRdfType"] = True
-    if rng.random() < 0.3:
+    if rng.random() < 0.3 or os.environ.get("DIFFTEST_RDFDIR"):
         opts["rdfDirection"] = "i18n-datatype"
     return ref_quads, deduped, opts
 
@@ -846,10 +868,12 @@ def main(n_docs: int, seed0: int) -> int:
             return o
 
         # every 10th seed serializes direction-tagged literals via
-        # rdfDirection=i18n-datatype
+        # rdfDirection=i18n-datatype (DIFFTEST_RDFDIR=1 forces it on
+        # EVERY seed — the direction gates compound with container/
+        # value rules far more densely than the 1-in-10 default)
         def _rdf_opts(s, base):
             o = dict(base)
-            if s % 10 == 6:
+            if s % 10 == 6 or os.environ.get("DIFFTEST_RDFDIR"):
                 o["rdfDirection"] = "i18n-datatype"
             if s % 14 == 9:
                 # blank-node predicates survive toRDF (ref

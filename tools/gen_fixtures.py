@@ -728,6 +728,33 @@ CASES += [
     ])
 ]
 
+# round-4 fuzz finds (difftest seeds 9100027/9100075/9200020): the
+# reference's isDouble is the ES String(v)-DOT rule (lib/types.js:35)
+# — 1e-7 / -1e-7 / 5e-324 stringify dotless and ride toFixed(0) →
+# "0"/"-0" + xsd:integer, while 2.5e-10 / 1e-6 carry a dot →
+# xsd:double; 1e16 is dotless decimal form → integer digits.
+CASES += [
+    dict(
+        name="tordf-js-number-dot-rule",
+        op_override=["toRDF", "expand"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "n",
+               "p": [1e-7, -1e-7, 5e-324, -5e-324, 2.5e-10, 1e-6,
+                     1e16, -0.0, 0.0, 1e100, 42.0, 0.1,
+                     123456789.123456789, 9007199254740991,
+                     1e21, -1e21]},
+    ),
+    dict(
+        name="tordf-json-numeric-edges",
+        op_override=["toRDF"],
+        input={"@context": {"@vocab": EX,
+                            "j": {"@id": EX + "j", "@type": "@json"}},
+               "@id": EX + "n",
+               "j": [9007199254740991, 9007199254740992.0, 1e21, 1e-7,
+                     -0.0, 0.1, 123456789.123456789, 5e-324,
+                     1.7976931348623157e308, -2.5e-10, 1e100]},
+    ),
+]
+
 CASES += [
     dict(
         name="tordf-generalized-rdf",
