@@ -73,7 +73,8 @@ def _jvm_peak_rss_gib():
 
 
 def run_one(spark, n_docs: int) -> dict:
-    from jsonld_js_spark.operators.dedup import SUBSTR_K, duplicated_spans
+    from jsonld_js_spark.operators.dedup import (
+        SUBSTR_K, duplicated_spans, scrub_duplicated_spans)
     corpus = synth_corpus(spark, n_docs)
     t0 = time.time()
     spans = duplicated_spans(corpus).cache()
@@ -102,6 +103,30 @@ def run_one(spark, n_docs: int) -> dict:
         "peak_jvm_rss_gib": _jvm_peak_rss_gib(),
     }
     spans.unpersist()
+
+    # scrub ground truth: identical extents everywhere -> ONE cluster,
+    # so exactly one doc (the smallest planted id = 0) keeps the span;
+    # every other planted doc loses exactly SPAN_LEN tokens; filler
+    # docs pass through untouched.
+    t0 = time.time()
+    scrub = scrub_duplicated_spans(corpus).cache()
+    marker = " ".join(f"p{i}" for i in range(SPAN_LEN))
+    holders = scrub.filter(F.col("text").contains(marker)).count()
+    a = scrub.agg(
+        F.sum("n_tokens_removed").alias("removed"),
+        F.sum(F.when(F.col("n_spans_scrubbed") == 1, 1)
+              .otherwise(0)).alias("scrubbed_docs"),
+        F.sum(F.when(F.col("n_tokens_removed") == 0, 1)
+              .otherwise(0)).alias("untouched_docs")).collect()[0]
+    rec.update({
+        "scrub_wall_sec": round(time.time() - t0, 1),
+        "scrub_span_holders": holders,           # expect exactly 1
+        "scrub_docs_scrubbed": int(a["scrubbed_docs"]),
+        "scrub_tokens_removed": int(a["removed"] or 0),
+        "scrub_expected_removed": (len(planted_ids) - 1) * SPAN_LEN,
+        "scrub_untouched_docs": int(a["untouched_docs"]),
+    })
+    scrub.unpersist()
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -127,6 +152,12 @@ def main():
             / factor, 3),
         "spurious_small": small["spurious_spans"],
         "spurious_big": big["spurious_spans"],
+        "scrub_holders_small": small["scrub_span_holders"],
+        "scrub_holders_big": big["scrub_span_holders"],
+        "scrub_exact_small": small["scrub_tokens_removed"]
+        == small["scrub_expected_removed"],
+        "scrub_exact_big": big["scrub_tokens_removed"]
+        == big["scrub_expected_removed"],
     }
     print(json.dumps(summary), flush=True)
 

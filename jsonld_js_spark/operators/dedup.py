@@ -1025,3 +1025,208 @@ ORDER BY s.doc_id, s.eval_doc_id
 
 QUERIES["corpus_contamination"] = q_corpus_contamination
 ORACLES["corpus_contamination"] = ORACLE_CORPUS_CONTAMINATION
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span SCRUB: close the detection -> curation loop for
+# `duplicated_spans`. One occurrence of each byte-identical span
+# cluster is kept (the canonical holder = smallest (doc_id,
+# span_start) in the cluster); every other occurrence is excised from
+# its document's token stream. Output is the scrubbed corpus plus
+# per-doc removal stats — what a training-data pipeline actually
+# feeds downstream after the substring pass.
+#
+# Scale shape: reuses the duplicated_spans plan (one gram shuffle, one
+# doc-partitioned window), then ONE tiny window over the span rows
+# (partitioned by cluster — bounded by duplication mass, not corpus
+# size), a collect_list of kill spans per doc (spans per doc are few
+# and disjoint by the gaps-and-islands construction), and a
+# broadcast-shaped left join back onto the token table followed by a
+# pure array-lambda filter — no per-row Python, no corpus re-shuffle
+# beyond the doc_id join.
+
+def scrub_duplicated_spans(docs, k: int = SUBSTR_K):
+    """(doc_id, text) -> (doc_id, n_spans_scrubbed, n_tokens_removed,
+    text) with every non-canonical duplicated span removed. Token
+    positions/normalization identical to `duplicated_spans`.
+
+    Semantic notes: clusters are keyed by the exact text of the
+    MAXIMAL per-doc extent. The same shared paragraph embedded in
+    different maximal extents (because neighbouring tokens are also
+    duplicated in some docs) lands in different clusters, each keeping
+    its own canonical copy — one scrub pass removes identical-extent
+    repetition; iterate to fixpoint for stricter no-shared-span
+    guarantees (each pass strictly shrinks total duplicated mass).
+    Spans from different clusters may OVERLAP in token space within a
+    doc (gram-position runs are disjoint, but the +K-1 extents can
+    intersect); canonical extents win — a position inside a canonical
+    span is never removed, so every kept copy survives verbatim."""
+    from pyspark.sql.window import Window
+
+    spans = duplicated_spans(docs, k)
+    w = Window.partitionBy("cluster").orderBy("doc_id", "span_start")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    span_struct = F.struct("span_start", "span_end")
+    kills = (ranked.filter(F.col("rn") > 1)
+             .groupBy("doc_id")
+             .agg(F.collect_list(span_struct).alias("kills")))
+    keeps = (ranked.filter(F.col("rn") == 1)
+             .groupBy("doc_id")
+             .agg(F.collect_list(span_struct).alias("keeps")))
+    toks = docs.select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("toks"))
+    joined = toks.join(kills, "doc_id", "left").join(keeps, "doc_id", "left")
+    keeps_arr = F.coalesce(
+        F.col("keeps"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"))
+
+    def _covered(arr, i):
+        return F.exists(arr, lambda s: (i >= s["span_start"])
+                        & (i <= s["span_end"]))
+
+    kept = F.when(F.col("kills").isNull(), F.col("toks")).otherwise(
+        F.filter(F.col("toks"),
+                 lambda t, i: ~_covered(F.col("kills"), i)
+                 | _covered(keeps_arr, i)))
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.size("kills"), F.lit(0)).cast("long")
+        .alias("n_spans_scrubbed"),
+        (F.size("toks") - F.size(kept)).cast("long")
+        .alias("n_tokens_removed"),
+        F.concat_ws(" ", kept).alias("text"))
+
+
+def q_dedup_substring_scrub(spark, sf_dir):
+    """Scrubbed planted-span corpus; text is returned as its portable
+    60-bit hash so the gate compares full content compactly."""
+    s = scrub_duplicated_spans(substr_corpus_df(spark, sf_dir))
+    return (s.select("doc_id", "n_spans_scrubbed", "n_tokens_removed",
+                     hash60(F.col("text")).alias("text_hash"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_SUBSTRING_SCRUB = f"""
+WITH {SUBSTR_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split({_SUB_NORM}, ' ') AS toks FROM corpus_sub
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i+1:i+{SUBSTR_K}], ' ') AS gram
+  FROM toks, unnest(range(0, len(toks) - {SUBSTR_K - 1})) u(i)
+),
+g2 AS (SELECT doc_id, pos, gram, {hash60_sql('gram')} AS ghash
+       FROM grams),
+dupg AS (SELECT ghash, gram FROM g2
+         GROUP BY 1, 2 HAVING count(distinct doc_id) >= 2),
+dpos AS (SELECT g.doc_id, g.pos FROM g2 g
+         JOIN dupg d ON g.ghash = d.ghash AND g.gram = d.gram),
+runs AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS rk
+         FROM dpos),
+spans AS (SELECT doc_id, min(pos) AS span_start,
+                 max(pos) + {SUBSTR_K - 1} AS span_end
+          FROM runs GROUP BY doc_id, rk),
+spans2 AS (
+  SELECT s.doc_id, s.span_start, s.span_end,
+         {hash60_sql("array_to_string(t.toks[s.span_start+1:s.span_end+1], ' ')")}
+           AS cluster
+  FROM spans s JOIN toks t ON s.doc_id = t.doc_id
+),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY cluster ORDER BY doc_id, span_start) AS rn
+           FROM spans2),
+kills AS (SELECT doc_id, span_start, span_end FROM ranked WHERE rn > 1),
+keeps AS (SELECT doc_id, span_start, span_end FROM ranked WHERE rn = 1),
+pos AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
+        FROM toks, unnest(range(0, len(toks))) u(i)),
+killed AS (SELECT DISTINCT p.doc_id, p.pos
+           FROM pos p JOIN kills k ON p.doc_id = k.doc_id
+             AND p.pos BETWEEN k.span_start AND k.span_end
+           WHERE NOT EXISTS (
+             SELECT 1 FROM keeps q WHERE q.doc_id = p.doc_id
+               AND p.pos BETWEEN q.span_start AND q.span_end)),
+kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+         ANTI JOIN killed x ON p.doc_id = x.doc_id AND p.pos = x.pos),
+kill_stats AS (SELECT doc_id, cast(count(*) as bigint) AS n_spans
+               FROM kills GROUP BY doc_id),
+removed AS (SELECT doc_id, cast(count(*) as bigint) AS n_removed
+            FROM killed GROUP BY doc_id),
+scrub AS (SELECT doc_id,
+                 array_to_string(list(tok ORDER BY pos), ' ') AS text
+          FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       cast(coalesce(ks.n_spans, 0) as bigint) AS n_spans_scrubbed,
+       cast(coalesce(r.n_removed, 0) as bigint) AS n_tokens_removed,
+       {hash60_sql("coalesce(s.text, '')")} AS text_hash
+FROM toks t
+LEFT JOIN kill_stats ks ON t.doc_id = ks.doc_id
+LEFT JOIN removed r ON t.doc_id = r.doc_id
+LEFT JOIN scrub s ON t.doc_id = s.doc_id
+ORDER BY t.doc_id
+"""
+
+QUERIES["dedup_substring_scrub"] = q_dedup_substring_scrub
+ORACLES["dedup_substring_scrub"] = ORACLE_DEDUP_SUBSTRING_SCRUB
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: the curation counterpart of `contamination` — drop
+# every training document flagged against the eval set and return the
+# clean corpus. The flag set is produced by the broadcast-shaped
+# contamination join (eval side tiny by construction), so the only
+# cost on top of detection is a left-anti join of the corpus against a
+# small flagged-id set — broadcastable at any corpus scale.
+
+def decontaminate(train, eval_docs,
+                  min_overlap_ppm: int = CONTAM_OVERLAP_PPM_MIN):
+    """Training corpus minus documents sharing >= min_overlap_ppm of
+    any eval doc's distinct shingles."""
+    flagged = (contamination(train, eval_docs, min_overlap_ppm)
+               .select("doc_id").distinct())
+    return train.join(F.broadcast(flagged), "doc_id", "left_anti")
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Clean corpus after dropping the planted eval contamination
+    (exact +200000 and near +100000 copies of eval docs must vanish —
+    asserted by tests/test_dedup.py)."""
+    d = decontaminate(corpus_df(spark, sf_dir), eval_set_df(spark, sf_dir))
+    return (d.select("doc_id", hash60(_norm(F.col("text")))
+                     .alias("text_hash"))
+            .orderBy("doc_id"))
+
+
+ORACLE_CORPUS_DECONTAMINATE = f"""
+WITH {CORPUS_SQL},
+ev AS (
+  SELECT doc_id AS eval_doc_id, {SHINGLES_SQL} AS sh
+  FROM documents WHERE doc_id % {CONTAM_EVAL_EVERY} = 0
+),
+ev_sh AS (SELECT eval_doc_id, unnest(sh) AS shingle FROM ev),
+ev_tot AS (SELECT eval_doc_id, cast(len(sh) as bigint) AS n_eval FROM ev),
+tr_sh AS (
+  SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM corpus
+),
+shared AS (
+  SELECT t.doc_id, e.eval_doc_id, cast(count(*) as bigint) AS n_shared
+  FROM tr_sh t JOIN ev_sh e ON t.shingle = e.shingle
+  WHERE t.doc_id != e.eval_doc_id
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT DISTINCT s.doc_id
+  FROM shared s JOIN ev_tot v ON s.eval_doc_id = v.eval_doc_id
+  WHERE floor(s.n_shared * 1000000.0 / v.n_eval)
+        >= {CONTAM_OVERLAP_PPM_MIN}
+)
+SELECT c.doc_id,
+       {hash60_sql(_NORM_SQL)} AS text_hash
+FROM corpus c ANTI JOIN flagged f ON c.doc_id = f.doc_id
+ORDER BY c.doc_id
+"""
+
+QUERIES["corpus_decontaminate"] = q_corpus_decontaminate
+ORACLES["corpus_decontaminate"] = ORACLE_CORPUS_DECONTAMINATE

@@ -327,3 +327,128 @@ def test_contamination_flags_planted_copies(spark):
             assert flagged[(e + 200000, e)] == 1000000
         if e % 10 == 0:  # near copy (4-token suffix) planted
             assert flagged[(e + 100000, e)] >= 900000
+
+
+def test_scrub_keeps_one_canonical_copy(spark):
+    """Scrub contract: the span cluster's canonical holder (smallest
+    (doc_id, span_start)) keeps the span verbatim; every other holder
+    has it excised with exact token accounting; untouched docs pass
+    through byte-identical."""
+    from jsonld_js_spark.operators.dedup import scrub_duplicated_spans
+
+    span = " ".join(f"s{i}" for i in range(20))
+    pre1, post1 = [f"a{i}" for i in range(10)], [f"b{i}" for i in range(7)]
+    pre2, post2 = [f"c{i}" for i in range(5)], [f"d{i}" for i in range(12)]
+    solo = " ".join(f"e{i}" for i in range(30))
+    docs = spark.createDataFrame([
+        (1, " ".join(pre1) + " " + span + " " + " ".join(post1)),
+        (2, " ".join(pre2) + " " + span + " " + " ".join(post2)),
+        (3, solo),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_duplicated_spans(docs).collect()}
+    assert out[1]["n_spans_scrubbed"] == 0
+    assert out[1]["n_tokens_removed"] == 0
+    assert span in out[1]["text"]
+    assert out[2]["n_spans_scrubbed"] == 1
+    assert out[2]["n_tokens_removed"] == 20
+    assert out[2]["text"] == " ".join(pre2 + post2)
+    assert out[3]["text"] == solo
+    assert out[3]["n_tokens_removed"] == 0
+
+
+def test_scrub_multiple_spans_one_doc(spark):
+    """A doc holding two non-canonical spans loses both; a doc that is
+    canonical for one cluster and non-canonical for another loses only
+    the non-canonical one."""
+    from jsonld_js_spark.operators.dedup import scrub_duplicated_spans
+
+    p = " ".join(f"p{i}" for i in range(10))
+    q = " ".join(f"q{i}" for i in range(10))
+    mid = " ".join(f"x{i}" for i in range(8))
+    docs = spark.createDataFrame([
+        (1, p + " " + mid + " " + q),          # canonical for p AND q
+        (2, " ".join(f"y{i}" for i in range(4)) + " " + p + " " + q),
+        (3, q + " " + " ".join(f"z{i}" for i in range(4))),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_duplicated_spans(docs).collect()}
+    assert out[1]["n_spans_scrubbed"] == 0 and p in out[1]["text"] \
+        and q in out[1]["text"]
+    assert out[2]["n_spans_scrubbed"] == 2
+    assert out[2]["n_tokens_removed"] == 20
+    assert out[2]["text"] == " ".join(f"y{i}" for i in range(4))
+    assert out[3]["n_spans_scrubbed"] == 1
+    assert out[3]["text"] == " ".join(f"z{i}" for i in range(4))
+
+
+def test_scrub_gated_corpus_per_cluster_accounting(spark):
+    """On the gated planted-span corpus the scrub matches the spans
+    output exactly: per doc, n_spans_scrubbed = its non-canonical span
+    rows and n_tokens_removed = their summed lengths; every canonical
+    holder still contains its span text verbatim; and the planted
+    boilerplate population shrinks (identical text embedded in
+    DIFFERENT maximal extents forms different clusters and each keeps
+    a canonical copy — the documented maximal-extent semantic)."""
+    from jsonld_js_spark.operators.dedup import (
+        SUBSTR_BOILER, duplicated_spans, scrub_duplicated_spans,
+        substr_corpus_df, _norm)
+
+    corpus = substr_corpus_df(spark, SF)
+    toks = {r["doc_id"]: r["t"].split(" ") for r in corpus.select(
+        "doc_id", _norm(F.col("text")).alias("t")).collect()}
+    spans = duplicated_spans(corpus).collect()
+    by_cluster = {}
+    for r in spans:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    kills, canon = {}, []
+    for rows in by_cluster.values():
+        rows.sort(key=lambda r: (r["doc_id"], r["span_start"]))
+        canon.append(rows[0])
+        for r in rows[1:]:
+            kills.setdefault(r["doc_id"], []).append(r)
+    out = {r["doc_id"]: r for r in
+           scrub_duplicated_spans(corpus).collect()}
+    assert set(out) == set(toks)
+    for d, r in out.items():
+        ks = kills.get(d, [])
+        assert r["n_spans_scrubbed"] == len(ks)
+        # kill spans from different clusters may OVERLAP in token
+        # space (a gram-position gap < K still overlaps after the
+        # +K-1 extent); removal is the position UNION minus positions
+        # protected by a canonical span (canonical extents win)
+        killed_pos = set()
+        for k in ks:
+            killed_pos.update(range(k["span_start"], k["span_end"] + 1))
+        for c in canon:
+            if c["doc_id"] == d:
+                killed_pos.difference_update(
+                    range(c["span_start"], c["span_end"] + 1))
+        assert r["n_tokens_removed"] == len(killed_pos)
+    for c in canon:
+        span_text = " ".join(
+            toks[c["doc_id"]][c["span_start"]:c["span_end"] + 1])
+        assert span_text in out[c["doc_id"]]["text"]
+    n_before = sum(SUBSTR_BOILER in " ".join(t) for t in toks.values())
+    n_after = sum(SUBSTR_BOILER in r["text"] for r in out.values())
+    assert 1 <= n_after < n_before
+
+
+def test_decontaminate_drops_planted_copies(spark):
+    """Every planted exact/near copy of an eval doc is gone from the
+    decontaminated corpus; originals that never overlap an eval doc
+    survive."""
+    from jsonld_js_spark.operators.dedup import (
+        CONTAM_EVAL_EVERY, corpus_df, decontaminate, eval_set_df)
+
+    kept = {r["doc_id"] for r in decontaminate(
+        corpus_df(spark, SF), eval_set_df(spark, SF))
+        .select("doc_id").collect()}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert n_docs > 0
+    for e in range(0, n_docs, CONTAM_EVAL_EVERY):
+        if e % 25 == 0:
+            assert e + 200000 not in kept
+        if e % 10 == 0:
+            assert e + 100000 not in kept
+    # a doc whose id is odd and not near an eval multiple keeps its
+    # unique text -> must survive
+    assert any(d in kept for d in range(1, n_docs, 2))
