@@ -630,3 +630,145 @@ ORDER BY df DESC, ngram LIMIT {NGRAM_TOP_K}
 QUERIES["corpus_ngram_topk"] = q_corpus_ngram_topk
 ORACLES["corpus_ngram_topk"] = ORACLE_CORPUS_NGRAM_TOPK
 
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition stats (the Gopher-rules repetition family,
+# Rae et al. 2021 App. A1.1): unlike the cross-document dedup ops,
+# these measure how much a document repeats ITSELF — the dominant
+# quality signal for machine-generated / template spam that whole-doc
+# and near-dup passes cannot see. Three exact integer-ppm signals:
+#
+#   dup_token_ppm   — (n_tokens - n_distinct) / n_tokens
+#   top_bigram_ppm  — tokens covered by the single most frequent
+#                     word bigram (count*2 / n_tokens, clamped 1e6)
+#   dup_5gram_ppm   — distinct token POSITIONS inside any 5-gram that
+#                     occurs >= 2 times in the doc (position-union,
+#                     chars counted once, per the Gopher definition)
+#
+# Scale shape: every groupBy keys on (doc_id) or (doc_id, gram) —
+# intra-document, so keys are bounded by single-doc size and uniform;
+# partial aggregation combines map-side. The position-explode for the
+# 5-gram coverage is x5 the gram count of DUPLICATED grams only.
+# `repetitive` (0/1 bigint) applies the documented thresholds.
+
+REP_TOP2_MAX_PPM = 180000   # Gopher: top-2-gram fraction > 0.18 -> drop
+REP_DUP5_MAX_PPM = 150000   # Gopher: dup-5-gram char fraction > 0.15
+REP_MIN_TOKENS = 20         # ratios are meaningless on tiny docs (a
+                            # single bigram in an 8-token doc is 25%);
+                            # Gopher applies repetition rules after
+                            # its length screens
+
+
+def _pos_grams(tokcol, n):
+    """array of struct(pos, gram) for all n-grams of a token array."""
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), (F.size(tokcol) - n).cast("long")),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(tokcol, i + 1, n)).alias("g")))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition signals, exact integer ppm."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("toks"))
+    base = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("_nd"))
+    big = (toks.filter(F.size("toks") >= 2)
+           .select("doc_id",
+                   F.explode(_pos_grams(F.col("toks"), 2)).alias("pg"))
+           .select("doc_id", F.col("pg.g").alias("g")))
+    top2 = (big.groupBy("doc_id", "g").count()
+            .groupBy("doc_id").agg(F.max("count").alias("_top2")))
+    g5 = (toks.filter(F.size("toks") >= 5)
+          .select("doc_id",
+                  F.explode(_pos_grams(F.col("toks"), 5)).alias("pg"))
+          .select("doc_id", F.col("pg.pos").alias("pos"),
+                  F.col("pg.g").alias("g")))
+    d5 = (g5.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+          .filter(F.col("c") >= 2).select("doc_id", "g"))
+    cov = (g5.join(d5, ["doc_id", "g"])
+           .select("doc_id", F.explode(F.sequence(
+               F.col("pos"), F.col("pos") + 4)).alias("p"))
+           .groupBy("doc_id")
+           .agg(F.countDistinct("p").alias("_cov5")))
+    n = F.col("n_tokens")
+    dup_token = F.floor((n - F.col("_nd")) * F.lit(1000000.0) / n)
+    top_bigram = F.least(
+        F.lit(1000000).cast("long"),
+        F.floor(F.coalesce(F.col("_top2"), F.lit(0)) * 2
+                * F.lit(1000000.0) / n).cast("long"))
+    dup5 = F.floor(F.coalesce(F.col("_cov5"), F.lit(0))
+                   * F.lit(1000000.0) / n)
+    return (base.join(top2, "doc_id", "left").join(cov, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                dup_token.cast("long").alias("dup_token_ppm"),
+                top_bigram.alias("top_bigram_ppm"),
+                dup5.cast("long").alias("dup_5gram_ppm"))
+            .withColumn("repetitive", (
+                (F.col("n_tokens") >= REP_MIN_TOKENS) &
+                ((F.col("top_bigram_ppm") > REP_TOP2_MAX_PPM) |
+                 (F.col("dup_5gram_ppm") > REP_DUP5_MAX_PPM)))
+                .cast("long"))
+            .orderBy("doc_id"))
+
+
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+ORACLE_TEXT_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, cast(len(toks) as bigint) AS n_tokens,
+         cast(len(list_distinct(toks)) as bigint) AS nd
+  FROM toks
+),
+big AS (
+  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS g
+  FROM toks, unnest(range(0, len(toks) - 1)) u(i)
+  WHERE len(toks) >= 2
+),
+top2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2
+  ) GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+5], ' ') AS g
+  FROM toks, unnest(range(0, len(toks) - 4)) u(i)
+  WHERE len(toks) >= 5
+),
+d5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING count(*) >= 2),
+cov AS (
+  SELECT doc_id, count(distinct p) AS cov5 FROM (
+    SELECT x.doc_id, x.pos + j AS p
+    FROM g5 x JOIN d5 d ON x.doc_id = d.doc_id AND x.g = d.g,
+         unnest(range(0, 5)) v(j)
+  ) GROUP BY doc_id
+),
+ppm AS (
+  SELECT b.doc_id, b.n_tokens,
+         cast(floor((b.n_tokens - b.nd) * 1000000.0 / b.n_tokens)
+              as bigint) AS dup_token_ppm,
+         least(cast(1000000 as bigint),
+               cast(floor(coalesce(t.top2, 0) * 2 * 1000000.0
+                          / b.n_tokens) as bigint)) AS top_bigram_ppm,
+         cast(floor(coalesce(c.cov5, 0) * 1000000.0 / b.n_tokens)
+              as bigint) AS dup_5gram_ppm
+  FROM base b
+  LEFT JOIN top2 t ON b.doc_id = t.doc_id
+  LEFT JOIN cov c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, n_tokens, dup_token_ppm, top_bigram_ppm, dup_5gram_ppm,
+       cast(CASE WHEN n_tokens >= {REP_MIN_TOKENS}
+                  AND (top_bigram_ppm > {REP_TOP2_MAX_PPM}
+                       OR dup_5gram_ppm > {REP_DUP5_MAX_PPM})
+            THEN 1 ELSE 0 END as bigint) AS repetitive
+FROM ppm ORDER BY doc_id
+"""
+
+QUERIES["text_repetition"] = q_text_repetition
+ORACLES["text_repetition"] = ORACLE_TEXT_REPETITION

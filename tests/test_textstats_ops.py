@@ -152,3 +152,44 @@ def test_corpus_ngram_topk_shape(spark):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert all(1 <= r["df"] <= n_docs for r in rows)
     assert all(len(r["ngram"].split(" ")) == 2 for r in rows)
+
+
+def test_repetition_hand_computed(spark):
+    """Planted repetition with hand-computed exact ppm:
+    - doc 1: 'a b c d e f g h' — all unique, nothing repeats.
+    - doc 2: 'x y ' * 12 (24 tokens): dup_token (24-2)/24; top
+      bigram 'x y' occurs 12x -> 12*2/24 = 1.0 clamped; the repeated
+      5-grams cover ALL positions -> 1.0; repetitive.
+    - doc 3: the 5-gram 's0..s4' at positions 0 and 15 of a
+      20-token doc (10 unique fillers between) -> coverage exactly
+      10/20.
+    """
+    from jsonld_js_spark.operators.textstats import q_text_repetition
+
+    span = "s0 s1 s2 s3 s4"
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h"),
+        (2, ("x y " * 12).strip()),
+        (3, span + " f0 f1 f2 f3 f4 f5 f6 f7 f8 f9 " + span),
+    ], "doc_id long, text string")
+    import jsonld_js_spark.operators.textstats as ts
+    orig = ts._docs
+    ts._docs = lambda spark, sf_dir: docs
+    try:
+        out = {r["doc_id"]: r for r in
+               q_text_repetition(spark, "unused").collect()}
+    finally:
+        ts._docs = orig
+    r1, r2, r3 = out[1], out[2], out[3]
+    assert (r1["dup_token_ppm"], r1["top_bigram_ppm"],
+            r1["dup_5gram_ppm"], r1["repetitive"]) == (0, 250000, 0, 0)
+    # doc1 top bigram: each of 7 bigrams once -> 1*2/8 = 250000;
+    # NOT repetitive despite 250000 > threshold: below REP_MIN_TOKENS
+    assert r2["dup_token_ppm"] == 916666   # floor(22e6/24)
+    assert r2["top_bigram_ppm"] == 1000000  # clamped from 12*2/24
+    assert r2["dup_5gram_ppm"] == 1000000   # all 24 positions covered
+    assert r2["repetitive"] == 1
+    assert r3["n_tokens"] == 20
+    assert r3["dup_token_ppm"] == 250000    # 5 of 20 tokens repeat
+    assert r3["dup_5gram_ppm"] == 500000    # exactly positions 0-4,10-14
+    assert r3["repetitive"] == 1
