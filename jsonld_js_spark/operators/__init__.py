@@ -5,26 +5,30 @@ from __future__ import annotations
 
 
 def queries() -> dict:
-    from . import (dedup, jsonld_column, multimodal, sampling,
-                   similarity, textstats)
+    from . import (dedup, jsonld_column, lm, multimodal, packing,
+                   sampling, similarity, textstats)
     out = {}
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
     out.update(sampling.QUERIES)
+    out.update(packing.QUERIES)
+    out.update(lm.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(jsonld_column.QUERIES)
     return out
 
 
 def oracle_sql() -> dict:
-    from . import (dedup, jsonld_column, multimodal, sampling,
-                   similarity, textstats)
+    from . import (dedup, jsonld_column, lm, multimodal, packing,
+                   sampling, similarity, textstats)
     out = {}
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
     out.update(sampling.ORACLES)
+    out.update(packing.ORACLES)
+    out.update(lm.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(jsonld_column.ORACLES)
     return out
