@@ -792,17 +792,20 @@ def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
     # only without a side-effecting event callback
     memo = None
     if local_ctx is None and emap is None:
-        memo = active_ctx.get("_iri_memo")
-        if memo is None:
-            memo = active_ctx["_iri_memo"] = {}
-        key = (value, vocab, base)
-        hit = memo.get(key, _MISS)
+        # one dict per (vocab, base) flag pair: memo hits are plain
+        # string lookups (no per-call key-tuple allocation/hash —
+        # this is the hottest call site in the kernel)
+        memos = active_ctx.get("_iri_memo")
+        if memos is None:
+            memos = active_ctx["_iri_memo"] = ({}, {}, {}, {})
+        memo = memos[(2 if vocab else 0) + (1 if base else 0)]
+        hit = memo.get(value, _MISS)
         if hit is not _MISS:
             return hit
 
     if is_keyword_form(value):
         if memo is not None:
-            memo[key] = None
+            memo[value] = None
         return None
 
     # create dependency definitions first (during context processing)
@@ -817,7 +820,7 @@ def expand_iri(active_ctx: dict, value, *, vocab: bool = False,
     result = _expand_iri_tail(active_ctx, value, vocab, base,
                               local_ctx, defined)
     if memo is not None:
-        memo[key] = result
+        memo[value] = result
     return result
 
 
