@@ -80,11 +80,29 @@ def expand(active_ctx, element, active_property=None, options=None,
         container = get_context_value(
             active_ctx, active_property, "@container") or []
         inside_list = inside_list or "@list" in container
+        # scalar fast path: hoist the active-property expansion out of
+        # the loop (pure memo hits). Disabled under an expansionMap —
+        # the per-item expandIri events are part of the observable
+        # callback stream (golden-tested sequences)
+        fast_ap = None
+        if options.get("expansionMap") is None and \
+                active_property is not None and \
+                active_property != "@default":
+            fast_ap = expand_iri(active_ctx, active_property, vocab=True,
+                                 options=options)
         for i, item in enumerate(element):
-            expanded = expand(active_ctx, item, active_property, options,
-                              inside_list=False,
-                              type_scoped_context=type_scoped_context,
-                              inside_index=inside_index)
+            if fast_ap is not None and fast_ap != "@graph" and \
+                    item is not None and \
+                    not isinstance(item, (dict, list)):
+                # identical to the dispatcher's scalar branch with
+                # inside_list=False (what the recursion passes)
+                expanded = _expand_value(active_ctx, active_property,
+                                         item, options)
+            else:
+                expanded = expand(active_ctx, item, active_property, options,
+                                  inside_list=False,
+                                  type_scoped_context=type_scoped_context,
+                                  inside_index=inside_index)
             if inside_list and isinstance(expanded, list):
                 expanded = {"@list": expanded}
             if expanded is None:

@@ -235,6 +235,14 @@ def create_node_map(input_, graphs: dict, graph: str,
                 # subject's property, and insertion order is observable
                 # in flatten output (ref lib/nodeMap.js:197-201)
                 _add_ref(_memo, subject, prop_out, id_)
+                if len(o) == 1 and "@id" in o:
+                    # pure subject reference: the recursion's only
+                    # effect is registering the target subject (no
+                    # properties to walk) — inline it (hot: mention /
+                    # link refs dominate transcript node maps)
+                    if id_ not in subjects:
+                        subjects[id_] = {"@id": id_}
+                    continue
                 create_node_map(o, graphs, graph, issuer, id_, None, _memo)
             elif is_list(o):
                 result = {"@list": []}
