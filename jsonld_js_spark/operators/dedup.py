@@ -90,15 +90,26 @@ def _norm(col):
 
 
 def shingles_col(col):
+    # The token array is bound ONCE as a lambda variable via
+    # transform(array(split(...)), toks -> ...)[1] — a let-binding.
+    # Inlining `split(regexp_replace(...))` into the per-index lambda
+    # makes codegen re-run the split per element_at: O(tokens²) regex
+    # work per document (measured 13.6 s -> 0.6 s for the corpus
+    # shingle explode at sf0.1, byte-identical output).
     norm = _norm(col)
-    tokens = F.split(norm, " ")
-    n = F.size(tokens)
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), n - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2),
-            F.element_at(tokens, i + 3))))
-    return F.when(n >= 3, grams).otherwise(F.array(norm))
+
+    def _grams_of(tokens):
+        n = F.size(tokens)
+        grams = F.array_distinct(F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tokens, i + 1),
+                F.element_at(tokens, i + 2),
+                F.element_at(tokens, i + 3))))
+        return F.when(n >= 3, grams).otherwise(F.array(norm))
+
+    return F.element_at(
+        F.transform(F.array(F.split(norm, " ")), _grams_of), 1)
 
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
