@@ -985,28 +985,42 @@ def q_kg_entity_comention(spark, sf_dir,
     crash Observation.get in Spark 4.1, so the stats are a separate
     tiny job instead.)"""
     t = _triples(spark, sf_dir, cache=True)
-    me = (t.filter(F.col("pred") == TR + "mentions")
-          .select(F.regexp_replace("subj", "/turn/[0-9]+$", "")
-                  .alias("conv"),
-                  F.col("obj_value").alias("ent"))
-          .distinct())
+    # ONE groupBy(conv) collect_set replaces the old
+    # distinct → count-join → self-join chain, which re-executed the
+    # distinct-mentions subtree up to 4x (guard agg, guard join, and
+    # both self-join sides) — measured 4.0 s -> ~1 s at sf0.1. The
+    # sorted entity array bounds per-row size by conversation length
+    # (the same bound the old plan had), the guard is a free
+    # F.size filter BEFORE any pair is produced, and pair expansion
+    # is an array lambda — C(m,2) rows only for kept conversations,
+    # no conv-keyed self-join shuffle at all.
+    conv_ents = (t.filter(F.col("pred") == TR + "mentions")
+                 .select(F.regexp_replace("subj", "/turn/[0-9]+$", "")
+                         .alias("conv"),
+                         F.col("obj_value").alias("ent"))
+                 .groupBy("conv")
+                 .agg(F.array_sort(F.collect_set("ent")).alias("ents")))
     guard_df = None
     if max_entities_per_conv is not None:
-        counts = me.groupBy("conv").agg(F.count("*").alias("_m"))
-        guard_df = counts.agg(
-            F.coalesce(F.sum((F.col("_m") > max_entities_per_conv)
+        guard_df = conv_ents.agg(
+            F.coalesce(F.sum((F.size("ents") > max_entities_per_conv)
                              .cast("long")), F.lit(0))
             .alias("dropped_convs"),
             F.count("*").alias("total_convs"))
-        small = (counts.filter(F.col("_m") <= max_entities_per_conv)
-                 .select("conv"))
-        me = me.join(small, "conv")
-    out = (me.alias("a").join(
-                me.alias("b"),
-                (F.col("a.conv") == F.col("b.conv")) &
-                (F.col("a.ent") < F.col("b.ent")))
-           .groupBy(F.col("a.ent").alias("ent_a"),
-                    F.col("b.ent").alias("ent_b"))
+        conv_ents = conv_ents.filter(
+            F.size("ents") <= max_entities_per_conv)
+    ents = F.col("ents")
+    # (x, i) -> pairs of x with every later (= lexically greater,
+    # array_sort) element: identical pair set and order semantics to
+    # the old `a.ent < b.ent` self-join.
+    pair_structs = F.flatten(F.transform(
+        ents,
+        lambda x, i: F.transform(
+            F.slice(ents, i + F.lit(2), F.size(ents) - i - F.lit(1)),
+            lambda y: F.struct(x.alias("ent_a"), y.alias("ent_b")))))
+    out = (conv_ents.select(F.explode(pair_structs).alias("p"))
+           .groupBy(F.col("p.ent_a").alias("ent_a"),
+                    F.col("p.ent_b").alias("ent_b"))
            .agg(F.count("*").alias("n_convs"))
            .orderBy(F.desc("n_convs"), "ent_a", "ent_b")
            .limit(50))
