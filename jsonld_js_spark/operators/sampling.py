@@ -98,7 +98,144 @@ WHERE {_bucket_sql(SAMPLE_SALT)} < {_RATE_SQL}
 ORDER BY doc_id
 """
 
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling: the standard "data mix" step of a training
+# pipeline — given target mixture weights per domain (per-mille, sum
+# 1000) and the observed per-domain token supply, compute the largest
+# no-upsampling corpus whose token composition matches the weights,
+# then sample each domain toward its allocation with the same
+# deterministic salted-hash bucketing as the other sampling ops.
+#
+#   budget  = min_d( T_d * 1000 DIV w_d )       (bottleneck domain)
+#   alloc_d = budget * w_d DIV 1000             (<= T_d by construction)
+#   keep_pm = alloc_d * 1000 DIV T_d            (per-mille doc keep rate)
+#
+# All int64, floor division on non-negative operands only (CLAUDE.md
+# portability rules; per-MILLE weights keep T_d * 1000 inside int64 up
+# to ~9e15 tokens — at larger corpora switch the constant, not the
+# design). Domains present in the weights but absent from the corpus
+# are out of scope by the inner join (a zero-supply domain would pin
+# the budget to 0; callers wanting upsampling/epochs > 1.0 relax the
+# min to a quantile and report epochs — documented extension).
+#
+# Scale shape: per-domain supply is one map-side-combined groupBy over
+# a 3-column pruned scan (|domains| rows out); the budget is a 1-row
+# aggregation of THAT (driver-scale, like the k-means centroid state,
+# kept lazy via crossJoin-broadcast); the plan broadcasts back onto
+# the corpus for the kept-side aggregation. The corpus itself never
+# shuffles — both passes are partial-agg scans.
+
+MIX_SALT = "mix:"
+MIX_WEIGHTS = {"en": 700, "de": 75, "fr": 75, "es": 75, "zh": 75}
+
+
+def domain_mix_plan(docs, weights=None, domain_col: str = "lang",
+                    salt: str = MIX_SALT):
+    """(doc_id, <domain_col>, n_tokens) DataFrame -> per-domain plan
+    (domain, n_docs, n_tokens, weight_pm, alloc_tokens, keep_pm,
+    kept_docs, kept_tokens)."""
+    weights = weights or MIX_WEIGHTS
+    d = (docs.filter(F.col(domain_col).isin(*weights.keys()))
+         .select(F.col(domain_col).alias("domain"), "doc_id",
+                 F.col("n_tokens").cast("long").alias("n_tokens")))
+    supply = (d.groupBy("domain")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum("n_tokens").alias("n_tokens"))
+              .withColumn("weight_pm", _weight_expr(weights)))
+    budget = supply.agg(F.min(F.expr("n_tokens * 1000 DIV weight_pm"))
+                        .alias("budget"))
+    plan = (supply.crossJoin(F.broadcast(budget))
+            .select("domain", "n_docs", "n_tokens", "weight_pm",
+                    F.expr("budget * weight_pm DIV 1000")
+                    .alias("alloc_tokens")))
+    plan = plan.withColumn(
+        "keep_pm", F.expr("alloc_tokens * 1000 DIV n_tokens"))
+    b = F.pmod(hash60(F.concat(F.lit(salt),
+                               F.col("doc_id").cast("string"))),
+               F.lit(1000))
+    kept = (d.join(F.broadcast(plan.select("domain", "keep_pm")),
+                   "domain")
+            .filter(b < F.col("keep_pm"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("kept_docs"),
+                 F.sum("n_tokens").alias("kept_tokens")))
+    return (plan.join(kept, "domain", "left")
+            .select("domain", "n_docs", "n_tokens", "weight_pm",
+                    "alloc_tokens", "keep_pm",
+                    F.coalesce("kept_docs", F.lit(0)).cast("long")
+                    .alias("kept_docs"),
+                    F.coalesce("kept_tokens", F.lit(0)).cast("long")
+                    .alias("kept_tokens")))
+
+
+def _weight_expr(weights):
+    expr = F.lit(None).cast("long")
+    for dom, pm in weights.items():
+        expr = F.when(F.col("domain") == dom, F.lit(pm)).otherwise(expr)
+    return expr
+
+
+def q_corpus_domain_mix(spark, sf_dir):
+    """Language-domain mixture plan over the documents table with the
+    MIX_WEIGHTS targets (en-dominant 70/7.5×4 mix): en is the
+    bottleneck supply, so its keep_pm is ~1000 and every tail language
+    is downsampled toward its target share."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.size(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                        r"\s+", " "), " "))
+        .alias("n_tokens"))
+    return domain_mix_plan(d).orderBy("domain")
+
+
+_MIX_W_SQL = ("CASE lang "
+              + " ".join(f"WHEN '{dom}' THEN {pm}"
+                         for dom, pm in MIX_WEIGHTS.items())
+              + " END")
+_MIX_LANGS_SQL = ", ".join(f"'{k}'" for k in MIX_WEIGHTS)
+_MIX_NTOK_SQL = ("len(string_split(regexp_replace(lower(trim(text)), "
+                 "'\\s+', ' ', 'g'), ' '))")
+_MIX_BUCKET_SQL = (hash60_sql("'" + MIX_SALT + "' || cast(doc_id as varchar)")
+                   + " % 1000")
+
+ORACLE_CORPUS_DOMAIN_MIX = f"""
+WITH d AS (
+  SELECT lang AS domain, doc_id, {_MIX_BUCKET_SQL} AS bucket,
+         cast({_MIX_NTOK_SQL} as bigint) AS n_tokens,
+         {_MIX_W_SQL} AS weight_pm
+  FROM documents WHERE lang IN ({_MIX_LANGS_SQL})
+),
+supply AS (
+  SELECT domain, cast(count(*) as bigint) AS n_docs,
+         cast(sum(n_tokens) as bigint) AS n_tokens,
+         min(weight_pm) AS weight_pm
+  FROM d GROUP BY 1
+),
+b AS (SELECT min(n_tokens * 1000 // weight_pm) AS budget FROM supply),
+plan AS (
+  SELECT s.domain, s.n_docs, s.n_tokens, s.weight_pm,
+         (SELECT budget FROM b) * s.weight_pm // 1000 AS alloc_tokens,
+         ((SELECT budget FROM b) * s.weight_pm // 1000) * 1000
+           // s.n_tokens AS keep_pm
+  FROM supply s
+),
+kept AS (
+  SELECT d.domain, cast(count(*) as bigint) AS kept_docs,
+         cast(sum(d.n_tokens) as bigint) AS kept_tokens
+  FROM d JOIN plan p ON d.domain = p.domain
+  WHERE d.bucket < p.keep_pm GROUP BY 1
+)
+SELECT p.domain, p.n_docs, p.n_tokens, p.weight_pm, p.alloc_tokens,
+       p.keep_pm,
+       cast(coalesce(k.kept_docs, 0) as bigint) AS kept_docs,
+       cast(coalesce(k.kept_tokens, 0) as bigint) AS kept_tokens
+FROM plan p LEFT JOIN kept k ON p.domain = k.domain
+ORDER BY p.domain
+"""
+
 QUERIES["corpus_split"] = q_corpus_split
 QUERIES["corpus_sample_stratified"] = q_corpus_sample_stratified
+QUERIES["corpus_domain_mix"] = q_corpus_domain_mix
 ORACLES["corpus_split"] = ORACLE_CORPUS_SPLIT
 ORACLES["corpus_sample_stratified"] = ORACLE_CORPUS_SAMPLE
+ORACLES["corpus_domain_mix"] = ORACLE_CORPUS_DOMAIN_MIX

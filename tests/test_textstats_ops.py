@@ -193,3 +193,54 @@ def test_repetition_hand_computed(spark):
     assert r3["dup_token_ppm"] == 250000    # 5 of 20 tokens repeat
     assert r3["dup_5gram_ppm"] == 500000    # exactly positions 0-4,10-14
     assert r3["repetitive"] == 1
+
+
+def test_domain_mix_hand_computed(spark):
+    """Hand-computed mixture plan on a controlled supply — the
+    independent-ground-truth layer (the Spark and DuckDB versions
+    share the formula, so only a third derivation can catch a shared
+    defect). Supply: A=1000 tokens, B=300, weights 800/200 per-mille.
+      budget  = min(1000*1000//800, 300*1000//200) = min(1250, 1500)
+              = 1250                     (A is the bottleneck)
+      alloc_A = 1250*800//1000 = 1000 -> keep_pm 1000 (keep all)
+      alloc_B = 1250*200//1000 =  250 -> keep_pm 250*1000//300 = 833
+    """
+    from jsonld_js_spark.operators.sampling import domain_mix_plan
+    rows = ([(i, "A", 10) for i in range(100)]
+            + [(1000 + i, "B", 10) for i in range(30)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "n_tokens long")
+    plan = {r["domain"]: r for r in
+            domain_mix_plan(docs, weights={"A": 800, "B": 200})
+            .collect()}
+    a, b = plan["A"], plan["B"]
+    assert (a["n_docs"], a["n_tokens"], a["alloc_tokens"],
+            a["keep_pm"]) == (100, 1000, 1000, 1000)
+    assert (b["n_docs"], b["n_tokens"], b["alloc_tokens"],
+            b["keep_pm"]) == (30, 300, 250, 833)
+    # bottleneck domain keeps everything; achieved == supply for A
+    assert a["kept_docs"] == 100 and a["kept_tokens"] == 1000
+    # B's kept side is hash-sampled at 833 per-mille: subset, nonzero
+    assert 0 < b["kept_docs"] <= 30
+    assert b["kept_tokens"] == b["kept_docs"] * 10
+
+
+def test_domain_mix_gated_invariants(spark):
+    """Gated query invariants at sf0.001: composition targets hold —
+    alloc_d = budget*w_d//1000 for a single shared budget, alloc <=
+    supply everywhere (no upsampling), exactly one bottleneck domain
+    at keep_pm >= 999, and determinism under re-run."""
+    from jsonld_js_spark.operators.sampling import (
+        MIX_WEIGHTS, q_corpus_domain_mix)
+    out = q_corpus_domain_mix(spark, SF).collect()
+    assert {r["domain"] for r in out} == set(MIX_WEIGHTS)
+    budgets = {r["alloc_tokens"] * 1000 // r["weight_pm"] for r in out}
+    # all allocs derive from one budget (floor makes them within 1)
+    assert max(budgets) - min(budgets) <= max(
+        1000 // min(MIX_WEIGHTS.values()), 1) * 2
+    for r in out:
+        assert r["alloc_tokens"] <= r["n_tokens"]
+        assert 0 <= r["keep_pm"] <= 1000
+        assert r["kept_docs"] <= r["n_docs"]
+    assert sum(1 for r in out if r["keep_pm"] >= 999) >= 1
+    assert out == q_corpus_domain_mix(spark, SF).collect()
