@@ -24,6 +24,10 @@ order, closed-form token counts, exact integer bigram model):
      language's hash-order prefix under its budget.
   3. text_lm_score: per-doc score_ppm exactly equals the closed-form
      bigram model score; every fluent doc outscores every salad doc.
+  4. corpus_domain_mix: the full 8-column per-domain plan (supply,
+     bottleneck budget, allocation, keep_pm, achieved kept docs and
+     tokens) byte-exactly equals the pure-Python derivation, kept
+     sets included (the md5 bucket is recomputed in Python).
 
 Usage: python jobs/soak_pack.py [n_small=100000] [factor=4]
 Writes one JSON line per size + a summary line.
@@ -193,6 +197,38 @@ def run_one(spark, n_docs: int) -> dict:
     rec["lm_salad_max_ppm"] = salad_max
     rec["lm_separation_ok"] = fluent_min > salad_max
 
+    # ---- 4. domain mix: byte-exact plan vs pure-Python truth --------
+    from jsonld_js_spark.operators.sampling import (
+        MIX_SALT, MIX_WEIGHTS, q_corpus_domain_mix)
+    t0 = time.time()
+    got_mix = {r["domain"]: (r["n_docs"], r["n_tokens"], r["weight_pm"],
+                             r["alloc_tokens"], r["keep_pm"],
+                             r["kept_docs"], r["kept_tokens"])
+               for r in q_corpus_domain_mix(spark, sf_dir).collect()}
+    walls["domain_mix"] = round(time.time() - t0, 1)
+    supply: dict[str, list[int]] = {}
+    for d in range(n_docs):
+        supply.setdefault(lang_of(d), [0, 0])
+        supply[lang_of(d)][0] += 1
+        supply[lang_of(d)][1] += 3 * k_of(d)
+    budget = min(t * 1000 // MIX_WEIGHTS[lang]
+                 for lang, (_, t) in supply.items())
+    want_mix = {}
+    for lang, (nd, t) in supply.items():
+        w = MIX_WEIGHTS[lang]
+        alloc = budget * w // 1000
+        keep_pm = alloc * 1000 // t
+        kd = kt = 0
+        for d in range(n_docs):
+            if lang_of(d) == lang and \
+                    _h60(f"{MIX_SALT}{d}") % 1000 < keep_pm:
+                kd += 1
+                kt += 3 * k_of(d)
+        want_mix[lang] = (nd, t, w, alloc, keep_pm, kd, kt)
+    rec["mix_plan_exact"] = got_mix == want_mix
+    rec["mix_bottleneck"] = max(got_mix, key=lambda L: got_mix[L][4])
+    rec["mix_keep_pm"] = {L: v[4] for L, v in sorted(got_mix.items())}
+
     rec["walls_sec"] = walls
     rec["peak_jvm_rss_gib"] = _jvm_peak_rss_gib()
     print(json.dumps(rec), flush=True)
@@ -214,7 +250,8 @@ def main():
     ok = all(
         r["pack_layout_mismatches"] == 0 and r["pack_tiling_exact"] and
         r["budget_exact_match"] and r["lm_score_mismatches"] == 0 and
-        r["lm_separation_ok"] for r in (small, big))
+        r["lm_separation_ok"] and r["mix_plan_exact"]
+        for r in (small, big))
     print(json.dumps({
         "metric": "pack_soak", "all_planted_truth_exact": ok,
         "sizes": [small["n_docs"], big["n_docs"]],
