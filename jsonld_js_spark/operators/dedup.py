@@ -182,25 +182,42 @@ def shingle_table(corpus):
     return toks.select("doc_id", shingles.alias("shingles")).cache()
 
 
+def shingle_cols(corpus, extra_cols=()):
+    """Uncached (doc_id, *extra_cols, shingles) projection with the
+    identical shingle semantics as `shingle_table` — for STREAMING
+    inputs (`.cache()` is illegal on a streaming DataFrame) and any
+    caller that carries event-time columns through."""
+    toks = corpus.select("doc_id", *extra_cols,
+                         F.split(_norm(F.col("text")), " ").alias("toks"))
+    n = F.size("toks")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+            F.element_at(F.col("toks"), i + 3))))
+    shingles = F.when(n >= 3, grams).otherwise(
+        F.array(F.concat_ws(" ", "toks")))
+    return toks.select("doc_id", *extra_cols, shingles.alias("shingles"))
+
+
 def _with_shingles(spark, sf_dir):
     return shingle_table(corpus_df(spark, sf_dir))
 
 
-def minhash_pairs(corpus):
-    """MinHash(8) + LSH(4 bands x 2 rows) near-dup pairs from a
-    (doc_id, text) DataFrame: shingle→minhash→band→bucket-join→
-    exact-Jaccard verify (J >= 0.5). Unordered; the q_ wrapper adds
-    the gate's determinism orderBy.
+def minhash_band_rows(sh, carry=(), carry_shingles=False):
+    """(doc_id[, carry...], shingles) -> exploded LSH band rows
+    (doc_id, *carry[, shingles], band, bkey) — the signature/band
+    math shared by the batch `minhash_pairs` and the streaming
+    near-dup join (streaming/ingest.py), which carries (ts, shingles)
+    through so the stream-stream candidate join can verify exact
+    Jaccard without a second stateful lookup.
 
-    Scale path: band-key self-join is the only shuffle over candidates;
-    signatures are 8 longs/doc (tiny); verification joins shingle
-    arrays only for candidate pairs."""
-    docs = shingle_table(corpus)
-    # one md5 per shingle, materialized as its own projection so the 8
-    # signature mixes reuse it (CollapseProject keeps non-cheap exprs
-    # single-evaluated); each sig is min over A_i*h mod 2^61-1
-    hashed = docs.select(
-        "doc_id", "shingles",
+    One md5 per shingle, materialized as its own projection so the 8
+    signature mixes reuse it (CollapseProject keeps non-cheap exprs
+    single-evaluated); each sig is min over A_i*h mod 2^61-1."""
+    hashed = sh.select(
+        "doc_id", *carry, "shingles",
         F.transform(F.col("shingles"), hash60).alias("hs"))
 
     def mixer(a):
@@ -217,12 +234,13 @@ def minhash_pairs(corpus):
                     % F.lit(MIX_PRIME))
         return g
 
+    keep = ["doc_id", *carry] + (["shingles"] if carry_shingles else [])
     sig = hashed.select(
-        "doc_id", "shingles",
+        *keep,
         *[F.array_min(F.transform(F.col("hs"), mixer(a)))
           .alias(f"sig{i}") for i, a in enumerate(MIX_CONSTS)])
-    bands = sig.select(
-        "doc_id",
+    return sig.select(
+        *keep,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws(
@@ -230,7 +248,20 @@ def minhash_pairs(corpus):
                          F.col(f"sig{2*b+1}").cast("string")))
                      .alias("bkey"))
             for b in range(N_BANDS)])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    ).select(*keep, "bb.band", "bb.bkey")
+
+
+def minhash_pairs(corpus):
+    """MinHash(8) + LSH(4 bands x 2 rows) near-dup pairs from a
+    (doc_id, text) DataFrame: shingle→minhash→band→bucket-join→
+    exact-Jaccard verify (J >= 0.5). Unordered; the q_ wrapper adds
+    the gate's determinism orderBy.
+
+    Scale path: band-key self-join is the only shuffle over candidates;
+    signatures are 8 longs/doc (tiny); verification joins shingle
+    arrays only for candidate pairs."""
+    docs = shingle_table(corpus)
+    bands = minhash_band_rows(docs)
     pairs = (bands.alias("a").join(
         bands.alias("b"),
         (F.col("a.band") == F.col("b.band")) &

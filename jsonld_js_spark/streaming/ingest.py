@@ -189,6 +189,81 @@ def stream_dedup_documents(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_neardup_pairs(spark: SparkSession, input_dir: str,
+                         checkpoint_dir: str,
+                         watermark: str = "1 hour",
+                         join_window: str = "1 hour",
+                         available_now: bool = True,
+                         output_dir: str | None = None,
+                         query_name: str = "neardup_pairs"):
+    """Streaming NEAR-duplicate detection — `dedup_minhash_lsh`'s
+    streaming counterpart: as documents arrive, compute the identical
+    MinHash(8)/LSH(4×2) band keys (pure column exprs — the batch
+    math verbatim, operators/dedup.py minhash_band_rows), then find
+    candidate pairs with a band-keyed STREAM-STREAM self-join bounded
+    by an event-time range, verify exact Jaccard from the carried
+    shingle arrays, and emit (doc_a, doc_b, jaccard_ppm) pairs.
+
+    State boundedness at 100 TB/day: both join sides are watermarked
+    and the join condition carries `ts_b BETWEEN ts_a ± join_window`,
+    so the state store holds only band rows inside the window —
+    near-dups further apart than the window are by-contract out of
+    scope (the batch operator sweeps history). The multi-band
+    duplicate emission (a pair sharing 2+ bands) is collapsed by a
+    chained `dropDuplicatesWithinWatermark` on the pair key — Spark
+    4.x supports stateful-after-stateful in append mode.
+
+    Equality contract (tested): with a watermark/window covering the
+    whole input, the emitted pair set equals the batch
+    `minhash_pairs` output exactly."""
+    from ..operators.dedup import (
+        JACCARD_PPM_MIN, _jaccard_ppm, minhash_band_rows, shingle_cols)
+    stream = (spark.readStream.schema(DOC_DDL)
+              .option("maxFilesPerTrigger", 4).parquet(input_dir))
+    sh = shingle_cols(stream.withWatermark("ts", watermark),
+                      extra_cols=("ts",))
+    bands = minhash_band_rows(sh, carry=("ts",), carry_shingles=True)
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("ts").alias("ts_a"),
+                     F.col("shingles").alias("sa"),
+                     F.col("band").alias("band_a"),
+                     F.col("bkey").alias("bkey_a"))
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("ts").alias("ts_b"),
+                     F.col("shingles").alias("sb"),
+                     F.col("band").alias("band_b"),
+                     F.col("bkey").alias("bkey_b"))
+    pairs = (a.join(
+        b,
+        (F.col("band_a") == F.col("band_b")) &
+        (F.col("bkey_a") == F.col("bkey_b")) &
+        (F.col("doc_a") < F.col("doc_b")) &
+        F.expr(f"ts_b BETWEEN ts_a - INTERVAL {join_window} "
+               f"AND ts_a + INTERVAL {join_window}"))
+        .select("doc_a", "doc_b", "ts_a",
+                _jaccard_ppm(F.col("sa"), F.col("sb"))
+                .alias("jaccard_ppm"))
+        .filter(F.col("jaccard_ppm") >= JACCARD_PPM_MIN)
+        # the join output already carries the propagated event-time
+        # watermark (redefining it is an error in Spark 4); ts_a stays
+        # in the frame as the dedup state's event-time column
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "jaccard_ppm"))
+    if output_dir is not None:
+        writer = (pairs.writeStream.format("parquet")
+                  .option("path", output_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+    else:
+        writer = (pairs.writeStream.format("memory")
+                  .queryName(query_name)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_nquads_triples(spark: SparkSession, input_dir: str,
                           output_dir: str, checkpoint_dir: str,
                           available_now: bool = True,

@@ -121,3 +121,53 @@ def test_stream_nquads_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     want = {tuple(r) for r in read_nquads(spark, str(in_dir)).collect()}
     assert got == want == set(q1) | set(q2)
+
+
+def test_stream_neardup_matches_batch(spark, tmp_path):
+    """Streaming MinHash/LSH near-dup pairs == the batch
+    `minhash_pairs` output on the same corpus (watermark/window cover
+    the whole input), including near-dups split ACROSS micro-batch
+    files and a multi-band pair emitted exactly once."""
+    from datetime import datetime, timedelta
+    import time as _t
+
+    from jsonld_js_spark.operators.dedup import minhash_pairs
+    from jsonld_js_spark.streaming.ingest import stream_neardup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen curious researchers annotate long transcripts "
+            "about distributed graph construction every single day")
+    uniq = ("completely different content about orbital mechanics "
+            "and the thermodynamics of interstellar dust clouds "
+            "measured by nineteen observatories last winter season")
+    t0 = datetime(2026, 1, 1, 0, 0)
+    rows1 = [(1, base, t0),
+             (3, uniq, t0 + timedelta(minutes=2))]
+    # near-dup of 1 arrives in a LATER micro-batch file
+    rows2 = [(2, base + " with a tiny suffix", t0 + timedelta(minutes=5)),
+             (4, base, t0 + timedelta(minutes=7)),  # exact dup: all bands
+             (5, uniq + " slightly edited", t0 + timedelta(minutes=9))]
+    schema = "doc_id long, text string, ts timestamp"
+    in_dir = str(tmp_path / "nd_in")
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(in_dir)
+
+    q = stream_neardup_pairs(
+        spark, in_dir, str(tmp_path / "nd_ckpt"), watermark="1 hour",
+        join_window="1 hour", query_name="neardup_t")
+    q.awaitTermination(180)
+
+    docs = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted((r["doc_a"], r["doc_b"], r["jaccard_ppm"]) for r in
+                  minhash_pairs(docs.select("doc_id", "text")).collect())
+    assert want, "batch reference found no pairs - test corpus broken"
+    got = []
+    for _ in range(30):
+        got = sorted((r["doc_a"], r["doc_b"], r["jaccard_ppm"]) for r in
+                     spark.sql("SELECT * FROM neardup_t").collect())
+        if len(got) >= len(want):
+            break
+        _t.sleep(0.5)
+    assert got == want
+    # the (1,4) exact pair shares ALL 4 bands yet appears once
+    assert len([p for p in got if p[:2] == (1, 4)]) == 1
