@@ -244,3 +244,48 @@ def test_domain_mix_gated_invariants(spark):
         assert r["kept_docs"] <= r["n_docs"]
     assert sum(1 for r in out if r["keep_pm"] >= 999) >= 1
     assert out == q_corpus_domain_mix(spark, SF).collect()
+
+
+def test_domain_mix_edge_cases(spark):
+    """Crafted edge supplies: single domain (everything kept),
+    extreme weight disparity (tiny-weight domain becomes the
+    bottleneck ONLY when its supply is short), a weights domain
+    absent from the corpus (inner-join scope: not in the output and
+    not pinning the budget to 0), and an empty corpus (empty plan)."""
+    from jsonld_js_spark.operators.sampling import domain_mix_plan
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, n_tokens long")
+
+    # single domain, weight 1000: budget == supply, keep everything
+    p = domain_mix_plan(mk([(i, "A", 7) for i in range(10)]),
+                        weights={"A": 1000}).collect()
+    assert len(p) == 1 and p[0]["alloc_tokens"] == 70
+    assert p[0]["keep_pm"] == 1000
+    assert p[0]["kept_docs"] == 10 and p[0]["kept_tokens"] == 70
+
+    # extreme disparity: A w=999 T=999, B w=1 T=1000.
+    # budget = min(999*1000//999, 1000*1000//1) = 1000 -> A allocates
+    # 999 (all of it), B allocates 1 token of 1000 -> keep_pm 1
+    p = {r["domain"]: r for r in domain_mix_plan(
+        mk([(1, "A", 999), (2, "B", 1000)]),
+        weights={"A": 999, "B": 1}).collect()}
+    assert p["A"]["alloc_tokens"] == 999 and p["A"]["keep_pm"] == 1000
+    assert p["B"]["alloc_tokens"] == 1 and p["B"]["keep_pm"] == 1
+    assert p["B"]["kept_docs"] in (0, 1)  # hash-bucket < 1 is rare
+
+    # a weights domain with NO corpus rows is out of scope (does not
+    # zero the budget); corpus-only domains outside weights filtered
+    p = {r["domain"]: r for r in domain_mix_plan(
+        mk([(1, "A", 100), (2, "C", 50)]),
+        weights={"A": 500, "B": 500}).collect()}
+    assert set(p) == {"A"}
+    assert p["A"]["alloc_tokens"] == 100  # budget = 100*1000//500*500//1000
+
+    # empty corpus -> empty plan, correct schema
+    empty = domain_mix_plan(mk([]), weights={"A": 1000})
+    assert empty.collect() == []
+    assert empty.columns == ["domain", "n_docs", "n_tokens", "weight_pm",
+                             "alloc_tokens", "keep_pm", "kept_docs",
+                             "kept_tokens"]
