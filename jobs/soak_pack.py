@@ -229,6 +229,27 @@ def run_one(spark, n_docs: int) -> dict:
     rec["mix_bottleneck"] = max(got_mix, key=lambda L: got_mix[L][4])
     rec["mix_keep_pm"] = {L: v[4] for L, v in sorted(got_mix.items())}
 
+    # ---- 5. mix upsample: byte-exact per-doc copy counts ------------
+    from jsonld_js_spark.operators.sampling import (
+        UPSAMPLE_SALT, q_corpus_mix_upsample)
+    t0 = time.time()
+    got_up = {r["doc_id"]: (r["epochs_pm"], r["n_copies"])
+              for r in q_corpus_mix_upsample(spark, sf_dir).collect()}
+    walls["mix_upsample"] = round(time.time() - t0, 1)
+    target = sum(t for _, t in supply.values())
+    pm = {lang: (target * MIX_WEIGHTS[lang] // 1000) * 1000 // t
+          for lang, (_, t) in supply.items()}
+    mism = 0
+    for d in range(n_docs):
+        e = pm[lang_of(d)]
+        want = (e, e // 1000
+                + (1 if _h60(f"{UPSAMPLE_SALT}{d}") % 1000 < e % 1000
+                   else 0))
+        if got_up.get(d) != want:
+            mism += 1
+    rec["upsample_mismatches"] = mism
+    rec["upsample_epochs_pm"] = dict(sorted(pm.items()))
+
     rec["walls_sec"] = walls
     rec["peak_jvm_rss_gib"] = _jvm_peak_rss_gib()
     print(json.dumps(rec), flush=True)
@@ -250,7 +271,8 @@ def main():
     ok = all(
         r["pack_layout_mismatches"] == 0 and r["pack_tiling_exact"] and
         r["budget_exact_match"] and r["lm_score_mismatches"] == 0 and
-        r["lm_separation_ok"] and r["mix_plan_exact"]
+        r["lm_separation_ok"] and r["mix_plan_exact"] and
+        r["upsample_mismatches"] == 0
         for r in (small, big))
     print(json.dumps({
         "metric": "pack_soak", "all_planted_truth_exact": ok,

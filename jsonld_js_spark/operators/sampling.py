@@ -240,9 +240,108 @@ FROM plan p LEFT JOIN kept k ON p.domain = k.domain
 ORDER BY p.domain
 """
 
+# ---------------------------------------------------------------------------
+# Mixture UPSAMPLING: the epochs counterpart of `domain_mix_plan`.
+# Where domain_mix computes the largest no-upsampling corpus matching
+# the weights, this rebalances to the weights at a caller-chosen
+# TARGET token total — scarce domains run > 1 epoch (docs repeat),
+# abundant domains < 1 (hash-sampled), exactly the LLaMA-style "data
+# mix with per-source epochs". Per-domain:
+#
+#   alloc_d    = target * w_d DIV 1000
+#   epochs_pm  = alloc_d * 1000 DIV T_d        (per-mille, may be >1000)
+#   n_copies(doc) = epochs_pm DIV 1000
+#                 + (1 if bucket(salt, doc_id) < epochs_pm % 1000)
+#
+# so E[tokens emitted for d] = alloc_d exactly, every decision a pure
+# int64 function of (domain supply, doc_id) — re-run/ingest stable,
+# reproducible on any partitioning. Default target = the observed
+# total token mass ("rebalance at constant size": dominant domains
+# dip below 1 epoch, tails rise above it).
+
+UPSAMPLE_SALT = "mixup:"
+
+
+def mix_upsample_plan(docs, weights=None, domain_col: str = "lang",
+                      target_tokens: int | None = None,
+                      salt: str = UPSAMPLE_SALT):
+    """(doc_id, <domain_col>, n_tokens) -> per-doc copy counts
+    (doc_id, domain, n_tokens, epochs_pm, n_copies), n_copies >= 0."""
+    weights = weights or MIX_WEIGHTS
+    d = (docs.filter(F.col(domain_col).isin(*weights.keys()))
+         .select(F.col(domain_col).alias("domain"), "doc_id",
+                 F.col("n_tokens").cast("long").alias("n_tokens")))
+    supply = {r["domain"]: r["t"] for r in
+              d.groupBy("domain").agg(F.sum("n_tokens").alias("t"))
+              .collect()}
+    spark = docs.sparkSession
+    target = (target_tokens if target_tokens is not None
+              else sum(supply.values()))
+    plan_rows = []
+    for dom, t in sorted(supply.items()):
+        alloc = target * weights[dom] // 1000
+        plan_rows.append((dom, alloc * 1000 // t))
+    plan = spark.createDataFrame(plan_rows,
+                                 "domain string, epochs_pm long")
+    b = F.pmod(hash60(F.concat(F.lit(salt),
+                               F.col("doc_id").cast("string"))),
+               F.lit(1000))
+    return (d.join(F.broadcast(plan), "domain")
+            .select("doc_id", "domain", "n_tokens", "epochs_pm",
+                    (F.expr("epochs_pm DIV 1000")
+                     + (b < F.col("epochs_pm") % 1000).cast("long"))
+                    .alias("n_copies")))
+
+
+def q_corpus_mix_upsample(spark, sf_dir):
+    """Rebalance the documents corpus to MIX_WEIGHTS at constant total
+    token mass: en (dominant supply, weight 700) runs slightly over
+    one epoch; each tail language runs under one. Every doc row
+    reports its exact integer copy count."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.size(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                        r"\s+", " "), " "))
+        .alias("n_tokens"))
+    return mix_upsample_plan(d).orderBy("doc_id")
+
+
+_UP_BUCKET_SQL = (hash60_sql("'" + UPSAMPLE_SALT
+                             + "' || cast(doc_id as varchar)") + " % 1000")
+
+ORACLE_CORPUS_MIX_UPSAMPLE = f"""
+WITH d AS (
+  SELECT lang AS domain, doc_id,
+         cast({_MIX_NTOK_SQL} as bigint) AS n_tokens,
+         {_MIX_W_SQL} AS weight_pm,
+         {_UP_BUCKET_SQL} AS bucket
+  FROM documents WHERE lang IN ({_MIX_LANGS_SQL})
+),
+supply AS (
+  SELECT domain, cast(sum(n_tokens) as bigint) AS t,
+         min(weight_pm) AS weight_pm
+  FROM d GROUP BY 1
+),
+tgt AS (SELECT cast(sum(t) as bigint) AS target FROM supply),
+plan AS (
+  SELECT s.domain,
+         ((SELECT target FROM tgt) * s.weight_pm // 1000) * 1000 // s.t
+           AS epochs_pm
+  FROM supply s
+)
+SELECT d.doc_id, d.domain, d.n_tokens, p.epochs_pm,
+       p.epochs_pm // 1000
+         + CASE WHEN d.bucket < p.epochs_pm % 1000 THEN 1 ELSE 0 END
+         AS n_copies
+FROM d JOIN plan p ON d.domain = p.domain
+ORDER BY d.doc_id
+"""
+
 QUERIES["corpus_split"] = q_corpus_split
 QUERIES["corpus_sample_stratified"] = q_corpus_sample_stratified
 QUERIES["corpus_domain_mix"] = q_corpus_domain_mix
+QUERIES["corpus_mix_upsample"] = q_corpus_mix_upsample
 ORACLES["corpus_split"] = ORACLE_CORPUS_SPLIT
 ORACLES["corpus_sample_stratified"] = ORACLE_CORPUS_SAMPLE
 ORACLES["corpus_domain_mix"] = ORACLE_CORPUS_DOMAIN_MIX
+ORACLES["corpus_mix_upsample"] = ORACLE_CORPUS_MIX_UPSAMPLE

@@ -289,3 +289,60 @@ def test_domain_mix_edge_cases(spark):
     assert empty.columns == ["domain", "n_docs", "n_tokens", "weight_pm",
                              "alloc_tokens", "keep_pm", "kept_docs",
                              "kept_tokens"]
+
+
+def test_mix_upsample_hand_computed(spark):
+    """Hand-computed epochs plan: A=1000 tokens, B=300, weights
+    800/200, default target = 1300 total.
+      alloc_A = 1300*800//1000 = 1040 -> epochs_pm 1040*1000//1000
+              = 1040 (every A doc gets >=1 copy, 4% get 2)
+      alloc_B = 1300*200//1000 = 260  -> epochs_pm 260*1000//300
+              = 866 (B docs hash-sampled under one epoch)
+    """
+    from jsonld_js_spark.operators.sampling import mix_upsample_plan
+    rows = ([(i, "A", 10) for i in range(100)]
+            + [(1000 + i, "B", 10) for i in range(30)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "n_tokens long")
+    out = mix_upsample_plan(docs, weights={"A": 800, "B": 200}).collect()
+    a = [r for r in out if r["domain"] == "A"]
+    bb = [r for r in out if r["domain"] == "B"]
+    assert all(r["epochs_pm"] == 1040 for r in a)
+    assert all(r["epochs_pm"] == 866 for r in bb)
+    assert all(r["n_copies"] in (1, 2) for r in a)
+    assert all(r["n_copies"] in (0, 1) for r in bb)
+    # determinism: pure function of doc identity
+    again = mix_upsample_plan(docs, weights={"A": 800, "B": 200}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # explicit target overrides the constant-mass default: 2600 total
+    # doubles every allocation -> epochs_pm doubles exactly
+    double = mix_upsample_plan(docs, weights={"A": 800, "B": 200},
+                               target_tokens=2600).collect()
+    assert {r["epochs_pm"] for r in double if r["domain"] == "A"} == {2080}
+    assert {r["epochs_pm"] for r in double if r["domain"] == "B"} == {1733}
+
+
+def test_mix_upsample_gated_invariants(spark):
+    """Gated query: emitted token mass per domain approximates its
+    allocation (exact up to per-doc fractional rounding), the dominant
+    domain upsamples (> 1 epoch) while every tail downsamples, and
+    total emitted mass ~ total supply (constant-size rebalance)."""
+    from jsonld_js_spark.operators.sampling import (
+        MIX_WEIGHTS, q_corpus_mix_upsample)
+    import pyspark.sql.functions as F
+    out = q_corpus_mix_upsample(spark, SF)
+    agg = {r["domain"]: r for r in
+           out.groupBy("domain").agg(
+               F.min("epochs_pm").alias("pm"),
+               F.sum(F.col("n_copies") * F.col("n_tokens"))
+               .alias("emitted"),
+               F.sum("n_tokens").alias("supply")).collect()}
+    assert set(agg) == set(MIX_WEIGHTS)
+    assert agg["en"]["pm"] > 1000
+    for lang in ("de", "fr", "es", "zh"):
+        assert agg[lang]["pm"] < 1000
+    total_supply = sum(r["supply"] for r in agg.values())
+    for lang, r in agg.items():
+        alloc = total_supply * MIX_WEIGHTS[lang] // 1000
+        # fractional-epoch sampling: per-doc binomial around alloc
+        assert abs(r["emitted"] - alloc) <= max(0.25 * alloc, 200), lang
