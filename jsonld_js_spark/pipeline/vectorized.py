@@ -31,7 +31,8 @@ TRIPLE_COLUMNS = ["subj", "pred", "obj_value", "obj_termtype",
 
 
 def transcript_triples(transcripts: DataFrame,
-                       dedup: bool | str = "local") -> DataFrame:
+                       dedup: bool | str = "local",
+                       link_entities: bool = True) -> DataFrame:
     """(conv_id, turn_idx, role, text, tool, ts) → deduplicated triple
     table (subj, pred, obj_value, obj_termtype, obj_datatype,
     obj_language, graph), graph='' (default graph, ref lib/toRdf.js:59).
@@ -49,6 +50,12 @@ def transcript_triples(transcripts: DataFrame,
         columns (needed when merging triples from multiple sources);
         one uniform-key shuffle with map-side partial aggregation.
       False — raw emission.
+
+    link_entities=False keeps each mention's SURFACE form as the entity
+    IRI (ent:entity12 vs ent:Entity12 stay distinct nodes) instead of
+    resolving to the canonical form at emit time — the input shape for
+    post-hoc identity resolution (kg_api.sameas_closure), which must
+    reproduce the linked KG exactly (tested + oracle-gated).
     """
     lit = F.lit
     conv_iri = F.concat(lit(CONV_NS), F.col("conv_id"))
@@ -69,9 +76,13 @@ def transcript_triples(transcripts: DataFrame,
     # mention detection: JVM-side regex; entity linking = canonical-form
     # IRI resolution (surface 'entity12'/'Entity12' → ent:Entity12)
     raw_mentions = F.regexp_extract_all("text", lit(MENTION_RE), 1)
-    mention_entities = F.transform(
-        raw_mentions,
-        lambda s: F.concat(lit("Entity"), F.regexp_extract(s, r"[0-9]+", 0)))
+    if link_entities:
+        mention_entities = F.transform(
+            raw_mentions,
+            lambda s: F.concat(lit("Entity"),
+                               F.regexp_extract(s, r"[0-9]+", 0)))
+    else:
+        mention_entities = raw_mentions
     if dedup == "local":
         mention_entities = F.array_distinct(mention_entities)
 

@@ -480,3 +480,66 @@ def test_kg_entity_comention_guard_observed(spark):
     assert expect_dropped > 0  # the cap actually bites at this sf
     assert stats["dropped_convs"] == expect_dropped
     assert stats["total_convs"] == len(sizes)
+
+
+def test_sameas_closure_chain_literals_and_dedup(spark):
+    """Transitive depth the gated corpus can't exercise: a 12-node
+    sameAs CHAIN must collapse to the single min IRI (the star-CC
+    path), merged nodes' duplicate assertions must dedupe, literal
+    objects must never rewrite even when their lexical form equals a
+    mapped IRI, and unmapped nodes pass through."""
+    from jsonld_js_spark.kg_api import sameas_closure
+
+    cols = ("subj string, pred string, obj_value string, "
+            "obj_termtype string, obj_datatype string, "
+            "obj_language string, graph string")
+    triples = spark.createDataFrame([
+        ("n03", "p", "n07", "NamedNode", None, None, ""),
+        ("n05", "p", "n04", "Literal", None, None, ""),   # lexical = IRI
+        ("n02", "q", "x", "Literal", None, None, ""),
+        ("n09", "q", "x", "Literal", None, None, ""),     # dups post-merge
+        ("z", "p", "w", "NamedNode", None, None, ""),     # unmapped
+    ], cols)
+    sameas = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)],
+        "a string, b string")
+    expect = {
+        ("n00", "p", "n00", "NamedNode", None, None, ""),
+        ("n00", "p", "n04", "Literal", None, None, ""),
+        ("n00", "q", "x", "Literal", None, None, ""),
+        ("z", "p", "w", "NamedNode", None, None, ""),
+    }
+    # driver union-find path (edge set under the threshold) ...
+    got = {tuple(r) for r in sameas_closure(triples, sameas).collect()}
+    assert got == expect
+    # ... and the distributed star-CC path (threshold forced to 0)
+    import jsonld_js_spark.kg_api as kg_api
+    saved = kg_api.SAMEAS_SMALL_GRAPH_EDGES
+    kg_api.SAMEAS_SMALL_GRAPH_EDGES = 0
+    try:
+        got_cc = {tuple(r)
+                  for r in sameas_closure(triples, sameas).collect()}
+    finally:
+        kg_api.SAMEAS_SMALL_GRAPH_EDGES = saved
+    assert got_cc == expect
+
+
+def test_sameas_closure_reproduces_linked_kg(spark):
+    """The oracle theorem, asserted locally: smushing the surface-form
+    KG through the normalizing resolver's candidate pairs reproduces
+    the emit-time-linked KG exactly — and the surface KG genuinely
+    differs beforehand (the gate is not vacuous)."""
+    from jsonld_js_spark.kg_api import (
+        resolver_sameas_edges, sameas_closure,
+    )
+
+    t = transcripts_df(spark, n_conv=60)
+    linked = {tuple(r) for r in transcript_triples(t).collect()}
+    surface_df = transcript_triples(t, link_entities=False)
+    surface = {tuple(r) for r in surface_df.collect()}
+    assert surface != linked  # lowercase surface variants exist
+    edges = resolver_sameas_edges(t)
+    assert edges.count() > 0
+    closed = {tuple(r)
+              for r in sameas_closure(surface_df, edges).collect()}
+    assert closed == linked
