@@ -1069,6 +1069,85 @@ GROUP BY 1, 2 ORDER BY n_convs DESC, ent_a, ent_b LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# k-hop neighborhood extraction (bounded BFS)
+
+KHOP_K = 3
+
+
+def khop(edges, seeds, k: int = KHOP_K):
+    """Bounded BFS over an undirected (a, b) edge set: every node
+    within k hops of the seed set, labeled with its EXACT minimum hop
+    distance (level-order construction — a node enters `visited` the
+    first level it is reachable, so no min-agg is ever needed).
+
+    The per-level plan is the Pregel shape: frontier ⋈ edges (AQE
+    broadcasts the frontier while it is small — the common case for
+    seed-neighborhood queries — and falls back to a hash join when a
+    hub explodes it), one distinct, one left-anti against visited.
+    k is a small constant (subgraph extraction, not reachability), so
+    lineage stays k-shallow with per-level cache; at 100 TB swap the
+    cache for _reliable_checkpoint exactly like connected_components.
+    Expects `edges` to carry each undirected edge in both directions.
+    """
+    visited = (seeds.select("node")
+               .withColumn("hops", F.lit(0).cast("long")).cache())
+    frontier = visited.select("node")
+    for h in range(1, k + 1):
+        nxt = (frontier.join(edges, frontier["node"] == edges["a"])
+               .select(F.col("b").alias("node")).distinct())
+        new = (nxt.join(visited, "node", "left_anti")
+               .withColumn("hops", F.lit(h).cast("long")).cache())
+        visited = visited.unionAll(new).cache()
+        frontier = new.select("node")
+    return visited
+
+
+def q_kg_khop(spark, sf_dir):
+    """Gated query: the 3-hop neighborhood of ent:Entity0 in the
+    constructed KG (turn/conv/tool/entity nodes reached through
+    mentions/hasTurn/usesTool edges, either direction) with exact hop
+    levels — the standard seed-expansion subgraph every KG application
+    (RAG context building, entity cards) runs."""
+    t = _triples(spark, sf_dir, cache=True)
+    fwd = (t.filter(F.col("obj_termtype") == "NamedNode")
+           .select(F.col("subj").alias("a"),
+                   F.col("obj_value").alias("b")))
+    edges = fwd.unionAll(fwd.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b"))).distinct()
+    seeds = spark.createDataFrame([(ENT_NS + "Entity0",)], "node string")
+    return khop(edges, seeds).orderBy("hops", "node")
+
+
+def oracle_kg_khop(triples_sql: str) -> str:
+    ent0 = f"{ENT_NS}Entity0"
+    sql = f"""
+WITH triples AS ({triples_sql}),
+edges AS (
+  SELECT subj AS a, obj_value AS b FROM triples
+  WHERE obj_termtype = 'NamedNode'
+  UNION
+  SELECT obj_value, subj FROM triples
+  WHERE obj_termtype = 'NamedNode'
+),
+n0 AS (SELECT '{ent0}' AS node), v0 AS (SELECT node FROM n0)"""
+    prev_r, prev_v = "n0", "v0"
+    for h in range(1, KHOP_K + 1):
+        sql += f""",
+r{h} AS (
+  SELECT DISTINCT e.b AS node FROM edges e
+  JOIN {prev_r} f ON e.a = f.node
+  EXCEPT SELECT node FROM {prev_v}
+),
+v{h} AS (SELECT node FROM {prev_v} UNION SELECT node FROM r{h})"""
+        prev_r, prev_v = f"r{h}", f"v{h}"
+    levels = " UNION ALL ".join(
+        [f"SELECT node, cast(0 AS bigint) AS hops FROM n0"] +
+        [f"SELECT node, cast({h} AS bigint) FROM r{h}"
+         for h in range(1, KHOP_K + 1)])
+    return sql + f"\nSELECT * FROM ({levels}) ORDER BY hops, node"
+
+
+# ---------------------------------------------------------------------------
 # identity resolution (owl:sameAs smushing)
 
 def sameas_closure(triples, sameas):
@@ -1219,6 +1298,7 @@ def queries() -> dict:
         "kg_entity_comention": q_kg_entity_comention,
         "kg_pagerank": q_kg_pagerank,
         "kg_sameas_closure": q_kg_sameas_closure,
+        "kg_khop": q_kg_khop,
     }
 
 
@@ -1257,4 +1337,5 @@ def oracles(n_conv: int) -> dict:
         # equality theorem for the normalizing resolver — the
         # round-trip oracle pattern)
         "kg_sameas_closure": triples_sql,
+        "kg_khop": oracle_kg_khop(triples_sql),
     }

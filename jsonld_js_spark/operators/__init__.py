@@ -5,9 +5,10 @@ from __future__ import annotations
 
 
 def queries() -> dict:
-    from . import (dedup, jsonld_column, lm, multimodal, packing,
-                   sampling, similarity, textstats)
+    from . import (classifier, dedup, jsonld_column, lm, multimodal,
+                   packing, sampling, similarity, textstats)
     out = {}
+    out.update(classifier.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
@@ -20,9 +21,10 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
-    from . import (dedup, jsonld_column, lm, multimodal, packing,
-                   sampling, similarity, textstats)
+    from . import (classifier, dedup, jsonld_column, lm, multimodal,
+                   packing, sampling, similarity, textstats)
     out = {}
+    out.update(classifier.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)

@@ -543,3 +543,20 @@ def test_sameas_closure_reproduces_linked_kg(spark):
     closed = {tuple(r)
               for r in sameas_closure(surface_df, edges).collect()}
     assert closed == linked
+
+
+def test_khop_min_levels_and_bounds(spark):
+    """Hand-built graph: a node reachable at 2 AND 3 hops must report
+    the MINIMUM (2); nodes beyond k are excluded; disconnected nodes
+    never appear; the seed is hop 0 even with a self-loop-ish back
+    edge."""
+    from jsonld_js_spark.kg_api import khop
+
+    und = [("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+           ("s", "x"), ("x", "b"),   # makes b reachable at 2 (via x)
+           ("q", "r")]               # disconnected component
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "a string, b string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r["node"]: r["hops"] for r in khop(edges, seeds, k=3).collect()}
+    assert got == {"s": 0, "a": 1, "x": 1, "b": 2, "c": 3}

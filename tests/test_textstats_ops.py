@@ -346,3 +346,76 @@ def test_mix_upsample_gated_invariants(spark):
         alloc = total_supply * MIX_WEIGHTS[lang] // 1000
         # fractional-epoch sampling: per-doc binomial around alloc
         assert abs(r["emitted"] - alloc) <= max(0.25 * alloc, 200), lang
+
+
+# ---------------------------------------------------------------------------
+# hashed linear-classifier scoring (operators/classifier.py)
+
+def _py_hash60(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_weight(j: int) -> int:
+    from jsonld_js_spark.operators.classifier import WEIGHT_MIX, WEIGHT_MOD
+    return (j * WEIGHT_MIX) % WEIGHT_MOD
+
+
+def _py_classifier(text: str):
+    """Independent pure-python reimplementation (third engine) of the
+    classifier formula — guards the shared Spark/DuckDB arithmetic."""
+    import re
+    from jsonld_js_spark.operators.classifier import D_FEATURES
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    ngrams = list(toks)
+    ngrams += [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    ws = [_py_weight(_py_hash60(g) % D_FEATURES) for g in ngrams]
+    score = sum(ws) * 1000 // len(ws)
+    return len(ngrams), score, score >= 1_000_000
+
+
+def test_classifier_score_hand_truth(spark):
+    from jsonld_js_spark.operators.classifier import (
+        classifier_score, synthetic_weights,
+    )
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "one",
+        "  Mixed   CASE   and    spacing  ",
+        "a b a b a b",
+        "punctuation, works? fine!",
+    ]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_features"], r["score_milli"], r["keep"])
+           for r in classifier_score(docs, synthetic_weights(spark))
+           .collect()}
+    expect = {f"d{i}": _py_classifier(t) for i, t in enumerate(texts)}
+    assert got == expect
+
+
+def test_classifier_keep_separates(spark):
+    """Single-token docs: keep is exactly w(bucket) >= 1000 — pick one
+    high-weight and one low-weight token programmatically and assert
+    the decision boundary is live in both directions."""
+    from jsonld_js_spark.operators.classifier import (
+        D_FEATURES, classifier_score, synthetic_weights,
+    )
+    hi = lo = None
+    for i in range(1000):
+        tok = f"tok{i}"
+        w = _py_weight(_py_hash60(tok) % D_FEATURES)
+        if hi is None and w >= 1500:
+            hi = tok
+        if lo is None and w <= 500:
+            lo = tok
+        if hi and lo:
+            break
+    assert hi and lo
+    docs = spark.createDataFrame(
+        [("good", hi), ("bad", lo)], "doc_id string, text string")
+    got = {r["doc_id"]: r["keep"]
+           for r in classifier_score(docs, synthetic_weights(spark))
+           .collect()}
+    assert got == {"good": True, "bad": False}
