@@ -1272,3 +1272,95 @@ ORDER BY c.doc_id
 
 QUERIES["corpus_decontaminate"] = q_corpus_decontaminate
 ORACLES["corpus_decontaminate"] = ORACLE_CORPUS_DECONTAMINATE
+
+
+# ---------------------------------------------------------------------------
+# quality-aware canonical selection: keep the BEST doc per near-dup
+# cluster (the curation decision step between clustering and the drop
+# list — real pipelines keep the highest-quality member, not the
+# smallest id, so a cleaned original survives its boilerplate-padded
+# mirror copies).
+
+# winner key = score * SCALE - doc_id: one int64 encodes (max score,
+# then MIN doc_id) so both engines argmax with identical tie-breaks
+# and no float enters the decision. score_ppm <= 1.2e6 and
+# SCALE = 1e9 keep the key < 1.2e15 (int64-safe); doc ids above 1e9
+# need a wider SCALE or a struct-ordering max (Spark) / row-value max
+# (DuckDB) — the encoding is for oracle portability, not a design
+# limit.
+KEEP_BEST_KEY_SCALE = 1_000_000_000
+
+
+def keep_best(corpus, clusters):
+    """(doc_id, text) corpus + (doc_id, cluster_id) near-dup clusters
+    -> (doc_id, cluster_id, quality_score_ppm, keep): keep=1 for the
+    highest-quality member of each cluster (ties -> smallest doc_id),
+    keep=1 for every unclustered singleton.
+
+    Scale: one corpus scan for the quality stats (pure column exprs),
+    one doc_id-keyed left join against the (small) cluster table, and
+    ONE Exchange — the window max over cluster_id. Singleton
+    "partitions" are single rows; the only wide partition is a real
+    mega-cluster, whose rows are 4 ints (a 10^9-member boilerplate
+    cluster ~ 32 GB on one reducer — at that extreme swap the window
+    for a two-phase groupBy(cluster) max + broadcast-back of the
+    winner keys, which partial-aggregates map-side)."""
+    from pyspark.sql.window import Window
+
+    from .textstats import quality_frame
+
+    q = quality_frame(corpus).select("doc_id", "quality_score_ppm")
+    m = (q.join(clusters, "doc_id", "left")
+         .select(q["doc_id"],
+                 F.coalesce("cluster_id", q["doc_id"]).alias("cluster_id"),
+                 "quality_score_ppm"))
+    selkey = (F.col("quality_score_ppm") * F.lit(KEEP_BEST_KEY_SCALE)
+              - F.col("doc_id"))
+    wmax = F.max(selkey).over(Window.partitionBy("cluster_id"))
+    return m.select(
+        "doc_id", "cluster_id", "quality_score_ppm",
+        (selkey == wmax).cast("long").alias("keep"))
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-best over the injected-duplicate corpus: MinHash near-dup
+    pairs -> connected components -> quality-argmax survivor per
+    cluster. Exact-copy clusters tie on score, so the base doc (min
+    id) survives; near-copy clusters resolve by the quality stats."""
+    cc = connected_components(_dup_edges(spark, sf_dir))
+    return keep_best(corpus_df(spark, sf_dir), cc).orderBy("doc_id")
+
+
+def _oracle_dedup_keep_best() -> str:
+    from .textstats import quality_sql
+    return f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION ALL SELECT doc_b, doc_a FROM dup_pairs
+),
+reach(doc, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc
+),
+cc AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+q AS (SELECT doc_id, quality_score_ppm FROM ({quality_sql('corpus')}) qq),
+m AS (
+  SELECT q.doc_id,
+         coalesce(cc.cluster_id, q.doc_id) AS cluster_id,
+         q.quality_score_ppm,
+         q.quality_score_ppm * {KEEP_BEST_KEY_SCALE} - q.doc_id AS selkey
+  FROM q LEFT JOIN cc ON q.doc_id = cc.doc_id
+)
+SELECT doc_id, cluster_id, quality_score_ppm,
+       cast(selkey = max(selkey) OVER (PARTITION BY cluster_id) as bigint)
+         AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+ORACLE_DEDUP_KEEP_BEST = _oracle_dedup_keep_best()
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+ORACLES["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST

@@ -72,13 +72,13 @@ FROM documents ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-def q_text_quality(spark, sf_dir):
-    """Quality scoring: stopword ratio, mean token length, length
-    factor → composite score. All ratios reported as exact integer
-    parts-per-million (cross-engine float rounding of ties is not
-    portable — Spark round() is decimal HALF_UP, DuckDB rounds the
-    binary double)."""
-    d = _docs(spark, sf_dir)
+def quality_frame(d):
+    """(doc_id, text) -> per-doc quality stats: stopword ratio, mean
+    token length, length factor → composite score. All ratios are
+    exact integer parts-per-million (cross-engine float rounding of
+    ties is not portable — Spark round() is decimal HALF_UP, DuckDB
+    rounds the binary double). Shared by q_text_quality and the dedup
+    keep-best canonical selection (`dedup.keep_best`)."""
     # staged like q_text_langid: normalize once, count from the column
     normed = d.select(
         "doc_id", _norm(F.col("text")).alias("_norm"))
@@ -115,15 +115,29 @@ def q_text_quality(spark, sf_dir):
         "doc_id", "n_tokens", "stopword_ratio_ppm",
         "mean_token_len_ppm", "length_factor_ppm",
         score_ppm.alias("quality_score_ppm"),
-    ).orderBy("doc_id")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Gate entry for `quality_frame` over the documents table."""
+    return quality_frame(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 _PADDED_SQL = f"(' ' || {_NORM_SQL} || ' ')"
 _NTOK_SQL = f"len(string_split({_NORM_SQL}, ' '))"
 _STOPHITS_SQL = " + ".join(
     _count_occ_sql(_PADDED_SQL, m) for m in EN_STOPWORDS)
-ORACLE_TEXT_QUALITY = f"""
-WITH t AS (
+def quality_sql(src: str) -> str:
+    """DuckDB mirror of `quality_frame` over table/CTE `src` — a plain
+    derived-table SELECT so it composes inside other WITH chains."""
+    return f"""SELECT doc_id, n_tokens, stopword_ratio_ppm, mean_token_len_ppm,
+       length_factor_ppm,
+       cast(floor(length_factor_ppm * 0.4e0) as bigint) +
+       cast(floor(stopword_ratio_ppm * 0.4e0) as bigint) +
+       least(200000,
+             cast(floor(mean_token_len_ppm * 0.2e0 / 8.0e0) as bigint))
+         AS quality_score_ppm
+FROM (
   SELECT doc_id,
          {_NTOK_SQL} AS n_tokens,
          cast(floor(({_STOPHITS_SQL}) * 1000000.0 / {_NTOK_SQL}) as bigint)
@@ -132,17 +146,11 @@ WITH t AS (
                     {_NTOK_SQL}) as bigint) AS mean_token_len_ppm,
          least(1000000, cast({_NTOK_SQL} * 10000 as bigint))
            AS length_factor_ppm
-  FROM documents
-)
-SELECT doc_id, n_tokens, stopword_ratio_ppm, mean_token_len_ppm,
-       length_factor_ppm,
-       cast(floor(length_factor_ppm * 0.4e0) as bigint) +
-       cast(floor(stopword_ratio_ppm * 0.4e0) as bigint) +
-       least(200000,
-             cast(floor(mean_token_len_ppm * 0.2e0 / 8.0e0) as bigint))
-         AS quality_score_ppm
-FROM t ORDER BY doc_id
-"""
+  FROM {src}
+) t"""
+
+
+ORACLE_TEXT_QUALITY = quality_sql("documents") + "\nORDER BY doc_id"
 
 
 # ---------------------------------------------------------------------------

@@ -452,3 +452,54 @@ def test_decontaminate_drops_planted_copies(spark):
     # a doc whose id is odd and not near an eval multiple keeps its
     # unique text -> must survive
     assert any(d in kept for d in range(1, n_docs, 2))
+
+
+def test_keep_best_hand_truth(spark):
+    """keep_best argmax semantics on a hand-built cluster table:
+    highest quality wins, score ties break to the SMALLEST doc_id,
+    singletons always keep."""
+    from jsonld_js_spark.operators.dedup import keep_best
+    rich = ("the quick brown fox jumps over the lazy dog and the "
+            "cat sat on the mat with a friend of the family") * 3
+    poor = "zzz qqq xxx"
+    corpus = spark.createDataFrame(
+        [(1, rich), (2, poor),          # cluster 1: 1 outranks 2
+         (3, poor), (4, poor),          # cluster 3: tie -> min id 3
+         (9, poor)],                    # singleton
+        "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id long, cluster_id long")
+    rows = {r["doc_id"]: r for r in keep_best(corpus, clusters).collect()}
+    assert rows[1]["keep"] == 1 and rows[2]["keep"] == 0
+    assert rows[1]["quality_score_ppm"] > rows[2]["quality_score_ppm"]
+    assert rows[3]["quality_score_ppm"] == rows[4]["quality_score_ppm"]
+    assert rows[3]["keep"] == 1 and rows[4]["keep"] == 0
+    assert rows[9]["keep"] == 1 and rows[9]["cluster_id"] == 9
+
+
+def test_keep_best_gated_invariants(spark):
+    """Gated query: exactly ONE survivor per cluster, every corpus doc
+    accounted for, every singleton kept, and every exact-copy pair
+    (+200000, identical text -> tied score) resolves to the base doc."""
+    from jsonld_js_spark.operators.dedup import q_dedup_keep_best
+    rows = q_dedup_keep_best(spark, SF).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == len(rows)
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r["keep"] == 1]
+        assert len(keeps) == 1, f"cluster {cid}: {len(keeps)} keeps"
+        best = max(members,
+                   key=lambda r: (r["quality_score_ppm"], -r["doc_id"]))
+        assert keeps[0]["doc_id"] == best["doc_id"]
+        if len(members) == 1:
+            assert members[0]["keep"] == 1
+    # exact copies: base doc (smaller id) must be the survivor
+    ids = {r["doc_id"]: r for r in rows}
+    exact_pairs = [(i, i + 200000) for i in ids
+                   if i < 100000 and i + 200000 in ids]
+    assert exact_pairs, "corpus should contain injected exact copies"
+    for base, copy in exact_pairs:
+        if ids[base]["cluster_id"] == ids[copy]["cluster_id"]:
+            assert ids[copy]["keep"] == 0
