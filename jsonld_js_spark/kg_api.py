@@ -986,16 +986,33 @@ def q_kg_entity_comention(spark, sf_dir,
     self-join and executes TWICE — duplicated CollectMetrics rows
     crash Observation.get in Spark 4.1, so the stats are a separate
     tiny job instead.)"""
+    pairs, guard_df = _comention_pairs(spark, sf_dir,
+                                       max_entities_per_conv)
+    out = (pairs.groupBy("ent_a", "ent_b")
+           .agg(F.count("*").alias("n_convs"))
+           .orderBy(F.desc("n_convs"), "ent_a", "ent_b")
+           .limit(50))
+    out._comention_guard_df = guard_df
+    return out
+
+
+def _comention_pairs(spark, sf_dir,
+                     max_entities_per_conv=MAX_ENTITIES_PER_CONV):
+    """Per-conversation entity pairs (ent_a < ent_b), one row per
+    (conversation, pair); second return is the quadratic-guard stats
+    frame (or None when the guard is off). Shared by
+    q_kg_entity_comention and q_kg_triangle_count.
+
+    ONE groupBy(conv) collect_set replaces the old
+    distinct → count-join → self-join chain, which re-executed the
+    distinct-mentions subtree up to 4x (guard agg, guard join, and
+    both self-join sides) — measured 4.0 s -> ~1 s at sf0.1. The
+    sorted entity array bounds per-row size by conversation length
+    (the same bound the old plan had), the guard is a free
+    F.size filter BEFORE any pair is produced, and pair expansion
+    is an array lambda — C(m,2) rows only for kept conversations,
+    no conv-keyed self-join shuffle at all."""
     t = _triples(spark, sf_dir, cache=True)
-    # ONE groupBy(conv) collect_set replaces the old
-    # distinct → count-join → self-join chain, which re-executed the
-    # distinct-mentions subtree up to 4x (guard agg, guard join, and
-    # both self-join sides) — measured 4.0 s -> ~1 s at sf0.1. The
-    # sorted entity array bounds per-row size by conversation length
-    # (the same bound the old plan had), the guard is a free
-    # F.size filter BEFORE any pair is produced, and pair expansion
-    # is an array lambda — C(m,2) rows only for kept conversations,
-    # no conv-keyed self-join shuffle at all.
     conv_ents = (t.filter(F.col("pred") == TR + "mentions")
                  .select(F.regexp_replace("subj", "/turn/[0-9]+$", "")
                          .alias("conv"),
@@ -1020,14 +1037,10 @@ def q_kg_entity_comention(spark, sf_dir,
         lambda x, i: F.transform(
             F.slice(ents, i + F.lit(2), F.size(ents) - i - F.lit(1)),
             lambda y: F.struct(x.alias("ent_a"), y.alias("ent_b")))))
-    out = (conv_ents.select(F.explode(pair_structs).alias("p"))
-           .groupBy(F.col("p.ent_a").alias("ent_a"),
-                    F.col("p.ent_b").alias("ent_b"))
-           .agg(F.count("*").alias("n_convs"))
-           .orderBy(F.desc("n_convs"), "ent_a", "ent_b")
-           .limit(50))
-    out._comention_guard_df = guard_df
-    return out
+    return (conv_ents.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.ent_a").alias("ent_a"),
+                    F.col("p.ent_b").alias("ent_b")),
+            guard_df)
 
 
 def comention_guard_stats(df) -> dict:
@@ -1065,6 +1078,117 @@ kept AS (
 SELECT a.ent AS ent_a, b.ent AS ent_b, cast(count(*) as bigint) AS n_convs
 FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
 GROUP BY 1, 2 ORDER BY n_convs DESC, ent_a, ent_b LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the co-mention graph (degree-ordered
+# compact-forward)
+
+def triangle_counts(edges):
+    """(ent_a, ent_b) undirected edge rows (any multiplicity) ->
+    (ent, n_triangles) for every node in >=1 triangle.
+
+    Degree-ordered orientation (the compact-forward / Schank-Wagner
+    strategy, the standard MapReduce triangle plan): orient each edge
+    from its lower-(degree, id) endpoint to the higher one, build
+    wedges as pairs of out-neighbors, close them with a join back on
+    the oriented edge set. Under this orientation every node's
+    out-degree is O(sqrt(m)) regardless of raw degree — a celebrity
+    hub with 10^7 co-mentions does NOT fan 10^14 wedges, which is what
+    an id-ordered orientation would do if the hub happens to sort low.
+    Total wedge volume is O(m^1.5); each triangle is generated exactly
+    once (at its lowest-order corner). Shuffles: degree agg, two
+    oriented-edge joins (keys: wedge apex, then (v, w) pair — both
+    uniform after orientation; AQE handles the residue).
+    """
+    und = (edges.select(F.col("ent_a").alias("src"),
+                        F.col("ent_b").alias("dst"))
+           .unionAll(edges.select(F.col("ent_b").alias("src"),
+                                  F.col("ent_a").alias("dst")))
+           .distinct())
+    deg = und.groupBy("src").agg(F.count("*").alias("d")) \
+        .select(F.col("src").alias("node"), "d")
+    withd = (und
+             .join(deg.select(F.col("node").alias("src"),
+                              F.col("d").alias("sd")), "src")
+             .join(deg.select(F.col("node").alias("dst"),
+                              F.col("d").alias("dd")), "dst"))
+    # total order on nodes: (degree, id); keep the dst's order key on
+    # each oriented edge so the wedge comparison needs no re-join
+    o = (withd.filter(F.struct(F.col("sd"), F.col("src")) <
+                      F.struct(F.col("dd"), F.col("dst")))
+         .select("src", "dst", "dd"))
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    wedges = (o1.join(o2, (F.col("o1.src") == F.col("o2.src")) &
+                      (F.struct(F.col("o1.dd"), F.col("o1.dst")) <
+                       F.struct(F.col("o2.dd"), F.col("o2.dst"))))
+              .select(F.col("o1.src").alias("u"),
+                      F.col("o1.dst").alias("v"),
+                      F.col("o2.dst").alias("w")))
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    corners = (tri.select(F.col("u").alias("ent"))
+               .unionAll(tri.select(F.col("v").alias("ent")))
+               .unionAll(tri.select(F.col("w").alias("ent"))))
+    return (corners.groupBy("ent")
+            .agg(F.count("*").alias("n_triangles")))
+
+
+def q_kg_triangle_count(spark, sf_dir):
+    """Per-entity triangle membership counts over the co-mention graph
+    (guard ON — shares `_comention_pairs` with kg_entity_comention):
+    the local clustering signal KG pipelines ship for community /
+    hub-spam detection."""
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    return (triangle_counts(pairs.distinct())
+            .orderBy(F.desc("n_triangles"), "ent"))
+
+
+def oracle_kg_triangle_count(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+pairs AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+),
+und AS (
+  SELECT ent_a AS src, ent_b AS dst FROM pairs
+  UNION ALL SELECT ent_b, ent_a FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY src),
+o AS (
+  SELECT u.src, u.dst, dd.d AS dd
+  FROM und u
+  JOIN deg ds ON u.src = ds.node
+  JOIN deg dd ON u.dst = dd.node
+  WHERE (ds.d, u.src) < (dd.d, u.dst)
+),
+tri AS (
+  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+  FROM o o1
+  JOIN o o2 ON o1.src = o2.src AND (o1.dd, o1.dst) < (o2.dd, o2.dst)
+  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+),
+corners AS (
+  SELECT u AS ent FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT ent, cast(count(*) as bigint) AS n_triangles
+FROM corners GROUP BY ent
+ORDER BY n_triangles DESC, ent
 """
 
 
@@ -1299,6 +1423,7 @@ def queries() -> dict:
         "kg_pagerank": q_kg_pagerank,
         "kg_sameas_closure": q_kg_sameas_closure,
         "kg_khop": q_kg_khop,
+        "kg_triangle_count": q_kg_triangle_count,
     }
 
 
@@ -1338,4 +1463,5 @@ def oracles(n_conv: int) -> dict:
         # round-trip oracle pattern)
         "kg_sameas_closure": triples_sql,
         "kg_khop": oracle_kg_khop(triples_sql),
+        "kg_triangle_count": oracle_kg_triangle_count(triples_sql),
     }

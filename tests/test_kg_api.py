@@ -560,3 +560,30 @@ def test_khop_min_levels_and_bounds(spark):
     seeds = spark.createDataFrame([("s",)], "node string")
     got = {r["node"]: r["hops"] for r in khop(edges, seeds, k=3).collect()}
     assert got == {"s": 0, "a": 1, "x": 1, "b": 2, "c": 3}
+
+
+def test_triangle_counts_hand_truth(spark):
+    """K4 on {d,e,f,g} (3 triangles per node), one lone triangle
+    {a,b,c}, a triangle-free path x-y; duplicate and reversed edge
+    rows must not change counts (orientation canonicalizes)."""
+    from jsonld_js_spark.kg_api import triangle_counts
+    k4 = [("d", "e"), ("d", "f"), ("d", "g"),
+          ("e", "f"), ("e", "g"), ("f", "g")]
+    edges = ([("a", "b"), ("b", "c"), ("a", "c")] + k4 +
+             [("x", "y"),
+              ("b", "a"), ("a", "c")])  # reversed dup + exact dup
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    got = {r["ent"]: r["n_triangles"]
+           for r in triangle_counts(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1,
+                   "d": 3, "e": 3, "f": 3, "g": 3}
+
+
+def test_triangle_hub_star_has_none(spark):
+    """A pure hub star (celebrity node, no neighbor-neighbor edges)
+    has zero triangles — and the degree orientation points every edge
+    AT the hub, so the hub fans no wedges at all."""
+    from jsonld_js_spark.kg_api import triangle_counts
+    edges = [("hub", f"n{i}") for i in range(20)]
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    assert triangle_counts(df).count() == 0
