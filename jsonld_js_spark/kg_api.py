@@ -1193,6 +1193,119 @@ ORDER BY n_triangles DESC, ent
 
 
 # ---------------------------------------------------------------------------
+# community detection over the co-mention graph (synchronous label
+# propagation)
+
+LPA_ITERS = 4
+
+
+def label_propagation(edges, iters: int = LPA_ITERS):
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge set given in BOTH directions as (a, b): every node
+    starts as its own label; each superstep it adopts the most frequent
+    label among its neighbors, ties broken by lexicographic-min label.
+    Fixed `iters` supersteps + deterministic tie-break make the output
+    exactly reproducible (and DuckDB-oracle-expressible as an unrolled
+    CTE chain) even on oscillation-prone bipartite structures.
+
+    This is the COMMUNITY signal, distinct from connected components
+    (dedup.connected_components finds maximal reachable sets; LPA splits
+    a connected graph into densely-linked groups) and from PageRank
+    (importance, not membership).
+
+    Scale shape per superstep: one edges⋈labels shuffle on the neighbor
+    key, one (node, label) partial-aggregated count, and one per-node
+    argmin — expressed as `min_by(label, struct(-cnt, label))` inside a
+    single groupBy(node) agg so the vote resolution gets map-side
+    partial combine instead of a row_number window sort. Label state is
+    2 strings/node; per-superstep cache keeps lineage shallow (at
+    100 TB swap for _reliable_checkpoint every few rounds, exactly like
+    connected_components)."""
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).cache()
+    for _ in range(iters):
+        votes = (edges.join(labels, edges["b"] == labels["node"])
+                 .select(edges["a"].alias("node"), "label"))
+        counts = (votes.groupBy("node", "label")
+                  .agg(F.count("*").alias("cnt")))
+        labels = (counts.groupBy("node")
+                  .agg(F.expr("min_by(label, struct(-cnt, label))")
+                       .alias("label"))
+                  .cache())
+    return labels
+
+
+def q_kg_label_propagation(spark, sf_dir):
+    """Gated query: 4-superstep label-propagation communities over the
+    co-mention graph (guard ON — shares `_comention_pairs` with
+    kg_entity_comention), each entity labeled with its community id
+    (the component's elected label) and the community size — the
+    topic-cluster signal KG pipelines ship for entity grouping."""
+    from pyspark.sql import Window
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    p = pairs.distinct()
+    edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
+             .unionAll(p.select(F.col("ent_b").alias("a"),
+                                F.col("ent_a").alias("b"))))
+    labels = label_propagation(edges)
+    w = Window.partitionBy("community")
+    return (labels.select(F.col("node").alias("ent"),
+                          F.col("label").alias("community"))
+            .withColumn("community_size", F.count("*").over(w))
+            .orderBy("community", "ent"))
+
+
+def oracle_kg_label_propagation(triples_sql: str) -> str:
+    prev = "l0"
+    iters = []
+    for i in range(1, LPA_ITERS + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.a AS node, l.label, count(*) AS cnt
+  FROM edges e JOIN {prev} l ON e.b = l.node
+  GROUP BY e.a, l.label
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM c{i}) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+pairs AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+),
+edges AS (
+  SELECT ent_a AS a, ent_b AS b FROM pairs
+  UNION ALL SELECT ent_b, ent_a FROM pairs
+),
+l0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+),{",".join(iters)}
+SELECT node AS ent, label AS community,
+       cast(count(*) OVER (PARTITION BY label) as bigint)
+         AS community_size
+FROM {prev}
+ORDER BY community, ent
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-hop neighborhood extraction (bounded BFS)
 
 KHOP_K = 3
@@ -1424,6 +1537,7 @@ def queries() -> dict:
         "kg_sameas_closure": q_kg_sameas_closure,
         "kg_khop": q_kg_khop,
         "kg_triangle_count": q_kg_triangle_count,
+        "kg_label_propagation": q_kg_label_propagation,
     }
 
 
@@ -1464,4 +1578,5 @@ def oracles(n_conv: int) -> dict:
         "kg_sameas_closure": triples_sql,
         "kg_khop": oracle_kg_khop(triples_sql),
         "kg_triangle_count": oracle_kg_triangle_count(triples_sql),
+        "kg_label_propagation": oracle_kg_label_propagation(triples_sql),
     }

@@ -587,3 +587,36 @@ def test_triangle_hub_star_has_none(spark):
     edges = [("hub", f"n{i}") for i in range(20)]
     df = spark.createDataFrame(edges, "ent_a string, ent_b string")
     assert triangle_counts(df).count() == 0
+
+
+def _und(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    return df.unionAll(df.select(df["b"].alias("a"), df["a"].alias("b")))
+
+
+def test_label_propagation_barbell_hand_truth(spark):
+    """Barbell: triangles {a,b,c} and {d,e,f} joined by bridge c-d —
+    ONE connected component that LPA must split into TWO communities
+    (hand-traced through all 4 synchronous supersteps with the
+    most-frequent-then-min-label rule; this is exactly the case where
+    LPA differs from connected components, so a CC-shaped defect in
+    either engine cannot pass). The bridge node c lands in community
+    'a' even though label 'c' names the other side — the label is an
+    opaque community id, not a membership anchor."""
+    from jsonld_js_spark.kg_api import label_propagation
+    edges = _und(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                         ("d", "e"), ("e", "f"), ("d", "f"),
+                         ("c", "d")])
+    got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "c", "e": "c", "f": "c"}
+
+
+def test_label_propagation_oscillation_is_deterministic(spark):
+    """A lone edge u-v oscillates under synchronous LPA (period 2);
+    the fixed even superstep count pins the output to the identity
+    labeling — deterministic, never flapping between runs."""
+    from jsonld_js_spark.kg_api import label_propagation
+    edges = _und(spark, [("u", "v")])
+    got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert got == {"u": "u", "v": "v"}
