@@ -157,11 +157,43 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def payload_dedup(media):
+    """Exact content dedup over the opaque media column: one row per
+    DISTINCT payload with its copy count and the canonical (min)
+    doc_id — the survivor map an asset store ships before spending
+    decode/re-encode cycles on duplicates. The key is the portable
+    content fingerprint md5(hex(payload)) — hex-encode-then-hash keeps
+    the DuckDB oracle binary-free (its md5 is VARCHAR-only), and the
+    scale property is the same as hashing raw bytes: only the 16-byte
+    fingerprint shuffles; payload bytes never leave their scan
+    partition. One groupBy on a uniform hash key with map-side partial
+    agg — the dedup_exact plan shape over binary instead of text."""
+    return (media.groupBy(F.md5(F.hex("payload")).alias("content_fp"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .orderBy("content_fp"))
+
+
+def q_multimodal_dedup(spark, sf_dir):
+    return payload_dedup(media_df(spark, sf_dir))
+
+
+ORACLE_MULTIMODAL_DEDUP = f"""
+WITH p AS ({_PAYLOAD_HEX_SQL})
+SELECT md5(upper(payload_hex)) AS content_fp,
+       cast(count(*) as bigint) AS n_copies,
+       cast(min(doc_id) as bigint) AS keep_doc_id
+FROM p GROUP BY 1 ORDER BY content_fp
+"""
+
+
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_dedup": q_multimodal_dedup,
 }
 ORACLES = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
+    "multimodal_dedup": ORACLE_MULTIMODAL_DEDUP,
 }

@@ -503,3 +503,19 @@ def test_keep_best_gated_invariants(spark):
     for base, copy in exact_pairs:
         if ids[base]["cluster_id"] == ids[copy]["cluster_id"]:
             assert ids[copy]["keep"] == 0
+
+
+def test_multimodal_payload_dedup_planted(spark):
+    """payload_dedup must collapse byte-identical payloads (planted
+    triple + pair among distinct blobs) onto the min doc_id with exact
+    copy counts — the fingerprint is content-only, so doc_id plays no
+    part in the key."""
+    from jsonld_js_spark.operators.multimodal import payload_dedup
+    rows = [(1, b"\x89PNGaaaa"), (2, b"\x89PNGbbbb"),
+            (7, b"\x89PNGaaaa"), (3, b"\x89PNGaaaa"),
+            (9, b"\xff\xd8\xff\xe0cc"), (4, b"\xff\xd8\xff\xe0cc"),
+            (5, b"RIFFdddd")]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["keep_doc_id"]: r["n_copies"]
+           for r in payload_dedup(media).collect()}
+    assert got == {1: 3, 2: 1, 4: 2, 5: 1}
