@@ -301,14 +301,19 @@ _BANDS_SQL = ", ".join(
 _BAND_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, bkey{b} AS bkey FROM sigs"
     for b in range(N_BANDS))
-_MINHASH_CTES = f"""{CORPUS_SQL},
+# shingle→minhash→band CTE chain shared by the self-join oracle and
+# the cross-corpus oracle (band math is per-doc, so filtering the one
+# band table is exactly equivalent to banding each side separately)
+_BAND_CTES = f"""{CORPUS_SQL},
 docs AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM corpus),
 hashed AS (SELECT doc_id, shingles,
            list_transform(shingles, s -> {hash60_sql('s')}) AS hs
            FROM docs),
 sigs0 AS (SELECT doc_id, shingles, {_SIG_SQL} FROM hashed),
 sigs AS (SELECT *, {_BANDS_SQL} FROM sigs0),
-bands AS ({_BAND_UNION}),
+bands AS ({_BAND_UNION})"""
+
+_MINHASH_CTES = f"""{_BAND_CTES},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -330,6 +335,84 @@ WITH {_MINHASH_CTES}
 SELECT doc_a, doc_b, jaccard_ppm FROM verified
 WHERE jaccard_ppm >= {JACCARD_PPM_MIN}
 ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dedup: incoming shard vs existing corpus snapshot
+
+CROSS_STORE_MAX_ID = 100000  # gated split: base docs = store, injected = batch
+
+
+def cross_corpus_pairs(store, batch):
+    """Incremental-ingestion near-dedup: flag every document of an
+    incoming `batch` shard that is a near-duplicate (verified Jaccard
+    >= 0.5) of ANY document already in the `store` corpus — the dedup
+    a training pipeline runs on each new crawl shard BEFORE admitting
+    it, so the growing corpus never re-pairs against itself.
+
+    Scale shape: both sides run the same shingle→minhash→band
+    projection (`minhash_band_rows`); the candidate join is
+    batch-bands ⋈ store-bands on (band, bkey) — in production the
+    store's band table is a MATERIALIZED index written once per
+    snapshot (bucketed by bkey), so each shard ingest pays only the
+    shard's own banding plus one bucketed join, never an all-pairs or
+    store-rescan. The shard side is typically orders smaller than the
+    store, so AQE broadcasts the shard bands. Exact-Jaccard
+    verification joins shingle arrays for candidate pairs only."""
+    sd = shingle_table(store)
+    bd = shingle_table(batch)
+    sb = minhash_band_rows(sd)
+    bb = minhash_band_rows(bd)
+    cands = (bb.alias("b").join(
+        sb.alias("s"),
+        (F.col("b.band") == F.col("s.band")) &
+        (F.col("b.bkey") == F.col("s.bkey")))
+        .select(F.col("b.doc_id").alias("batch_doc"),
+                F.col("s.doc_id").alias("store_doc"))
+        .distinct())
+    return (cands
+            .join(bd.select(F.col("doc_id").alias("batch_doc"),
+                            F.col("shingles").alias("sa")), "batch_doc")
+            .join(sd.select(F.col("doc_id").alias("store_doc"),
+                            F.col("shingles").alias("sb")), "store_doc")
+            .select("batch_doc", "store_doc",
+                    _jaccard_ppm(F.col("sa"), F.col("sb"))
+                    .alias("jaccard_ppm"))
+            .filter(F.col("jaccard_ppm") >= JACCARD_PPM_MIN))
+
+
+def q_dedup_cross_corpus(spark, sf_dir):
+    """Gated query: the injected near/exact copies (doc_id >= 100000)
+    arrive as the incoming shard; the base documents are the store.
+    Every emitted pair crosses the shard boundary by construction."""
+    c = corpus_df(spark, sf_dir)
+    store = c.filter(F.col("doc_id") < CROSS_STORE_MAX_ID)
+    batch = c.filter(F.col("doc_id") >= CROSS_STORE_MAX_ID)
+    return (cross_corpus_pairs(store, batch)
+            .orderBy("batch_doc", "store_doc"))
+
+
+ORACLE_DEDUP_CROSS_CORPUS = f"""
+WITH {_BAND_CTES},
+cands AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS store_doc
+  FROM bands b JOIN bands s
+    ON b.band = s.band AND b.bkey = s.bkey
+  WHERE b.doc_id >= {CROSS_STORE_MAX_ID}
+    AND s.doc_id < {CROSS_STORE_MAX_ID}
+),
+verified AS (
+  SELECT batch_doc, store_doc, {_JACCARD_PPM_SQL} AS jaccard_ppm
+  FROM (SELECT c.batch_doc, c.store_doc,
+               da.shingles AS sa, db.shingles AS sb
+        FROM cands c
+        JOIN docs da ON da.doc_id = c.batch_doc
+        JOIN docs db ON db.doc_id = c.store_doc)
+)
+SELECT batch_doc, store_doc, jaccard_ppm FROM verified
+WHERE jaccard_ppm >= {JACCARD_PPM_MIN}
+ORDER BY batch_doc, store_doc
 """
 
 
@@ -731,6 +814,7 @@ ORDER BY doc_a, doc_b
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_cross_corpus": q_dedup_cross_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
@@ -739,6 +823,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_cross_corpus": ORACLE_DEDUP_CROSS_CORPUS,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

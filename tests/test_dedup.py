@@ -519,3 +519,25 @@ def test_multimodal_payload_dedup_planted(spark):
     got = {r["keep_doc_id"]: r["n_copies"]
            for r in payload_dedup(media).collect()}
     assert got == {1: 3, 2: 1, 4: 2, 5: 1}
+
+
+def test_cross_corpus_pairs_planted(spark):
+    """Planted shard-vs-store truth: an exact copy and a one-token-edit
+    near-dup of a store doc must be flagged (with the exact store match),
+    a novel doc must not, and batch-internal duplicates (b1/b4 copies)
+    are NOT emitted — the operator pairs batch x store only (shard
+    self-dedup is the regular minhash_pairs pass)."""
+    from jsonld_js_spark.operators.dedup import cross_corpus_pairs
+    base = " ".join(f"tok{i}" for i in range(30))
+    store = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated store material body")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(101, base),                                  # exact copy of 1
+         (102, base + " trailing"),                    # near-dup of 1
+         (103, "totally different words here now ok"), # novel
+         (104, base)],                                 # copy of 101 too
+        "doc_id long, text string")
+    got = {(r["batch_doc"], r["store_doc"])
+           for r in cross_corpus_pairs(store, batch).collect()}
+    assert got == {(101, 1), (102, 1), (104, 1)}
