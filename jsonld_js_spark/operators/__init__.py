@@ -6,7 +6,8 @@ from __future__ import annotations
 
 def queries() -> dict:
     from . import (classifier, dedup, jsonld_column, lm, multimodal,
-                   packing, sampling, similarity, textstats)
+                   packing, sampling, sessions, similarity,
+                   textstats)
     out = {}
     out.update(classifier.QUERIES)
     out.update(dedup.QUERIES)
@@ -16,13 +17,15 @@ def queries() -> dict:
     out.update(packing.QUERIES)
     out.update(lm.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(sessions.QUERIES)
     out.update(jsonld_column.QUERIES)
     return out
 
 
 def oracle_sql() -> dict:
     from . import (classifier, dedup, jsonld_column, lm, multimodal,
-                   packing, sampling, similarity, textstats)
+                   packing, sampling, sessions, similarity,
+                   textstats)
     out = {}
     out.update(classifier.ORACLES)
     out.update(dedup.ORACLES)
@@ -32,5 +35,6 @@ def oracle_sql() -> dict:
     out.update(packing.ORACLES)
     out.update(lm.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(sessions.ORACLES)
     out.update(jsonld_column.ORACLES)
     return out
