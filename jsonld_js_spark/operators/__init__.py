@@ -5,10 +5,11 @@ from __future__ import annotations
 
 
 def queries() -> dict:
-    from . import (classifier, dedup, jsonld_column, lm, multimodal,
-                   packing, sampling, sessions, similarity,
+    from . import (asof, classifier, dedup, jsonld_column, lm,
+                   multimodal, packing, sampling, sessions, similarity,
                    textstats)
     out = {}
+    out.update(asof.QUERIES)
     out.update(classifier.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
@@ -23,10 +24,11 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
-    from . import (classifier, dedup, jsonld_column, lm, multimodal,
-                   packing, sampling, sessions, similarity,
+    from . import (asof, classifier, dedup, jsonld_column, lm,
+                   multimodal, packing, sampling, sessions, similarity,
                    textstats)
     out = {}
+    out.update(asof.ORACLES)
     out.update(classifier.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)

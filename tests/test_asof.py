@@ -1,0 +1,72 @@
+"""asof_attach edge cases: equal timestamps (inclusive as-of), no
+prior right event, tolerance cut, multiple rights at one microsecond,
+and key isolation."""
+from __future__ import annotations
+
+import datetime as dt
+
+from jsonld_js_spark.operators.asof import asof_attach
+
+UTC = dt.timezone.utc
+
+
+def _ev(eid, us, user, typ):
+    return (eid, dt.datetime.fromtimestamp(us / 1e6, tz=UTC)
+            .replace(tzinfo=None), user, typ)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+
+
+def _res(df):
+    return {r["event_id"]: (r["asof_event_id"], r["lag_us"])
+            for r in df.collect()}
+
+
+def test_asof_basic_and_no_prior(spark):
+    ev = _frame(spark, [
+        _ev(1, 1_000_000, 7, "view"),
+        _ev(2, 5_000_000, 7, "purchase"),   # matches view 1, lag 4s
+        _ev(3, 500_000, 8, "purchase"),     # user 8 has no prior view
+        _ev(4, 9_000_000, 8, "view"),       # later view must not match
+    ])
+    out = _res(asof_attach(ev, tolerance_us=None))
+    assert out[2] == (1, 4_000_000)
+    assert out[3] == (None, None)
+
+
+def test_asof_equal_ts_inclusive_and_latest_right_wins(spark):
+    ev = _frame(spark, [
+        _ev(10, 2_000_000, 1, "view"),
+        _ev(11, 2_000_000, 1, "view"),      # same us: larger id wins
+        _ev(12, 2_000_000, 1, "purchase"),  # right at SAME us is visible
+        _ev(13, 1_000_000, 1, "view"),
+    ])
+    out = _res(asof_attach(ev, tolerance_us=None))
+    assert out[12] == (11, 0)
+
+
+def test_asof_tolerance_nulls_out_stale_match(spark):
+    ev = _frame(spark, [
+        _ev(1, 0, 5, "view"),
+        _ev(2, 10_000_000, 5, "purchase"),
+        _ev(3, 30_000_000, 5, "purchase"),
+    ])
+    out = _res(asof_attach(ev, tolerance_us=15_000_000))
+    assert out[2] == (1, 10_000_000)
+    assert out[3] == (None, None)  # lag 30s > 15s tolerance
+
+
+def test_asof_keys_isolated_and_other_types_ignored(spark):
+    ev = _frame(spark, [
+        _ev(1, 1_000_000, 1, "view"),
+        _ev(2, 2_000_000, 2, "purchase"),   # user 2: no view of its own
+        _ev(3, 1_500_000, 2, "click"),      # non-right type is ignored
+        _ev(4, 3_000_000, 1, "purchase"),
+    ])
+    out = _res(asof_attach(ev, tolerance_us=None))
+    assert out[2] == (None, None)
+    assert out[4] == (1, 2_000_000)
