@@ -584,21 +584,26 @@ def _int_cos_ppm_sql(vq: str, cs: str) -> str:
         f"as bigint)")
 
 
-def _oracle_ann_ivf() -> str:
+def _kmeans_assign_ctes(e_body: str, k: int = IVF_K,
+                        iters: int = IVF_KMEANS_ITERS) -> list[str]:
+    """DuckDB CTE chain reproducing ivf_train_cells + argmax
+    assignment bit-for-bit: `e` (the corpus body), `vqs`, hash-sampled
+    init `c0`, `iters` Lloyd rounds, `final_ranked` (per-vec cell
+    ranking against the trained centroids) and `assign` (r = 1).
+    Shared by the IVF ANN oracle and the semantic-dedup oracle."""
     sums64 = ", ".join(f"cast(sum(vq[{i + 1}]) as bigint) AS s{i}"
                       for i in range(EMB_DIM))
     arr64 = "list_value(" + ", ".join(f"s{i}" for i in range(EMB_DIM)) + ")"
     icos = _int_cos_ppm_sql("t.vq", "c.cs")
     ctes = [
-        "e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v "
-        "FROM embeddings)",
+        f"e AS ({e_body})",
         f"vqs AS (SELECT vec_id, v, {VQ_SQL} AS vq FROM e)",
         # hash-sampled init: identical to ivf_seed_rows
         f"c0 AS (SELECT vec_id AS cell, vq AS cs FROM vqs "
-        f"ORDER BY md5(cast(vec_id as varchar)), vec_id LIMIT {IVF_K})",
+        f"ORDER BY md5(cast(vec_id as varchar)), vec_id LIMIT {k})",
     ]
     prev = "c0"
-    for it in range(1, IVF_KMEANS_ITERS + 1):
+    for it in range(1, iters + 1):
         ctes.append(
             f"a{it} AS (SELECT vec_id, vq, cell FROM ("
             f"SELECT t.vec_id, t.vq, c.cell, "
@@ -609,13 +614,24 @@ def _oracle_ann_ivf() -> str:
                     f"GROUP BY cell)")
         ctes.append(f"c{it} AS (SELECT cell, {arr64} AS cs FROM s{it})")
         prev = f"c{it}"
-    cos_qv = _cos_ppm_sql("cand.qv", "cand.v")
     ctes += [
         f"final_ranked AS (SELECT t.vec_id, t.v, c.cell, "
         f"row_number() OVER (PARTITION BY t.vec_id "
         f"ORDER BY {icos} DESC, c.cell) AS r "
         f"FROM vqs t CROSS JOIN {prev} c)",
         "assign AS (SELECT vec_id, v, cell FROM final_ranked WHERE r = 1)",
+    ]
+    return ctes
+
+
+_E_EMBEDDINGS = ("SELECT vec_id, cast(embedding as DOUBLE[]) AS v "
+                 "FROM embeddings")
+
+
+def _oracle_ann_ivf() -> str:
+    ctes = _kmeans_assign_ctes(_E_EMBEDDINGS)
+    cos_qv = _cos_ppm_sql("cand.qv", "cand.v")
+    ctes += [
         f"probes AS (SELECT vec_id AS query_id, v AS qv, cell "
         f"FROM final_ranked WHERE r <= {IVF_NPROBE} "
         f"AND vec_id < {N_QUERIES})",
@@ -631,15 +647,122 @@ def _oracle_ann_ivf() -> str:
             f"WHERE rank <= {TOP_K} ORDER BY query_id, rank")
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (the SemDeDup pattern): cluster the corpus with the
+# TRAINED k-means coarse quantizer, then deduplicate WITHIN each cell
+# at a semantic threshold (0.90 cos here) far below the exact/near-dup
+# band of dedup_embedding_cosine (0.999). The per-cell pairwise step
+# is the SemDeDup contract: cost is sum(|cell|^2) ~ N^2/K, and K
+# scales with N to hold |cell| ~ constant (K ≈ N / target_cell_size —
+# same broadcast-state math as the IVF header above), so the quadratic
+# never sees the corpus, only a cell. Survivor rule is deterministic
+# and SQL-expressible: a vector is DROPPED iff a SMALLER vec_id in the
+# same cell matches at >= threshold (min-id survivor; dup_of = the
+# smallest such neighbor). The gated corpus injects semantic
+# near-dups: vec_id+200000 copies (vec_id % 10 == 0) with every
+# (vec_id + dim) % 32 == 0 coordinate zeroed — a pure selection, so
+# both engines hold byte-identical doubles (planted cos in
+# [0.92, 0.999], natural max ~0.51: the 0.90 threshold separates them
+# exactly; the perturbation stride makes the dup SEMANTIC, not exact).
+
+SEM_PPM = 900000
+SEM_PERTURB_STRIDE = 32
+
+
+def _sem_perturb(vcol, vid_col):
+    return F.transform(
+        vcol, lambda x, i: F.when(
+            ((vid_col + i) % SEM_PERTURB_STRIDE) == 0,
+            F.lit(0.0)).otherwise(x))
+
+
+def _sem_corpus(spark, sf_dir):
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v"))
+    pert = (e.filter(F.col("vec_id") % 10 == 0)
+            .select((F.col("vec_id") + 200000).alias("vec_id"),
+                    _sem_perturb(F.col("v"), F.col("vec_id")).alias("v")))
+    return e.unionAll(pert)
+
+
+def semantic_dedup(corpus, k: int = IVF_K, iters: int = IVF_KMEANS_ITERS,
+                   threshold_ppm: int = SEM_PPM):
+    """SemDeDup over a (vec_id, v: array<double>) corpus: one row per
+    input vector — (vec_id, cell, keep, dup_of). The assignment frame
+    is cached: it feeds both sides of the per-cell pair join plus the
+    final left join, and Catalyst does not dedupe a subplan referenced
+    thrice (at 100 TB swap the cache for a reliable checkpoint of the
+    narrow (vec_id, cell) projection and re-join vectors by id)."""
+    vqs = corpus.select("vec_id", "v", _quantize(F.col("v")).alias("vq"))
+    cents_rows = ivf_train_cells(vqs.select("vec_id", "vq"), k, iters)
+    assign = vqs.select(
+        "vec_id", "v",
+        F.element_at(ivf_probe_cells(F.col("vq"), cents_rows, 1), 1)
+        .alias("cell")).cache()
+    a = assign.select(F.col("vec_id").alias("vec_a"),
+                      F.col("v").alias("v_a"), "cell")
+    b = assign.select(F.col("vec_id").alias("vec_b"),
+                      F.col("v").alias("v_b"), "cell")
+    dups = (a.join(b, "cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_b",
+                    _cos_ppm(F.col("v_a"), F.col("v_b")).alias("cos_ppm"),
+                    "vec_a")
+            .filter(F.col("cos_ppm") >= threshold_ppm)
+            .groupBy("vec_b").agg(F.min("vec_a").alias("dup_of"))
+            .withColumnRenamed("vec_b", "vec_id"))
+    return (assign.join(dups, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.col("dup_of").isNull().cast("int").alias("keep"),
+                    "dup_of"))
+
+
+def q_dedup_semantic(spark, sf_dir):
+    return (semantic_dedup(_sem_corpus(spark, sf_dir))
+            .orderBy("vec_id"))
+
+
+_E_SEM = (
+    f"SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings "
+    f"UNION ALL "
+    f"SELECT vec_id + 200000, list_transform(range(1, {EMB_DIM} + 1), "
+    f"i -> case when (vec_id + (i - 1)) % {SEM_PERTURB_STRIDE} = 0 "
+    f"then 0.0e0 else v[i] end) "
+    f"FROM (SELECT vec_id, cast(embedding as DOUBLE[]) AS v "
+    f"FROM embeddings) WHERE vec_id % 10 = 0")
+
+
+def _oracle_dedup_semantic() -> str:
+    cos = _cos_ppm_sql("p.v_a", "p.v_b")
+    ctes = _kmeans_assign_ctes(_E_SEM)
+    ctes += [
+        f"pairs AS (SELECT a.vec_id AS vec_a, a.v AS v_a, "
+        f"b.vec_id AS vec_b, b.v AS v_b "
+        f"FROM assign a JOIN assign b "
+        f"ON a.cell = b.cell AND a.vec_id < b.vec_id)",
+        f"dups AS (SELECT vec_b AS vec_id, "
+        f"cast(min(vec_a) as bigint) AS dup_of "
+        f"FROM pairs p WHERE {cos} >= {SEM_PPM} GROUP BY vec_b)",
+    ]
+    return ("WITH " + ",\n".join(ctes) +
+            "\nSELECT s.vec_id, s.cell, "
+            "cast(case when d.dup_of IS NULL then 1 else 0 end as int) "
+            "AS keep, d.dup_of "
+            "FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id "
+            "ORDER BY s.vec_id")
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_semantic": q_dedup_semantic,
 }
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_COSINE,
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_ivf_topk": _oracle_ann_ivf(),
     "dedup_embedding_cosine": _oracle_neardup(),
+    "dedup_semantic": _oracle_dedup_semantic(),
 }

@@ -620,3 +620,55 @@ def test_label_propagation_oscillation_is_deterministic(spark):
     edges = _und(spark, [("u", "v")])
     got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
     assert got == {"u": "u", "v": "v"}
+
+
+def test_semantic_dedup_planted_truth(spark):
+    """SemDeDup gated corpus: every planted perturbed copy that lands
+    in its original's cell must be dropped WITH dup_of = the original
+    (the only >= 0.90 neighbor — natural max cos is ~0.51), natural
+    rows all survive, and co-location of planted pairs is near-total
+    (near-identical vectors share the argmax cell)."""
+    from jsonld_js_spark.operators.similarity import q_dedup_semantic
+    rows = {r["vec_id"]: r
+            for r in q_dedup_semantic(spark, "/root/testdata/sf0.001")
+            .collect()}
+    planted = [v for v in rows if v >= 200000]
+    assert planted
+    colocated = [v for v in planted
+                 if rows[v]["cell"] == rows[v - 200000]["cell"]]
+    assert len(colocated) / len(planted) >= 0.9
+    for v in colocated:
+        assert rows[v]["keep"] == 0 and rows[v]["dup_of"] == v - 200000
+    for v in rows:
+        if v < 200000:
+            assert rows[v]["keep"] == 1 and rows[v]["dup_of"] is None
+
+
+def test_semantic_dedup_min_id_survivor_and_threshold(spark):
+    """Hand truth: three identical vectors -> smallest id survives,
+    both others point dup_of at it (min-id, not chained); a same-cell
+    vector BELOW the threshold survives."""
+    import numpy as np
+    from jsonld_js_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    perp = rng.normal(size=64)
+    perp -= perp.dot(base) * base
+    perp /= np.linalg.norm(perp)
+    mid = 0.7 * base + np.sqrt(1 - 0.49) * perp   # cos 0.7 to base
+    far = -base                                   # its own cell
+    rows = [(1, [float(x) for x in base]),
+            (2, [float(x) for x in base]),
+            (3, [float(x) for x in base]),
+            (4, [float(x) for x in mid]),
+            (5, [float(x) for x in far])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {r["vec_id"]: r
+           for r in semantic_dedup(df, k=2, iters=1).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["dup_of"] == 1
+    assert out[3]["keep"] == 0 and out[3]["dup_of"] == 1
+    assert out[4]["keep"] == 1 and out[4]["dup_of"] is None
+    assert out[5]["keep"] == 1
