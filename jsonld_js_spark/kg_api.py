@@ -1516,6 +1516,125 @@ def q_kg_sameas_closure(spark, sf_dir):
     return sameas_closure(surface_triples, resolver_sameas_edges(t))
 
 
+# ---------------------------------------------------------------------------
+# deterministic random walks (DeepWalk-style graph -> sequence corpus)
+
+WALKS_PER_NODE = 2
+WALK_LEN = 4
+
+
+def random_walks(edges, walks_per_node: int = WALKS_PER_NODE,
+                 walk_len: int = WALK_LEN):
+    """Graph -> sequence corpus: `walks_per_node` truncated random
+    walks of `walk_len` steps from EVERY node of an (a, b) edge set
+    given in both directions — the DeepWalk/node2vec preprocessing
+    step that turns a KG into skip-gram training sequences. The
+    "random" choice is a deterministic portable hash: at step s of
+    walk (seed, w), the successor is the neighbor minimizing
+    hash60(seed|w|s|neighbor) (ties by neighbor) — an unbiased
+    per-step draw both engines reproduce exactly, so the corpus is
+    stable under re-runs and incremental rebuilds (the corpus_split
+    reproducibility argument applied to graph sequences).
+
+    Scale shape per step: walk state is exactly one row per
+    (seed, w) — walks never branch — so each step is ONE state⋈edges
+    shuffle on the current node plus a groupBy(seed, w) argmin
+    expressed as min_by(b, struct(h, b)) with map-side partial
+    combine; the hub-node fan-out (state rows x degree) collapses in
+    the combiner before the exchange. Lineage stays walk_len-shallow
+    via per-step cache (swap for _reliable_checkpoint at 100 TB —
+    same policy as khop/connected_components). Walks over a sink node
+    (possible only on DIRECTED edge sets) simply end early: absent
+    rows, never nulls.
+    """
+    from .operators.textstats import hash60
+    nodes = edges.select(F.col("a").alias("seed")).distinct()
+    walks = nodes.select("seed", F.explode(F.array(
+        *[F.lit(w).cast("long") for w in range(walks_per_node)]))
+        .alias("w"))
+    state = walks.select("seed", "w", F.col("seed").alias("node")).cache()
+    levels = [state.select(
+        "seed", "w", F.lit(0).cast("long").alias("step"), "node")]
+    for h in range(1, walk_len + 1):
+        key = F.concat_ws("|", F.col("seed"), F.col("w").cast("string"),
+                          F.lit(str(h)), F.col("b"))
+        state = (state.join(edges, state["node"] == edges["a"])
+                 .select("seed", "w", F.col("b").alias("b"),
+                         hash60(key).alias("h"))
+                 .groupBy("seed", "w")
+                 .agg(F.expr("min_by(b, struct(h, b))").alias("node"))
+                 .cache())
+        levels.append(state.select(
+            "seed", "w", F.lit(h).cast("long").alias("step"), "node"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out
+
+
+def q_kg_random_walks(spark, sf_dir):
+    """Gated query: the walk corpus over the co-mention graph (guard
+    ON — shares `_comention_pairs` with kg_entity_comention): 2 walks
+    x 4 steps from every entity, the sequences a graph-embedding
+    trainer consumes."""
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    p = pairs.distinct()
+    edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
+             .unionAll(p.select(F.col("ent_b").alias("a"),
+                                F.col("ent_a").alias("b"))))
+    return random_walks(edges).orderBy("seed", "w", "step")
+
+
+def oracle_kg_random_walks(triples_sql: str) -> str:
+    from .operators.textstats import hash60_sql
+    sql = f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+pairs AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+),
+edges AS (
+  SELECT ent_a AS a, ent_b AS b FROM pairs
+  UNION ALL SELECT ent_b, ent_a FROM pairs
+),
+s0 AS (
+  SELECT DISTINCT a AS seed, w, a AS node
+  FROM edges CROSS JOIN (SELECT unnest(range({WALKS_PER_NODE})) AS w)
+)"""
+    prev = "s0"
+    for h in range(1, WALK_LEN + 1):
+        hkey = hash60_sql(
+            f"concat_ws('|', s.seed, cast(s.w as varchar), '{h}', e.b)")
+        sql += f""",
+p{h} AS (
+  SELECT s.seed, s.w, e.b, {hkey} AS h
+  FROM {prev} s JOIN edges e ON e.a = s.node
+),
+s{h} AS (
+  SELECT seed, w, node FROM (
+    SELECT seed, w, b AS node,
+           row_number() OVER (PARTITION BY seed, w ORDER BY h, b) AS r
+    FROM p{h}) WHERE r = 1
+)"""
+        prev = f"s{h}"
+    steps = " UNION ALL ".join(
+        f"SELECT seed, cast(w as bigint) AS w, cast({h} as bigint) AS step, "
+        f"node FROM s{h}"
+        for h in range(0, WALK_LEN + 1))
+    return sql + f"\nSELECT * FROM ({steps}) ORDER BY seed, w, step"
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -1538,6 +1657,7 @@ def queries() -> dict:
         "kg_khop": q_kg_khop,
         "kg_triangle_count": q_kg_triangle_count,
         "kg_label_propagation": q_kg_label_propagation,
+        "kg_random_walks": q_kg_random_walks,
     }
 
 
@@ -1579,4 +1699,5 @@ def oracles(n_conv: int) -> dict:
         "kg_khop": oracle_kg_khop(triples_sql),
         "kg_triangle_count": oracle_kg_triangle_count(triples_sql),
         "kg_label_propagation": oracle_kg_label_propagation(triples_sql),
+        "kg_random_walks": oracle_kg_random_walks(triples_sql),
     }

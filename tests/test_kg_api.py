@@ -672,3 +672,50 @@ def test_semantic_dedup_min_id_survivor_and_threshold(spark):
     assert out[3]["keep"] == 0 and out[3]["dup_of"] == 1
     assert out[4]["keep"] == 1 and out[4]["dup_of"] is None
     assert out[5]["keep"] == 1
+
+
+def test_random_walks_hand_truth_and_shape(spark):
+    """Pure-python replay of the hash60 argmin rule must reproduce the
+    walk corpus exactly; every (seed, w) has exactly walk_len+1
+    ordered steps on a both-direction edge set."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from jsonld_js_spark.kg_api import random_walks
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], "a string, b string")
+    out = random_walks(edges, walks_per_node=2, walk_len=3).collect()
+
+    adj = {}
+    for x, y in pairs + [(y, x) for x, y in pairs]:
+        adj.setdefault(x, set()).add(y)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    for seed in adj:
+        for w in range(2):
+            cur = seed
+            expect[(seed, w, 0)] = cur
+            for step in range(1, 4):
+                cur = min(adj[cur],
+                          key=lambda v: (h60(f"{seed}|{w}|{step}|{v}"), v))
+                expect[(seed, w, step)] = cur
+    got = {(r["seed"], r["w"], r["step"]): r["node"] for r in out}
+    assert got == expect
+
+
+def test_random_walks_directed_sink_ends_early(spark):
+    """On a DIRECTED edge set a walk reaching a sink stops: later
+    steps are absent rows, never nulls."""
+    from jsonld_js_spark.kg_api import random_walks
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "a string, b string")
+    out = random_walks(edges, walks_per_node=1, walk_len=5).collect()
+    walk_a = sorted((r["step"], r["node"]) for r in out
+                    if r["seed"] == "a")
+    assert walk_a == [(0, "a"), (1, "b"), (2, "c")]  # c is a sink
+    assert all(r["node"] is not None for r in out)
