@@ -28,19 +28,22 @@ MAGICS = {0: ("89504E47", "image/png"), 1: ("FFD8FFE0", "image/jpeg"),
           2: ("52494646", "audio/wav")}
 
 
+def _payload_hex_col():
+    magic = (F.when(F.col("doc_id") % 3 == 0, MAGICS[0][0])
+             .when(F.col("doc_id") % 3 == 1, MAGICS[1][0])
+             .otherwise(MAGICS[2][0]))
+    return F.concat(magic, F.md5("text"),
+                    F.md5(F.concat("text", F.lit("2"))))
+
+
 def media_df(spark, sf_dir):
     """documents → (doc_id, payload binary, declared_type): the opaque
     multimodal column, synthesized deterministically."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    magic = (F.when(F.col("doc_id") % 3 == 0, MAGICS[0][0])
-             .when(F.col("doc_id") % 3 == 1, MAGICS[1][0])
-             .otherwise(MAGICS[2][0]))
     declared = (F.when(F.col("doc_id") % 3 == 0, MAGICS[0][1])
                 .when(F.col("doc_id") % 3 == 1, MAGICS[1][1])
                 .otherwise(MAGICS[2][1]))
-    payload_hex = F.concat(magic, F.md5("text"),
-                           F.md5(F.concat("text", F.lit("2"))))
-    return d.select("doc_id", F.unhex(payload_hex).alias("payload"),
+    return d.select("doc_id", F.unhex(_payload_hex_col()).alias("payload"),
                     declared.alias("declared_type"))
 
 
@@ -187,13 +190,124 @@ FROM p GROUP BY 1 ORDER BY content_fp
 """
 
 
+# ---------------------------------------------------------------------------
+# fuzzy (near-dup) content fingerprinting over the opaque payload —
+# the ssdeep/perceptual-hash slot of an asset pipeline: catch the SAME
+# asset under minor corruption / appended metadata, which the exact
+# md5 of payload_dedup cannot. Shingles are byte-aligned 4-byte grams
+# of the payload hex (stride 1 byte), pushed through the SHARED
+# one-hash MinHash + 4x2 LSH band machinery of operators/dedup.py
+# (minhash_band_rows), then exact-Jaccard verified — so the scale
+# story (band bucket join, never all-pairs; only 16-byte band keys
+# shuffle, payloads stay in their scan partition) and the measured
+# recall math carry over unchanged. The gated corpus plants tagged
+# copies (doc_id+500000, payload || DEADBEEF — "re-encoded with an
+# appended metadata atom"): 33 of 37 grams shared -> J ~ 0.89, while
+# unrelated md5-derived payloads share ~0 grams.
+
+MM_GRAM_HEX_CHARS = 8      # 4 bytes per shingle
+MM_NEARDUP_J_PPM = 700000
+MM_CORRUPT_TAG = "DEADBEEF"
+
+
+def _hex_shingles(hex_col):
+    """Distinct byte-aligned 4-byte-gram shingles of a hex string.
+    The (possibly computed) hex expression is bound ONCE per row via
+    the transform-array let-binding (see CLAUDE.md: inlining it into
+    the per-index lambda makes codegen re-evaluate it per element)."""
+    def _grams_of(hx):
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(1),
+                       F.length(hx) - (MM_GRAM_HEX_CHARS - 1), F.lit(2)),
+            lambda i: hx.substr(i, F.lit(MM_GRAM_HEX_CHARS))))
+    return F.element_at(F.transform(F.array(hex_col), _grams_of), 1)
+
+
+def payload_neardup_pairs(media_hex, j_ppm: int = MM_NEARDUP_J_PPM):
+    """(doc_id, payload_hex) -> verified near-dup pairs
+    (doc_a, doc_b, jaccard_ppm) via byte-gram MinHash/LSH."""
+    from .dedup import _jaccard_ppm, minhash_band_rows
+    docs = media_hex.select(
+        "doc_id", _hex_shingles(F.col("payload_hex")).alias("shingles"))
+    bands = minhash_band_rows(docs)
+    pairs = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band")) &
+        (F.col("a.bkey") == F.col("b.bkey")) &
+        (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+    verified = (pairs
+                .join(docs.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("shingles").alias("sa")), "doc_a")
+                .join(docs.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("shingles").alias("sb")), "doc_b")
+                .select("doc_a", "doc_b",
+                        _jaccard_ppm(F.col("sa"), F.col("sb"))
+                        .alias("jaccard_ppm"))
+                .filter(F.col("jaccard_ppm") >= j_ppm))
+    return verified
+
+
+def q_multimodal_neardup(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select("doc_id", _payload_hex_col().alias("payload_hex"))
+    planted = (base.filter(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 500000).alias("doc_id"),
+                       F.concat("payload_hex", F.lit(MM_CORRUPT_TAG))
+                       .alias("payload_hex")))
+    return (payload_neardup_pairs(base.unionAll(planted))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _oracle_multimodal_neardup() -> str:
+    from .dedup import _BAND_UNION, _BANDS_SQL, _JACCARD_PPM_SQL, _SIG_SQL
+    from .textstats import hash60_sql
+    gram_positions = (f"range(1, len(payload_hex) - "
+                      f"{MM_GRAM_HEX_CHARS - 2}, 2)")
+    shingles = (f"list_distinct(list_transform({gram_positions}, "
+                f"i -> substr(payload_hex, i, {MM_GRAM_HEX_CHARS})))")
+    return f"""
+WITH p AS ({_PAYLOAD_HEX_SQL}),
+ncorpus AS (
+  SELECT doc_id, payload_hex FROM p
+  UNION ALL
+  SELECT doc_id + 500000, payload_hex || '{MM_CORRUPT_TAG}'
+  FROM p WHERE doc_id % 10 = 0
+),
+docs AS (SELECT doc_id, {shingles} AS shingles FROM ncorpus),
+hashed AS (SELECT doc_id, shingles,
+           list_transform(shingles, s -> {hash60_sql('s')}) AS hs
+           FROM docs),
+sigs0 AS (SELECT doc_id, shingles, {_SIG_SQL} FROM hashed),
+sigs AS (SELECT *, {_BANDS_SQL} FROM sigs0),
+bands AS ({_BAND_UNION}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b, da.shingles AS sa, db.shingles AS sb
+  FROM cand c JOIN docs da ON da.doc_id = c.doc_a
+              JOIN docs db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, {_JACCARD_PPM_SQL} AS jaccard_ppm FROM pairs
+WHERE {_JACCARD_PPM_SQL} >= {MM_NEARDUP_J_PPM}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_dedup": q_multimodal_dedup,
+    "multimodal_neardup": q_multimodal_neardup,
 }
 ORACLES = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_dedup": ORACLE_MULTIMODAL_DEDUP,
+    "multimodal_neardup": _oracle_multimodal_neardup(),
 }

@@ -541,3 +541,45 @@ def test_cross_corpus_pairs_planted(spark):
     got = {(r["batch_doc"], r["store_doc"])
            for r in cross_corpus_pairs(store, batch).collect()}
     assert got == {(101, 1), (102, 1), (104, 1)}
+
+
+def test_multimodal_neardup_planted_and_corruption_modes(spark):
+    """Byte-gram MinHash near-dup: a tail-appended copy AND a
+    mid-byte-corrupted copy of the same blob are both caught with
+    high Jaccard; unrelated blobs are not paired. Payload hex is
+    synthesized like the gated corpus (md5-derived, so unrelated
+    blobs share ~no grams)."""
+    import hashlib
+
+    from jsonld_js_spark.operators.multimodal import (
+        payload_neardup_pairs)
+
+    def hx(seed):
+        return (hashlib.md5(seed.encode()).hexdigest() +
+                hashlib.md5((seed + "2").encode()).hexdigest() +
+                hashlib.md5((seed + "3").encode()).hexdigest())
+
+    base = hx("blob-a")                    # 96 hex chars = 48 bytes
+    appended = base + "DEADBEEF"           # re-encode w/ metadata atom
+    corrupted = base[:40] + "00" + base[42:]  # one flipped mid-byte
+    rows = [(1, base), (2, appended), (3, corrupted),
+            (4, hx("blob-b")), (5, hx("blob-c"))]
+    media = spark.createDataFrame(rows, "doc_id long, payload_hex string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+             for r in payload_neardup_pairs(media, j_ppm=600000).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 800000
+    assert (1, 3) in pairs  # 4-byte grams around one bad byte drop out
+    for p in pairs:
+        assert 4 not in p and 5 not in p
+
+
+def test_multimodal_neardup_gated_planted_truth(spark):
+    """Gated corpus: exactly the 50 planted (orig, orig+500000) pairs
+    at sf0.001 — byte-gram blocking adds no md5-collision false
+    positives and the exact-Jaccard verify keeps every planted pair."""
+    from jsonld_js_spark.operators.multimodal import q_multimodal_neardup
+    got = {(r["doc_a"], r["doc_b"])
+           for r in q_multimodal_neardup(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got and all(b == a + 500000 for a, b in got)
+    assert all(a % 10 == 0 for a, _ in got)
