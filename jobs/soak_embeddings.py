@@ -29,7 +29,7 @@ DUP_EVERY = 10
 NOISE = 0.02  # relative perturbation; cos ~ 1 - NOISE^2/2
 
 
-def synth_vectors(spark, n_base: int):
+def synth_vectors(spark, n_base: int, noise: float = NOISE):
     """(vec_id, v): base vectors + perturbed twins (vec_id+10^7)."""
     ids = spark.range(n_base).select(F.col("id").alias("vec_id"))
     def draw(seed_col, j, scale):
@@ -44,7 +44,7 @@ def synth_vectors(spark, n_base: int):
              .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
                      F.array(*[
                          draw(F.col("vec_id") * 1000003, j, 1.0) +
-                         draw(F.col("vec_id") * 7 + 13, j, NOISE)
+                         draw(F.col("vec_id") * 7 + 13, j, noise)
                          for j in range(DIM)]).alias("v")))
     return base.unionAll(twins)
 
@@ -152,6 +152,54 @@ def run_ivf(spark, n_base: int, k: int = 128, iters: int = 3) -> dict:
     return rec
 
 
+SEM_NOISE = 0.25  # cos ~ 1 - 0.25^2/2 ~ 0.969: semantic, not near-exact
+
+
+def run_semantic(spark, n_base: int, k: int) -> dict:
+    """SemDeDup at scale: twins perturbed to cos ~ 0.97 (well inside
+    the 0.90 semantic threshold, far below the 0.999 near-dup band),
+    k-means at a corpus-scaled K (K ~ N / target_cell_size — the knob
+    that holds the within-cell quadratic flat as N grows). Measures
+    planted drop-recall (requires twin and base to share a cell — the
+    real SemDeDup recall), dup_of attribution exactness, natural
+    false-drop count (must be 0: random 64-dim pairs sit at cos ~ 0),
+    and the within-cell candidate-pair total (the quadratic that K
+    must bound)."""
+    from jsonld_js_spark.operators.similarity import semantic_dedup
+    corpus = synth_vectors(spark, n_base, noise=SEM_NOISE).cache()
+    n_all = corpus.count()
+    t0 = time.time()
+    out = semantic_dedup(corpus, k=k, iters=2).cache()
+    n_out = out.count()
+    wall = time.time() - t0
+    assert n_out == n_all
+    twins = out.filter(F.col("vec_id") >= 10_000_000)
+    n_twins = twins.count()
+    dropped_right = twins.filter(
+        (F.col("keep") == 0) &
+        (F.col("dup_of") == F.col("vec_id") - 10_000_000)).count()
+    false_drops = (out.filter(F.col("vec_id") < 10_000_000)
+                   .filter(F.col("keep") == 0).count())
+    cell_sizes = out.groupBy("cell").count().collect()
+    within_pairs = sum(r["count"] * (r["count"] - 1) // 2
+                       for r in cell_sizes)
+    rec = {
+        "sem_k": k,
+        "n_vectors": n_all,
+        "planted_twins": n_twins,
+        "dropped_with_exact_dup_of": dropped_right,
+        "drop_recall": round(dropped_right / n_twins, 4),
+        "false_drops": false_drops,
+        "max_cell": max(r["count"] for r in cell_sizes),
+        "within_cell_pairs": within_pairs,
+        "wall_sec": round(wall, 1),
+        "peak_jvm_rss_gib": _jvm_peak_rss_gib(),
+    }
+    out.unpersist(); corpus.unpersist()
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -167,6 +215,9 @@ def main():
     big_wide = run_one(spark, n_small * factor, planes_per_band=20)
     ivf_small = run_ivf(spark, n_small)
     ivf_big = run_ivf(spark, n_small * factor)
+    # K scales with N (x4 corpus -> x4 cells) so cell size stays flat
+    sem_small = run_semantic(spark, n_small, k=128)
+    sem_big = run_semantic(spark, n_small * factor, k=512)
     print(json.dumps({
         "metric": "embedding_soak",
         "pair_growth_vs_size_growth": round(
@@ -183,6 +234,12 @@ def main():
         "ivf_cell_max_over_mean_big": ivf_big["cell_max_over_mean"],
         "ivf_twin_recall_small": ivf_small["twin_routing_recall"],
         "ivf_twin_recall_big": ivf_big["twin_routing_recall"],
+        "sem_drop_recall_small": sem_small["drop_recall"],
+        "sem_drop_recall_big": sem_big["drop_recall"],
+        "sem_false_drops": sem_small["false_drops"] + sem_big["false_drops"],
+        "sem_within_pair_growth_vs_size_growth": round(
+            (sem_big["within_cell_pairs"] /
+             max(1, sem_small["within_cell_pairs"])) / factor, 3),
     }), flush=True)
 
 
