@@ -1102,11 +1102,17 @@ def triangle_counts(edges):
     oriented-edge joins (keys: wedge apex, then (v, w) pair — both
     uniform after orientation; AQE handles the residue).
     """
+    # und / o / tri are edge- and triangle-scale but referenced 2-3x
+    # each (src/dst swap, o1/o2/closing, three corner projections) and
+    # derive from a corpus-scale scan — Catalyst does not dedupe the
+    # shared subtree (CLAUDE.md), so uncached they re-ran it up to 9x
+    # (measured 42.3 -> 1.8 s at sf0.1). At 100 TB swap for
+    # _reliable_checkpoint of the oriented edge set.
     und = (edges.select(F.col("ent_a").alias("src"),
                         F.col("ent_b").alias("dst"))
            .unionAll(edges.select(F.col("ent_b").alias("src"),
                                   F.col("ent_a").alias("dst")))
-           .distinct())
+           .distinct()).cache()
     deg = und.groupBy("src").agg(F.count("*").alias("d")) \
         .select(F.col("src").alias("node"), "d")
     withd = (und
@@ -1118,7 +1124,7 @@ def triangle_counts(edges):
     # each oriented edge so the wedge comparison needs no re-join
     o = (withd.filter(F.struct(F.col("sd"), F.col("src")) <
                       F.struct(F.col("dd"), F.col("dst")))
-         .select("src", "dst", "dd"))
+         .select("src", "dst", "dd")).cache()
     o1, o2 = o.alias("o1"), o.alias("o2")
     wedges = (o1.join(o2, (F.col("o1.src") == F.col("o2.src")) &
                       (F.struct(F.col("o1.dd"), F.col("o1.dst")) <
@@ -1127,7 +1133,7 @@ def triangle_counts(edges):
                       F.col("o1.dst").alias("v"),
                       F.col("o2.dst").alias("w")))
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"])
+    tri = wedges.join(closing, ["v", "w"]).cache()
     corners = (tri.select(F.col("u").alias("ent"))
                .unionAll(tri.select(F.col("v").alias("ent")))
                .unionAll(tri.select(F.col("w").alias("ent"))))
@@ -1141,7 +1147,9 @@ def q_kg_triangle_count(spark, sf_dir):
     the local clustering signal KG pipelines ship for community /
     hub-spam detection."""
     pairs, _guard = _comention_pairs(spark, sf_dir)
-    return (triangle_counts(pairs.distinct())
+    # cache: und's src/dst-swap union references the distinct pair set
+    # twice, and it derives from a corpus-scale scan
+    return (triangle_counts(pairs.distinct().cache())
             .orderBy(F.desc("n_triangles"), "ent"))
 
 
@@ -1244,9 +1252,12 @@ def q_kg_label_propagation(spark, sf_dir):
     from pyspark.sql import Window
     pairs, _guard = _comention_pairs(spark, sf_dir)
     p = pairs.distinct()
+    # cache: vocabulary-scale frame off a corpus-scale scan, referenced
+    # by every superstep join plus the node seed (Catalyst
+    # no-subplan-reuse; measured 13.5 -> ~2 s at sf0.1)
     edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
              .unionAll(p.select(F.col("ent_b").alias("a"),
-                                F.col("ent_a").alias("b"))))
+                                F.col("ent_a").alias("b")))).cache()
     labels = label_propagation(edges)
     w = Window.partitionBy("community")
     return (labels.select(F.col("node").alias("ent"),
@@ -1349,8 +1360,12 @@ def q_kg_khop(spark, sf_dir):
     fwd = (t.filter(F.col("obj_termtype") == "NamedNode")
            .select(F.col("subj").alias("a"),
                    F.col("obj_value").alias("b")))
+    # cache: the distinct-ed edge set re-shuffles per BFS level when
+    # uncached (Catalyst no-subplan-reuse); triple-scale, so at 100 TB
+    # swap for a reliable checkpoint
     edges = fwd.unionAll(fwd.select(F.col("b").alias("a"),
-                                    F.col("a").alias("b"))).distinct()
+                                    F.col("a").alias("b"))).distinct() \
+        .cache()
     seeds = spark.createDataFrame([(ENT_NS + "Entity0",)], "node string")
     return khop(edges, seeds).orderBy("hops", "node")
 
