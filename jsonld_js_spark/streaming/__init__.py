@@ -1,5 +1,5 @@
 from .ingest import (  # noqa: F401
-    stream_conversation_sessions, stream_dedup_documents,
-    stream_mention_counts, stream_neardup_pairs, stream_nquads_triples,
-    stream_transcript_triples,
+    stream_asof_attach, stream_conversation_sessions,
+    stream_dedup_documents, stream_mention_counts, stream_neardup_pairs,
+    stream_nquads_triples, stream_transcript_triples,
 )

@@ -285,3 +285,115 @@ def stream_nquads_triples(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string")
+
+
+def stream_asof_attach(spark: SparkSession, input_dir: str,
+                       checkpoint_dir: str,
+                       left_type: str = "purchase",
+                       right_type: str = "view",
+                       tolerance_us: int | None = 21600 * 1_000_000,
+                       watermark: str = "10 minutes",
+                       query_name: str = "asof_attr",
+                       available_now: bool = True,
+                       max_files_per_trigger: int = 1):
+    """Streaming last-touch attribution — the live counterpart of
+    operators/asof.asof_attach, same output contract (user_id,
+    event_id, us, asof_event_id, asof_us, lag_us — int64 micros,
+    as-of <= with right-before-left at equal microseconds, larger
+    event_id among equal-us rights winning, tolerance nulling stale
+    matches).
+
+    Custom stateful operator via applyInPandasWithState keyed by
+    user_id. Out-of-order arrival is handled by the watermark-sort
+    pattern: rows buffer in per-key state until the event-time
+    watermark passes them, then are replayed in (us, side, event_id)
+    order — a LEFT event emits exactly once, when no earlier RIGHT
+    can still arrive. State is BOUNDED on both axes: the buffer holds
+    only rows inside the watermark window, and the carried
+    latest-right row expires via event-time timeout once the
+    watermark passes last_right_us + tolerance (a right older than
+    that can never match a future left, whose us necessarily exceeds
+    the watermark) — so state per key is O(window), independent of
+    stream length, the applyInPandasWithState shape a 10^12-event
+    feed needs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    stream = (spark.readStream.schema(EVENTS_DDL)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_dir)
+              .filter(F.col("event_type").isin(left_type, right_type))
+              .withWatermark("ts", watermark)
+              .select("user_id", "event_id",
+                      (F.col("event_type") == left_type).alias("is_left"),
+                      "ts"))
+
+    output_schema = ("user_id long, event_id long, us long, "
+                     "asof_event_id long, asof_us long, lag_us long")
+    state_schema = ("pend_us array<long>, pend_id array<long>, "
+                    "pend_left array<boolean>, "
+                    "last_right_id long, last_right_us long")
+
+    def attach(key, pdfs, state: GroupState):
+        (user_id,) = key
+        pend = []
+        last_rid, last_rus = None, None
+        if state.exists:
+            pend_us, pend_id, pend_left, last_rid, last_rus = state.get
+            pend = list(zip(pend_us, pend_left, pend_id))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for eid, left, ts in zip(pdf["event_id"], pdf["is_left"],
+                                         pdf["ts"]):
+                    pend.append((int(ts.value) // 1000, bool(left),
+                                 int(eid)))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pend.sort()  # (us, right-before-left via False<True, event_id)
+        out, keep = [], []
+        for us, left, eid in pend:
+            if us > wm_us:
+                keep.append((us, left, eid))
+            elif left:
+                ok = last_rus is not None and (
+                    tolerance_us is None or us - last_rus <= tolerance_us)
+                out.append((user_id, eid, us,
+                            last_rid if ok else None,
+                            last_rus if ok else None,
+                            us - last_rus if ok else None))
+            else:
+                last_rid, last_rus = eid, us
+        if keep:
+            state.update(([r[0] for r in keep], [r[2] for r in keep],
+                          [r[1] for r in keep], last_rid, last_rus))
+            state.setTimeoutTimestamp(keep[0][0] // 1000 + 1)
+        elif last_rus is not None and (
+                tolerance_us is None or wm_us <= last_rus + tolerance_us):
+            state.update(([], [], [], last_rid, last_rus))
+            if tolerance_us is not None:
+                state.setTimeoutTimestamp(
+                    max((last_rus + tolerance_us) // 1000 + 1,
+                        wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "event_id", "us", "asof_event_id",
+                "asof_us", "lag_us"])
+
+    attributed = (stream.groupBy("user_id").applyInPandasWithState(
+        attach, output_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout))
+    writer = (attributed.writeStream
+              .format("memory")
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

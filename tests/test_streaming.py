@@ -171,3 +171,68 @@ def test_stream_neardup_matches_batch(spark, tmp_path):
     assert got == want
     # the (1,4) exact pair shares ALL 4 bands yet appears once
     assert len([p for p in got if p[:2] == (1, 4)]) == 1
+
+
+def test_stream_asof_matches_batch(spark, tmp_path):
+    """Streaming last-touch attribution == batch asof_attach on the
+    same events, covering: match within tolerance, stale match nulled,
+    no-prior-right, equal-microsecond rights (larger id wins, as-of
+    <= inclusive), out-of-order rows inside a micro-batch, and users
+    split across micro-batch files. A far-future dummy view advances
+    the watermark so every real left emits."""
+    from datetime import datetime, timedelta
+    import time as _t
+
+    from jsonld_js_spark.operators.asof import asof_attach
+    from jsonld_js_spark.streaming import stream_asof_attach
+
+    t0 = datetime(2026, 1, 1, 0, 0)
+    m = timedelta(minutes=1)
+    rows1 = [  # user 1, deliberately listed out of event-time order
+        (2, t0 + timedelta(seconds=10), 1, "purchase"),  # -> view 1
+        (1, t0, 1, "view"),
+        (3, t0 + 5 * m, 1, "purchase"),    # lag 290s > 60s tolerance
+        (5, t0 + 7 * m, 1, "view"),
+        (7, t0 + 7 * m, 1, "view"),        # same us: id 7 wins
+        (6, t0 + 7 * m, 1, "purchase"),    # equal-ts inclusive, lag 0
+    ]
+    rows2 = [  # user 2 in a later file — event times must sit INSIDE
+        # the watermark window of file 1 (max 00:07 - 1 min), or the
+        # stream correctly drops them as late data
+        (20, t0 + 10 * m + timedelta(seconds=30), 2, "purchase"),
+        (21, t0 + 11 * m, 2, "view"),
+        (22, t0 + 11 * m + timedelta(seconds=20), 2, "purchase"),
+        (30, t0 + 12 * m, 2, "click"),     # other types ignored
+    ]
+    flush = [(999, t0 + timedelta(hours=3), 999, "view")]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    in_dir = str(tmp_path / "asof_in")
+    for part in (rows1, rows2, flush):
+        # one file per logical batch: maxFilesPerTrigger=1 makes each
+        # a micro-batch, so the watermark advances in input order
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    q = stream_asof_attach(
+        spark, in_dir, str(tmp_path / "asof_ckpt"),
+        tolerance_us=60 * 1_000_000, watermark="1 minute",
+        query_name="asof_t")
+    q.awaitTermination(180)
+
+    events = spark.createDataFrame(rows1 + rows2 + flush, schema)
+    want = sorted(tuple(r) for r in asof_attach(
+        events, tolerance_us=60 * 1_000_000).collect())
+    assert want, "batch reference empty - test corpus broken"
+    got = []
+    for _ in range(30):
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM asof_t").collect())
+        if len(got) >= len(want):
+            break
+        _t.sleep(0.5)
+    assert got == want
+    by_id = {r[1]: r for r in got}
+    assert by_id[2][3:] == (1, by_id[2][2] - 10_000_000, 10_000_000)
+    assert by_id[3][3:] == (None, None, None)      # stale
+    assert by_id[20][3:] == (None, None, None)     # no prior
+    assert by_id[6][3] == 7 and by_id[6][5] == 0   # equal-us, max id
