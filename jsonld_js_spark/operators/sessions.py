@@ -95,5 +95,145 @@ ORDER BY user_id, session_idx
 """
 
 
-QUERIES = {"events_sessionize": q_events_sessionize}
-ORACLES = {"events_sessionize": ORACLE_EVENTS_SESSIONIZE}
+# ---------------------------------------------------------------------------
+# funnel analysis: ordered step progression per user
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(events, steps=FUNNEL_STEPS):
+    """Per-user ordered funnel: step i+1 counts only at-or-after the
+    user's completion of step i (classic product-analytics funnel).
+    Output one row per user: (user_id, t1_us..tK_us nullable int64
+    micros of each step's EARLIEST valid completion, stage = number
+    of completed steps).
+
+    Plan: one chained conditional-min aggregation per step, all keyed
+    on user_id — each is a partial-combining groupBy (events collapse
+    map-side to one row per user before the exchange), and every join
+    is user-keyed so AQE reuses the partitioning; no window sort of
+    raw events, no per-user event collection (a collect_list funnel
+    holds a user's whole history in one row — the celebrity-user OOM
+    shape). Step count is a small constant, so the plan is K narrow
+    aggregates, not an iteration."""
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    users = events.select("user_id").distinct()
+    out = users
+    prev_col = None
+    for i, step in enumerate(steps, start=1):
+        f = (events.filter(F.col("event_type") == step)
+             .select("user_id", ep.alias("us")))
+        if prev_col is not None:
+            f = (f.join(out.select("user_id", prev_col), "user_id")
+                 .filter(F.col("us") >= F.col(prev_col)))
+        t = f.groupBy("user_id").agg(F.min("us").alias(f"t{i}_us"))
+        out = out.join(t, "user_id", "left")
+        prev_col = f"t{i}_us"
+    stage = sum(
+        (F.col(f"t{i}_us").isNotNull().cast("long")
+         for i in range(1, len(steps) + 1)), F.lit(0))
+    return out.select("user_id",
+                      *[f"t{i}_us" for i in range(1, len(steps) + 1)],
+                      stage.alias("stage"))
+
+
+def q_events_funnel(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_stages(e).orderBy("user_id")
+
+
+def _oracle_events_funnel() -> str:
+    ctes = ["users AS (SELECT DISTINCT user_id FROM events)"]
+    prev = None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        cond = f"AND epoch_us(e.ts) >= t{i-1}.t{i-1}_us" if prev else ""
+        join = (f"JOIN t{i-1} ON t{i-1}.user_id = e.user_id "
+                if prev else "")
+        ctes.append(
+            f"t{i} AS (SELECT e.user_id, "
+            f"cast(min(epoch_us(e.ts)) as bigint) AS t{i}_us "
+            f"FROM events e {join}"
+            f"WHERE e.event_type = '{step}' {cond} GROUP BY e.user_id)")
+        prev = i
+    k = len(FUNNEL_STEPS)
+    tcols = ", ".join(f"t{i}.t{i}_us" for i in range(1, k + 1))
+    joins = " ".join(f"LEFT JOIN t{i} ON t{i}.user_id = users.user_id"
+                     for i in range(1, k + 1))
+    stage = " + ".join(
+        f"(case when t{i}.t{i}_us IS NULL then 0 else 1 end)"
+        for i in range(1, k + 1))
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT users.user_id, {tcols}, "
+            f"cast({stage} as bigint) AS stage "
+            f"FROM users {joins} ORDER BY users.user_id")
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: signup-period cohorts x activity periods
+
+RETENTION_PERIOD_S = 7 * 86400  # weekly cohorts
+_PERIOD_US = RETENTION_PERIOD_S * 1_000_000
+
+
+def retention_cohorts(events, period_s: int = RETENTION_PERIOD_S):
+    """Classic retention matrix: users cohorted by the absolute
+    period (epoch DIV period) of their FIRST `signup` event; for each
+    (cohort, periods-since-signup) cell, the number of distinct users
+    with any event in that offset period. Two user-keyed
+    partial-combining aggs + one broadcast-sized join + one
+    (cohort, offset) countDistinct — the join key is user_id, and the
+    cohort map is one row per signed-up user (orders below event
+    scale)."""
+    period_us = period_s * 1_000_000
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    signup = (events.filter(F.col("event_type") == "signup")
+              .select("user_id", ep.alias("us"))
+              .groupBy("user_id")
+              .agg(F.min("us").alias("signup_us")))
+    # integer `div`, never float division then cast: at 1e15-µs
+    # epochs a float quotient can round across the bucket boundary;
+    # and filter on raw micros BEFORE the div — Spark's div truncates
+    # toward zero, so a pre-signup event would land in offset 0
+    # instead of being excluded
+    act = (events.select("user_id", ep.alias("us"))
+           .join(signup, "user_id")
+           .filter(F.col("us") >= F.col("signup_us"))
+           .select(F.expr(f"signup_us div {period_us}").alias("cohort"),
+                   F.expr(f"(us - signup_us) div {period_us}")
+                   .alias("period_offset"),
+                   "user_id"))
+    return (act.groupBy("cohort", "period_offset")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def q_events_retention(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(e).orderBy("cohort", "period_offset")
+
+
+ORACLE_EVENTS_RETENTION = f"""
+WITH signup AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT cast(s.signup_us // {_PERIOD_US} as bigint) AS cohort,
+         cast((epoch_us(e.ts) - s.signup_us) // {_PERIOD_US} as bigint)
+           AS period_offset,
+         e.user_id
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE epoch_us(e.ts) >= s.signup_us
+)
+SELECT cohort, period_offset,
+       cast(count(DISTINCT user_id) as bigint) AS n_users
+FROM act GROUP BY cohort, period_offset
+ORDER BY cohort, period_offset
+"""
+
+
+QUERIES = {"events_sessionize": q_events_sessionize,
+           "events_funnel": q_events_funnel,
+           "events_retention": q_events_retention}
+ORACLES = {"events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+           "events_funnel": _oracle_events_funnel(),
+           "events_retention": ORACLE_EVENTS_RETENTION}

@@ -38,3 +38,68 @@ def test_sessionize_equal_ts_tiebreak(spark):
     out = sessionize(_ev(spark, rows)).collect()
     assert len(out) == 1
     assert out[0]["n_events"] == 2 and out[0]["duration_us"] == 0
+
+
+def _ev_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+
+
+def test_funnel_order_constraint_hand_truth(spark):
+    """Steps only count at-or-after the previous step: a click BEFORE
+    the first view is ignored; a purchase with no prior click is
+    ignored; equal timestamps count (>=)."""
+    import datetime as dt
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        # user 1: full funnel in order
+        (1, t(0), 1, "view"), (2, t(10), 1, "click"),
+        (3, t(20), 1, "purchase"),
+        # user 2: click precedes the only view -> stage stops at view
+        (4, t(5), 2, "click"), (5, t(10), 2, "view"),
+        (6, t(20), 2, "purchase"),  # no valid click -> not counted
+        # user 3: no view at all -> stage 0 despite later events
+        (7, t(0), 3, "click"), (8, t(5), 3, "purchase"),
+        # user 4: view+click at the SAME microsecond counts (>=)
+        (9, t(0), 4, "view"), (10, t(0), 4, "click"),
+    ]
+    from jsonld_js_spark.operators.sessions import funnel_stages
+    out = {r["user_id"]: r for r in _ev_frame(spark, rows)
+           .select("*").transform(funnel_stages).collect()}
+    assert out[1]["stage"] == 3 and out[1]["t3_us"] > out[1]["t2_us"]
+    assert out[2]["stage"] == 1 and out[2]["t2_us"] is None
+    assert out[3]["stage"] == 0
+    assert out[4]["stage"] == 2 and out[4]["t1_us"] == out[4]["t2_us"]
+
+
+def test_retention_cohorts_hand_truth(spark):
+    """Pre-signup events are excluded, offsets bucket by exact int64
+    division, cohorts by absolute signup period, users counted
+    distinct per cell."""
+    import datetime as dt
+    day = 86400
+    t = lambda d, s=0: dt.datetime(2026, 1, 5) + dt.timedelta(days=d,
+                                                              seconds=s)
+    rows = [
+        (1, t(-3), 1, "view"),       # pre-signup: excluded
+        (2, t(0), 1, "signup"),
+        (3, t(2), 1, "click"),       # offset 0
+        (4, t(8), 1, "view"),        # offset 1
+        (5, t(0, 30), 2, "signup"),  # same cohort week as user 1
+        (6, t(1), 2, "view"),        # offset 0
+        (7, t(40), 3, "signup"),     # later cohort
+        (8, t(40, 60), 3, "purchase"),
+    ]
+    from jsonld_js_spark.operators.sessions import retention_cohorts
+    got = {(r["cohort"], r["period_offset"]): r["n_users"]
+           for r in retention_cohorts(_ev_frame(spark, rows)).collect()}
+    cohorts = sorted({c for c, _ in got})
+    assert len(cohorts) == 2
+    c0, c1 = cohorts
+    # offset 0 of cohort 0: both users (their signup event itself
+    # counts as activity, plus in-week events)
+    assert got[(c0, 0)] == 2
+    assert got[(c0, 1)] == 1          # only user 1 active in week 1
+    assert got[(c1, 0)] == 1
+    assert (c0, 2) not in got         # no week-2 activity
