@@ -719,3 +719,28 @@ def test_random_walks_directed_sink_ends_early(spark):
                     if r["seed"] == "a")
     assert walk_a == [(0, "a"), (1, "b"), (2, "c")]  # c is a sink
     assert all(r["node"] is not None for r in out)
+
+
+def test_relational_pushdown_contract_and_invariants(spark):
+    """The fact-table queries must keep their scan-level contracts:
+    shipdate predicate pushed into the parquet scan, pruned
+    ReadSchema (no full-width fact scan), top-k via
+    TakeOrderedAndProject (no global sort); and the Q1 group line
+    counts must sum to the filtered scan count."""
+    from pyspark.sql import functions as F
+    from jsonld_js_spark.operators.relational import (
+        Q1_CUTOFF, q_rel_pricing_summary, q_rel_top_orders)
+    sf = "/root/testdata/sf0.001"
+    q1 = q_rel_pricing_summary(spark, sf)
+    plan1 = q1._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(l_shipdate" in plan1
+    assert "l_partkey" not in plan1  # column pruning held
+    q3 = q_rel_top_orders(spark, sf)
+    plan3 = q3._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan3
+    assert "GreaterThan(l_shipdate" in plan3
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    n_filtered = li.filter(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")).count()
+    assert sum(r["n_lines"] for r in q1.collect()) == n_filtered
