@@ -1605,7 +1605,10 @@ def q_kg_random_walks(spark, sf_dir):
     return random_walks(edges).orderBy("seed", "w", "step")
 
 
-def oracle_kg_random_walks(triples_sql: str) -> str:
+def _walks_ctes(triples_sql: str) -> tuple[str, str]:
+    """(CTE block through the last walk step, per-step UNION ALL
+    select) — shared by the walk-corpus oracle and the skip-gram
+    oracle."""
     from .operators.textstats import hash60_sql
     sql = f"""
 WITH triples AS ({triples_sql}),
@@ -1652,7 +1655,72 @@ s{h} AS (
         f"SELECT seed, cast(w as bigint) AS w, cast({h} as bigint) AS step, "
         f"node FROM s{h}"
         for h in range(0, WALK_LEN + 1))
+    return sql, steps
+
+
+def oracle_kg_random_walks(triples_sql: str) -> str:
+    sql, steps = _walks_ctes(triples_sql)
     return sql + f"\nSELECT * FROM ({steps}) ORDER BY seed, w, step"
+
+
+# ---------------------------------------------------------------------------
+# skip-gram co-occurrence pairs from the walk corpus
+
+SKIPGRAM_WINDOW = 2
+
+
+def skipgram_pairs(walks, window: int = SKIPGRAM_WINDOW):
+    """(seed, w, step, node) walk corpus -> symmetric skip-gram
+    co-occurrence counts (center, context, n_pairs) with |Δstep| <=
+    window within each walk — the training-pair artifact a
+    DeepWalk/word2vec embedding trainer actually consumes. One
+    walk-keyed self-join with a step band condition (walks are
+    walk_len+1 rows each, so the band join fans at most window rows
+    per row), then a partial-combining groupBy on the pair key."""
+    a = walks.select("seed", "w", F.col("step").alias("sa"),
+                     F.col("node").alias("center"))
+    b = walks.select("seed", "w", F.col("step").alias("sb"),
+                     F.col("node").alias("context"))
+    fwd = (a.join(b, ["seed", "w"])
+           .filter((F.col("sb") > F.col("sa")) &
+                   (F.col("sb") <= F.col("sa") + window))
+           .select("center", "context"))
+    sym = fwd.unionAll(fwd.select(F.col("context").alias("center"),
+                                  F.col("center").alias("context")))
+    return (sym.groupBy("center", "context")
+            .agg(F.count("*").alias("n_pairs")))
+
+
+def q_kg_skipgram_pairs(spark, sf_dir):
+    """Gated query: skip-gram pairs over the kg_random_walks corpus
+    (window 2) — graph-embedding training data. The walk corpus is
+    cached: both self-join sides reference it (Catalyst
+    no-subplan-reuse would re-run the whole walk loop twice)."""
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    p = pairs.distinct()
+    edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
+             .unionAll(p.select(F.col("ent_b").alias("a"),
+                                F.col("ent_a").alias("b")))).cache()
+    walks = random_walks(edges).cache()
+    return skipgram_pairs(walks).orderBy("center", "context")
+
+
+def oracle_kg_skipgram_pairs(triples_sql: str) -> str:
+    sql, steps = _walks_ctes(triples_sql)
+    return sql + f""",
+walks AS (SELECT * FROM ({steps})),
+sg_fwd AS (
+  SELECT a.node AS center, b.node AS context
+  FROM walks a JOIN walks b
+    ON a.seed = b.seed AND a.w = b.w
+   AND b.step > a.step AND b.step <= a.step + {SKIPGRAM_WINDOW}
+),
+sym AS (
+  SELECT center, context FROM sg_fwd
+  UNION ALL SELECT context, center FROM sg_fwd
+)
+SELECT center, context, cast(count(*) as bigint) AS n_pairs
+FROM sym GROUP BY center, context ORDER BY center, context"""
 
 
 def queries() -> dict:
@@ -1678,6 +1746,7 @@ def queries() -> dict:
         "kg_triangle_count": q_kg_triangle_count,
         "kg_label_propagation": q_kg_label_propagation,
         "kg_random_walks": q_kg_random_walks,
+        "kg_skipgram_pairs": q_kg_skipgram_pairs,
     }
 
 
@@ -1720,4 +1789,5 @@ def oracles(n_conv: int) -> dict:
         "kg_triangle_count": oracle_kg_triangle_count(triples_sql),
         "kg_label_propagation": oracle_kg_label_propagation(triples_sql),
         "kg_random_walks": oracle_kg_random_walks(triples_sql),
+        "kg_skipgram_pairs": oracle_kg_skipgram_pairs(triples_sql),
     }

@@ -744,3 +744,25 @@ def test_relational_pushdown_contract_and_invariants(spark):
     n_filtered = li.filter(
         F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")).count()
     assert sum(r["n_lines"] for r in q1.collect()) == n_filtered
+
+
+def test_skipgram_pairs_hand_truth(spark):
+    """Window-2 skip-gram counts on a hand walk: counts symmetric,
+    |Δstep| > window excluded, repeated co-occurrence accumulates."""
+    from jsonld_js_spark.kg_api import skipgram_pairs
+    walks = spark.createDataFrame(
+        [("s", 0, 0, "a"), ("s", 0, 1, "b"), ("s", 0, 2, "a"),
+         ("s", 0, 3, "c"),
+         ("t", 0, 0, "x"), ("t", 0, 1, "y")],
+        "seed string, w long, step long, node string")
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in skipgram_pairs(walks, window=2).collect()}
+    # walk s: pairs within dist 2: (0,1)(0,2)(1,2)(1,3)(2,3) ->
+    # a-b x2 [(0,1),(1,2)], a-a x1 [(0,2)], b-c x1 [(1,3)], a-c x1 [(2,3)]
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("a", "a")] == 2        # symmetric double-count of (0,2)
+    assert got[("b", "c")] == 1 and got[("a", "c")] == 1
+    assert got[("x", "y")] == 1
+    assert ("x", "a") not in got       # walks never mix
+    # |Δstep|=3 pair (step0 a, step3 c) excluded by the window
+    assert got[("a", "c")] == 1
