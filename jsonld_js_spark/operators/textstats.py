@@ -780,3 +780,76 @@ FROM ppm ORDER BY doc_id
 
 QUERIES["text_repetition"] = q_text_repetition
 ORACLES["text_repetition"] = ORACLE_TEXT_REPETITION
+
+
+# ---------------------------------------------------------------------------
+# corpus profiling: exact nearest-rank token-length percentiles per
+# source — the dataset-card statistics a curation pipeline publishes.
+# Exactness: percentile = the value at rank ceil(p*n/100) over the
+# group sorted by (n_tokens, doc_id) — pure integer rank arithmetic
+# ((n*p + 99) div 100), no float interpolation, so DuckDB reproduces
+# it bit-for-bit (Spark's percentile()/percentile_approx interpolate
+# in float / are approximate — neither is oracle-exact).
+# Scale shape: ONE window sort keyed by source + one partial-agg
+# groupBy. Few huge groups = the skew ceiling of any EXACT percentile
+# (it fundamentally needs a per-group sort); at 100 TB the profiler
+# either sub-buckets (source, salt) with a merge of sorted runs, or
+# switches to approx_percentile/t-digest — this op is the exact
+# small-group profiler and says so.
+
+PCTS = (50, 90, 99)
+
+
+def length_percentiles(docs):
+    from pyspark.sql import Window
+    norm = _norm(F.col("text"))
+    toks = docs.select("source", "doc_id",
+                       F.size(F.split(norm, " ")).alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = toks.select(
+        "source", "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"))
+    aggs = [F.max("n").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens")]
+    for p in PCTS:
+        aggs.append(F.max(F.when(
+            F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+            F.col("n_tokens"))).alias(f"p{p}_tokens"))
+    return ranked.groupBy("source").agg(*aggs)
+
+
+def q_corpus_length_percentiles(spark, sf_dir):
+    return (length_percentiles(_docs(spark, sf_dir))
+            .orderBy("source"))
+
+
+_PCT_COLS_SQL = ",\n       ".join(
+    f"cast(max(case when rn = (n * {p} + 99) // 100 then n_tokens end) "
+    f"as bigint) AS p{p}_tokens" for p in PCTS)
+
+ORACLE_CORPUS_LENGTH_PCTS = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         cast(len(string_split({_NORM_SQL}, ' ')) as bigint) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM toks
+)
+SELECT source,
+       cast(max(n) as bigint) AS n_docs,
+       cast(min(n_tokens) as bigint) AS min_tokens,
+       cast(max(n_tokens) as bigint) AS max_tokens,
+       {_PCT_COLS_SQL}
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+QUERIES["corpus_length_percentiles"] = q_corpus_length_percentiles
+ORACLES["corpus_length_percentiles"] = ORACLE_CORPUS_LENGTH_PCTS

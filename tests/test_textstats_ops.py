@@ -419,3 +419,23 @@ def test_classifier_keep_separates(spark):
            for r in classifier_score(docs, synthetic_weights(spark))
            .collect()}
     assert got == {"good": True, "bad": False}
+
+
+def test_length_percentiles_hand_truth(spark):
+    """Nearest-rank percentiles: rank ceil(p*n/100) over the sorted
+    group — p50 of [1..4] is the rank-2 value, p99 is the max; a
+    single-doc group returns its own value everywhere."""
+    from jsonld_js_spark.operators.textstats import length_percentiles
+    rows = [(1, "a", "one two"), (2, "a", "one"),
+            (3, "a", "one two three four"), (4, "a", "one two three"),
+            (5, "b", "solo doc here")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+    got = {r["source"]: r for r in length_percentiles(docs).collect()}
+    a = got["a"]  # token counts sorted: [1, 2, 3, 4]
+    assert (a["n_docs"], a["min_tokens"], a["max_tokens"]) == (4, 1, 4)
+    assert a["p50_tokens"] == 2      # rank ceil(0.5*4)=2
+    assert a["p90_tokens"] == 4      # rank ceil(0.9*4)=4
+    assert a["p99_tokens"] == 4
+    b = got["b"]
+    assert (b["n_docs"], b["p50_tokens"], b["p99_tokens"]) == (1, 3, 3)
