@@ -853,3 +853,32 @@ FROM ranked GROUP BY source ORDER BY source
 
 QUERIES["corpus_length_percentiles"] = q_corpus_length_percentiles
 ORACLES["corpus_length_percentiles"] = ORACLE_CORPUS_LENGTH_PCTS
+
+
+# ---------------------------------------------------------------------------
+# JSONL shard round-trip: documents -> .jsonl part files -> documents,
+# byte-exact (sources/jsonl.py). The oracle is the original table —
+# the round-trip theorem pattern of kg_nquads_source_roundtrip: any
+# escaping or type-widening loss in either direction breaks the hash.
+
+def q_doc_jsonl_roundtrip(spark, sf_dir):
+    import os
+
+    from ..sources import read_jsonl, write_jsonl
+    d = _docs(spark, sf_dir)
+    path = os.path.join(
+        "/tmp",
+        f"jsonld_js_spark_jsonl_{os.path.basename(sf_dir.rstrip('/'))}")
+    write_jsonl(d, path)
+    return (read_jsonl(spark, path)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .orderBy("doc_id"))
+
+
+ORACLE_DOC_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["doc_jsonl_roundtrip"] = q_doc_jsonl_roundtrip
+ORACLES["doc_jsonl_roundtrip"] = ORACLE_DOC_JSONL_ROUNDTRIP

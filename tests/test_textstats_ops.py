@@ -439,3 +439,21 @@ def test_length_percentiles_hand_truth(spark):
     assert a["p99_tokens"] == 4
     b = got["b"]
     assert (b["n_docs"], b["p50_tokens"], b["p99_tokens"]) == (1, 3, 3)
+
+
+def test_jsonl_roundtrip_escapes(spark, tmp_path):
+    """JSONL write→read is byte-exact for strings with quotes,
+    backslashes, newlines, tabs, unicode, and empty/null fields."""
+    from jsonld_js_spark.sources import read_jsonl, write_jsonl
+    rows = [
+        (1, 'he said "hi" \\ and\nleft\tfast', "en", "web", 7),
+        (2, "naïve – ünïcødé ✓ 中文", "und", "books", 3),
+        (3, "", "en", None, 0),
+    ]
+    ddl = ("doc_id long, text string, lang string, source string, "
+           "n_chars long")
+    df = spark.createDataFrame(rows, ddl)
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    got = sorted(tuple(r) for r in read_jsonl(spark, path, ddl).collect())
+    assert got == sorted(rows)
