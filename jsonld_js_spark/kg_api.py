@@ -1723,6 +1723,92 @@ SELECT center, context, cast(count(*) as bigint) AS n_pairs
 FROM sym GROUP BY center, context ORDER BY center, context"""
 
 
+# ---------------------------------------------------------------------------
+# node similarity (neighbor-overlap Jaccard) — link prediction
+
+SIM_TOPK = 50
+
+
+def neighbor_jaccard(edges, topk: int = SIM_TOPK):
+    """(a, b) both-direction edge rows -> top-`topk` entity pairs by
+    neighbor-set Jaccard (ppm) — the link-prediction / sameAs-candidate
+    signal a KG-enrichment pipeline feeds into sameas_closure. Pairs
+    are generated through shared neighbors (wedge join on the common
+    neighbor), so disconnected pairs are never materialized; per-hub
+    wedge volume is deg(hub)^2 — at scale cap hub degree (drop or
+    sample neighbors above a bound, the comention-guard pattern) or
+    pre-filter candidates with MinHash over neighbor sets
+    (operators/dedup.py machinery). Jaccard is exact integer ppm:
+    floor(shared * 1e6 / (deg_a + deg_c - shared))."""
+    und = edges.distinct().cache()
+    deg = und.groupBy("a").agg(F.count("*").alias("d")) \
+        .select(F.col("a").alias("node"), "d")
+    shared = (und.alias("e1").join(
+        und.alias("e2"),
+        (F.col("e1.a") == F.col("e2.a")) &
+        (F.col("e1.b") < F.col("e2.b")))
+        .groupBy(F.col("e1.b").alias("x"), F.col("e2.b").alias("y"))
+        .agg(F.count("*").alias("n_shared")))
+    out = (shared
+           .join(deg.select(F.col("node").alias("x"),
+                            F.col("d").alias("dx")), "x")
+           .join(deg.select(F.col("node").alias("y"),
+                            F.col("d").alias("dy")), "y")
+           .select("x", "y", "n_shared",
+                   F.floor(F.col("n_shared") * F.lit(1000000.0) /
+                           (F.col("dx") + F.col("dy") -
+                            F.col("n_shared"))).cast("long")
+                   .alias("jaccard_ppm")))
+    return (out.orderBy(F.desc("jaccard_ppm"), "x", "y").limit(topk))
+
+
+def q_kg_neighbor_jaccard(spark, sf_dir):
+    """Gated query: top-50 co-mention entity pairs by neighbor-set
+    Jaccard (guard ON — shares `_comention_pairs`)."""
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    p = pairs.distinct()
+    edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
+             .unionAll(p.select(F.col("ent_b").alias("a"),
+                                F.col("ent_a").alias("b"))))
+    return neighbor_jaccard(edges)
+
+
+def oracle_kg_neighbor_jaccard(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+pairs AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+),
+und AS (
+  SELECT ent_a AS a, ent_b AS b FROM pairs
+  UNION ALL SELECT ent_b, ent_a FROM pairs
+),
+deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+shared AS (
+  SELECT e1.b AS x, e2.b AS y, count(*) AS n_shared
+  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+  GROUP BY e1.b, e2.b
+)
+SELECT s.x, s.y, cast(s.n_shared as bigint) AS n_shared,
+       cast(floor(s.n_shared * 1000000.0 /
+                  (dx.d + dy.d - s.n_shared)) as bigint) AS jaccard_ppm
+FROM shared s JOIN deg dx ON dx.node = s.x JOIN deg dy ON dy.node = s.y
+ORDER BY jaccard_ppm DESC, s.x, s.y LIMIT {SIM_TOPK}
+"""
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -1747,6 +1833,7 @@ def queries() -> dict:
         "kg_label_propagation": q_kg_label_propagation,
         "kg_random_walks": q_kg_random_walks,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
+        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     }
 
 
@@ -1790,4 +1877,5 @@ def oracles(n_conv: int) -> dict:
         "kg_label_propagation": oracle_kg_label_propagation(triples_sql),
         "kg_random_walks": oracle_kg_random_walks(triples_sql),
         "kg_skipgram_pairs": oracle_kg_skipgram_pairs(triples_sql),
+        "kg_neighbor_jaccard": oracle_kg_neighbor_jaccard(triples_sql),
     }

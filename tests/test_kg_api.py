@@ -766,3 +766,22 @@ def test_skipgram_pairs_hand_truth(spark):
     assert ("x", "a") not in got       # walks never mix
     # |Δstep|=3 pair (step0 a, step3 c) excluded by the window
     assert got[("a", "c")] == 1
+
+
+def test_neighbor_jaccard_hand_truth(spark):
+    """Jaccard over neighbor sets on a hand graph: square a-b-c-d-a
+    plus a pendant e on a. N(a)={b,d,e}, N(c)={b,d} -> (a,c) share
+    {b,d}: J = 2/(3+2-2) = 2/3; pendant e: N(e)={a}, shares d's and
+    b's neighbor a: J(b,e)=1/(2+1-1)=1/2. Disconnected pairs never
+    appear."""
+    from pyspark.sql import functions as F
+    from jsonld_js_spark.kg_api import neighbor_jaccard
+    und = [("a","b"),("b","c"),("c","d"),("d","a"),("a","e")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "a string, b string")
+    got = {(r["x"], r["y"]): (r["n_shared"], r["jaccard_ppm"])
+           for r in neighbor_jaccard(edges, topk=100).collect()}
+    assert got[("a", "c")] == (2, 666666)
+    assert got[("b", "e")] == (1, 500000)
+    assert got[("b", "d")] == (2, 1000000)  # identical neighbor sets
+    assert ("a", "e") not in got  # adjacent but no shared neighbor
