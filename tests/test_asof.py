@@ -70,3 +70,54 @@ def test_asof_keys_isolated_and_other_types_ignored(spark):
     out = _res(asof_attach(ev, tolerance_us=None))
     assert out[2] == (None, None)
     assert out[4] == (1, 2_000_000)
+
+
+def _brute_asof(rows, left_type, right_type, tolerance_us):
+    """Independent O(n^2) reference: latest right with (us, id) <=
+    semantics per user."""
+    out = {}
+    for eid, ts, user, typ in rows:
+        if typ != left_type:
+            continue
+        us = int(ts.timestamp() * 1_000_000)
+        best = None
+        for eid2, ts2, user2, typ2 in rows:
+            if user2 != user or typ2 != right_type:
+                continue
+            us2 = int(ts2.timestamp() * 1_000_000)
+            if us2 > us:
+                continue
+            if best is None or (us2, eid2) > best:
+                best = (us2, eid2)
+        if best is not None and (tolerance_us is None or
+                                 us - best[0] <= tolerance_us):
+            out[eid] = (best[1], us - best[0])
+        else:
+            out[eid] = (None, None)
+    return out
+
+
+def test_asof_randomized_vs_brute_force(spark):
+    """20 random event sets (clustered timestamps force equal-us
+    collisions) must match the O(n^2) reference exactly."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(4242)
+    UTC = dt.timezone.utc
+    base = dt.datetime(2026, 1, 1, tzinfo=UTC)
+    for trial in range(20):
+        n = rng.randrange(5, 40)
+        rows = []
+        for i in range(n):
+            ts = (base + dt.timedelta(
+                microseconds=rng.choice([0, 1, 5, 10]) * 1_000_000 +
+                rng.randrange(4) )).replace(tzinfo=None)
+            rows.append((i, ts, rng.randrange(3),
+                         rng.choice(["view", "purchase", "click"])))
+        tol = rng.choice([None, 2_000_000, 7_000_000])
+        got = _res(asof_attach(_frame(spark, rows), tolerance_us=tol))
+        tz_rows = [(e, t.replace(tzinfo=UTC), u, y)
+                   for e, t, u, y in rows]
+        want = _brute_asof(tz_rows, "purchase", "view", tol)
+        assert got == want, (trial, tol, rows)

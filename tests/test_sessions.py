@@ -103,3 +103,44 @@ def test_retention_cohorts_hand_truth(spark):
     assert got[(c0, 1)] == 1          # only user 1 active in week 1
     assert got[(c1, 0)] == 1
     assert (c0, 2) not in got         # no week-2 activity
+
+
+def test_funnel_randomized_vs_brute_force(spark):
+    """15 random event sets must match an independent O(n*K) python
+    reference of the ordered-funnel rule exactly."""
+    import datetime as dt
+    import random
+
+    from jsonld_js_spark.operators.sessions import funnel_stages
+
+    rng = random.Random(777)
+    base = dt.datetime(2026, 1, 1)
+    steps = ("view", "click", "purchase")
+    for trial in range(15):
+        n = rng.randrange(4, 30)
+        rows = [(i,
+                 base + dt.timedelta(seconds=rng.randrange(6)),
+                 rng.randrange(3),
+                 rng.choice(steps + ("error",)))
+                for i in range(n)]
+        got = {r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"],
+                              r["stage"])
+               for r in funnel_stages(_ev_frame(spark, rows)).collect()}
+        want = {}
+        for u in {r[2] for r in rows}:
+            evs = [(int(t.replace(tzinfo=dt.timezone.utc).timestamp()
+                        * 1_000_000), y)
+                   for (_, t, uu, y) in rows if uu == u]
+            ts, prev = [], None
+            for s in steps:
+                cand = [us for us, y in evs if y == s and
+                        (prev is None or us >= prev)]
+                cur = min(cand) if cand else None
+                ts.append(cur)
+                if cur is None:
+                    break
+                prev = cur
+            ts += [None] * (3 - len(ts))
+            want[u] = (ts[0], ts[1], ts[2],
+                       sum(1 for x in ts if x is not None))
+        assert got == want, (trial, rows)
