@@ -144,3 +144,41 @@ def test_funnel_randomized_vs_brute_force(spark):
             want[u] = (ts[0], ts[1], ts[2],
                        sum(1 for x in ts if x is not None))
         assert got == want, (trial, rows)
+
+
+def test_retention_randomized_vs_brute_force(spark):
+    """12 random event sets vs an independent python reference of the
+    cohort/offset/distinct-count rule (weekly periods)."""
+    import datetime as dt
+    import random
+
+    from jsonld_js_spark.operators.sessions import retention_cohorts
+
+    rng = random.Random(991)
+    base = dt.datetime(2026, 1, 5)
+    week_us = 7 * 86400 * 1_000_000
+    for trial in range(12):
+        n = rng.randrange(6, 40)
+        rows = [(i,
+                 base + dt.timedelta(days=rng.randrange(-3, 40),
+                                     seconds=rng.randrange(60)),
+                 rng.randrange(4),
+                 rng.choice(["signup", "view", "click"]))
+                for i in range(n)]
+        got = {(r["cohort"], r["period_offset"]): r["n_users"]
+               for r in retention_cohorts(_ev_frame(spark, rows))
+               .collect()}
+        us = lambda t: int(t.replace(tzinfo=dt.timezone.utc)
+                           .timestamp() * 1_000_000)
+        signup = {}
+        for _, t, u, y in rows:
+            if y == "signup":
+                signup[u] = min(signup.get(u, us(t)), us(t))
+        want = {}
+        for _, t, u, _y in rows:
+            if u not in signup or us(t) < signup[u]:
+                continue
+            cell = (signup[u] // week_us,
+                    (us(t) - signup[u]) // week_us)
+            want.setdefault(cell, set()).add(u)
+        assert got == {k: len(v) for k, v in want.items()}, (trial, rows)
