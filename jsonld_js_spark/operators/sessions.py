@@ -231,9 +231,73 @@ ORDER BY cohort, period_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# volume-anomaly detection: per-user daily event-count spikes
+
+ANOMALY_K2 = 4  # flag |c - mean| > 2*std (k^2 = 4)
+_DAY_US = 86400 * 1_000_000
+
+
+def anomaly_days(events, k2: int = ANOMALY_K2):
+    """Per-user daily spike detection over the user's OBSERVED days:
+    flag (user, day) cells where the event count deviates from the
+    user's mean by more than k standard deviations. The test is pure
+    int64 cross-multiplication — (m*c - S)^2 > k^2 * (m*Q - S^2) with
+    S = sum(counts), Q = sum(counts^2), m = observed days — no float
+    mean/std ever computed, so both engines agree exactly (overflow
+    bound: m*c and S are event-scale; squares stay < 2^63 up to ~3e9
+    events per user — rescale counts beyond that). Plan: two
+    partial-combining aggs (user,day then user) + one user-keyed join
+    — the stats side is one row per user, AQE broadcasts it."""
+    counts = (events
+              .select("user_id", F.expr(
+                  f"unix_micros(cast(ts as timestamp)) div {_DAY_US}")
+                  .alias("day"))
+              .groupBy("user_id", "day")
+              .agg(F.count("*").alias("n_events")))
+    stats = (counts.groupBy("user_id")
+             .agg(F.sum("n_events").alias("S"),
+                  F.sum(F.col("n_events") * F.col("n_events")).alias("Q"),
+                  F.count("*").alias("m")))
+    dev = F.col("m") * F.col("n_events") - F.col("S")
+    var_m2 = F.col("m") * F.col("Q") - F.col("S") * F.col("S")
+    return (counts.join(stats, "user_id")
+            .filter(dev * dev > F.lit(k2) * var_m2)
+            .select("user_id", "day", "n_events",
+                    F.col("m").alias("n_user_days")))
+
+
+def q_events_anomaly(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return anomaly_days(e).orderBy("user_id", "day")
+
+
+ORACLE_EVENTS_ANOMALY = f"""
+WITH counts AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day,
+         count(*) AS n_events
+  FROM events GROUP BY user_id, epoch_us(ts) // {_DAY_US}
+),
+stats AS (
+  SELECT user_id, sum(n_events) AS S,
+         sum(n_events * n_events) AS Q, count(*) AS m
+  FROM counts GROUP BY user_id
+)
+SELECT c.user_id, cast(c.day as bigint) AS day,
+       cast(c.n_events as bigint) AS n_events,
+       cast(s.m as bigint) AS n_user_days
+FROM counts c JOIN stats s ON c.user_id = s.user_id
+WHERE (s.m * c.n_events - s.S) * (s.m * c.n_events - s.S)
+      > {ANOMALY_K2} * (s.m * s.Q - s.S * s.S)
+ORDER BY c.user_id, c.day
+"""
+
+
 QUERIES = {"events_sessionize": q_events_sessionize,
            "events_funnel": q_events_funnel,
-           "events_retention": q_events_retention}
+           "events_retention": q_events_retention,
+           "events_anomaly": q_events_anomaly}
 ORACLES = {"events_sessionize": ORACLE_EVENTS_SESSIONIZE,
            "events_funnel": _oracle_events_funnel(),
-           "events_retention": ORACLE_EVENTS_RETENTION}
+           "events_retention": ORACLE_EVENTS_RETENTION,
+           "events_anomaly": ORACLE_EVENTS_ANOMALY}

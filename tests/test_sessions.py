@@ -182,3 +182,32 @@ def test_retention_randomized_vs_brute_force(spark):
                     (us(t) - signup[u]) // week_us)
             want.setdefault(cell, set()).add(u)
         assert got == {k: len(v) for k, v in want.items()}, (trial, rows)
+
+
+def test_anomaly_days_hand_truth(spark):
+    """Exact integer spike test: a user with counts [2,2,2,2,2,12]
+    flags only the 12-day (a lone outlier is z = sqrt(m-1), so m >= 6
+    is needed to clear 2 sigma — m=5 sits EXACTLY on the boundary and
+    the strict > excludes it); a perfectly flat user flags nothing
+    (variance 0); a 2-day user never flags (z = 1 identically)."""
+    import datetime as dt
+
+    from jsonld_js_spark.operators.sessions import anomaly_days
+    rows = []
+    eid = 0
+    day = lambda d: dt.datetime(2026, 1, 1) + dt.timedelta(days=d)
+
+    def add(user, d, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append((eid, day(d), user, "view"))
+            eid += 1
+    for d, n in enumerate([2, 2, 2, 2, 2, 12]):
+        add(1, d, n)
+    for d in range(4):
+        add(2, d, 3)          # flat: no anomaly
+    add(3, 0, 1); add(3, 1, 9)  # m=2: z=1 identically, no flag
+    got = {(r["user_id"], r["day"]): r["n_events"]
+           for r in anomaly_days(_ev_frame(spark, rows)).collect()}
+    assert [k[0] for k in got] == [1]
+    assert list(got.values()) == [12]
