@@ -211,3 +211,17 @@ def test_anomaly_days_hand_truth(spark):
            for r in anomaly_days(_ev_frame(spark, rows)).collect()}
     assert [k[0] for k in got] == [1]
     assert list(got.values()) == [12]
+
+
+def test_event_ops_empty_input(spark):
+    """Every event operator returns an empty frame (not an error) on
+    an empty events table."""
+    from jsonld_js_spark.operators.asof import asof_attach
+    from jsonld_js_spark.operators.sessions import (
+        anomaly_days, funnel_stages, retention_cohorts, sessionize)
+    empty = _ev_frame(spark, [])
+    assert asof_attach(empty).count() == 0
+    assert funnel_stages(empty).count() == 0
+    assert retention_cohorts(empty).count() == 0
+    assert anomaly_days(empty).count() == 0
+    assert sessionize(empty).count() == 0
