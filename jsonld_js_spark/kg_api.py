@@ -1694,14 +1694,21 @@ def skipgram_pairs(walks, window: int = SKIPGRAM_WINDOW):
 def q_kg_skipgram_pairs(spark, sf_dir):
     """Gated query: skip-gram pairs over the kg_random_walks corpus
     (window 2) — graph-embedding training data. The walk corpus is
-    cached: both self-join sides reference it (Catalyst
-    no-subplan-reuse would re-run the whole walk loop twice)."""
+    localCheckpoint-ed, not just cached: the self-join references it
+    twice, and caching alone leaves the walk loop's deep iterative
+    lineage (a union of walk_len joined-and-aggregated branches) in
+    BOTH join subtrees — Catalyst re-analyzes the doubled tree every
+    run (measured 11.0 -> ~7 s at sf0.1 cold; the remainder is the
+    walk loop itself — per-step fixed stage costs on a
+    vocabulary-scale graph, which amortize at real scale. At 100 TB
+    use a reliable checkpoint, same policy as connected_components).
+    """
     pairs, _guard = _comention_pairs(spark, sf_dir)
     p = pairs.distinct()
     edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
              .unionAll(p.select(F.col("ent_b").alias("a"),
                                 F.col("ent_a").alias("b")))).cache()
-    walks = random_walks(edges).cache()
+    walks = random_walks(edges).localCheckpoint()
     return skipgram_pairs(walks).orderBy("center", "context")
 
 
