@@ -299,7 +299,8 @@ def stream_asof_attach(spark: SparkSession, input_dir: str,
                        watermark: str = "10 minutes",
                        query_name: str = "asof_attr",
                        available_now: bool = True,
-                       max_files_per_trigger: int = 1):
+                       max_files_per_trigger: int = 1,
+                       output_dir: str | None = None):
     """Streaming last-touch attribution — the live counterpart of
     operators/asof.asof_attach, same output contract (user_id,
     event_id, us, asof_event_id, asof_us, lag_us — int64 micros,
@@ -389,11 +390,21 @@ def stream_asof_attach(spark: SparkSession, input_dir: str,
     attributed = (stream.groupBy("user_id").applyInPandasWithState(
         attach, output_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout))
-    writer = (attributed.writeStream
-              .format("memory")
-              .queryName(query_name)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("append"))
+    if output_dir is not None:
+        # fault-tolerant sink: supports checkpoint RECOVERY (the
+        # memory sink does not), so a killed job resumes with its
+        # buffered per-key state intact — exactly-once end to end
+        writer = (attributed.writeStream
+                  .format("parquet")
+                  .option("path", output_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+    else:
+        writer = (attributed.writeStream
+                  .format("memory")
+                  .queryName(query_name)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -236,3 +236,45 @@ def test_stream_asof_matches_batch(spark, tmp_path):
     assert by_id[3][3:] == (None, None, None)      # stale
     assert by_id[20][3:] == (None, None, None)     # no prior
     assert by_id[6][3] == 7 and by_id[6][5] == 0   # equal-us, max id
+
+
+def test_stream_asof_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume: run the attribution stream, stop it, append
+    more weeks plus the watermark flush, and restart from the SAME
+    checkpoint — buffered per-user state must survive the restart and
+    the final output must equal batch asof_attach on everything."""
+    from datetime import datetime, timedelta
+
+    from jsonld_js_spark.operators.asof import asof_attach
+    from jsonld_js_spark.streaming import stream_asof_attach
+
+    t0 = datetime(2026, 1, 1, 0, 0)
+    m = timedelta(minutes=1)
+    rows1 = [(1, t0, 1, "view"),
+             (2, t0 + timedelta(seconds=30), 1, "purchase")]
+    rows2 = [(3, t0 + 10 * m, 1, "view"),
+             (4, t0 + 10 * m + timedelta(seconds=40), 1, "purchase")]
+    flush = [(99, t0 + timedelta(hours=2), 99, "view")]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    in_dir = str(tmp_path / "ar_in")
+    ckpt = str(tmp_path / "ar_ckpt")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "ar_out")
+    q = stream_asof_attach(spark, in_dir, ckpt, tolerance_us=60_000_000,
+                           watermark="1 minute", output_dir=out_dir)
+    q.awaitTermination(120)
+
+    for part in (rows2, flush):
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+    q2 = stream_asof_attach(spark, in_dir, ckpt, tolerance_us=60_000_000,
+                            watermark="1 minute", output_dir=out_dir)
+    q2.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    events = spark.createDataFrame(rows1 + rows2 + flush, schema)
+    want = sorted(tuple(r) for r in
+                  asof_attach(events, tolerance_us=60_000_000).collect())
+    assert got == want and len(want) == 2
