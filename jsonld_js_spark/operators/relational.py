@@ -126,7 +126,52 @@ LIMIT {TOP_ORDERS}
 """
 
 
+def q_rel_pricing_rollup(spark, sf_dir):
+    """Multi-level aggregation surface: the Q1 pricing summary with
+    ROLLUP(l_returnflag, l_linestatus) — detail rows, per-flag
+    subtotals, and the grand total in one pass (Spark plans a single
+    Expand + partial-agg, not three scans). `lvl` is the grouping
+    bitmask (0 detail, 1 per-flag, 3 grand) — identical bit semantics
+    in Spark's grouping_id() and DuckDB's GROUPING(a, b). Ordering
+    pins NULLS FIRST explicitly: Spark's ascending default and
+    DuckDB's differ."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rows = (li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF)
+                      .cast("timestamp"))
+            .select("l_returnflag", "l_linestatus",
+                    _cents(disc).alias("disc_c")))
+    return (rows.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().alias("lvl"),
+                 F.sum("disc_c").alias("sum_disc_c"),
+                 F.count("*").alias("n_lines"))
+            .select("lvl", "l_returnflag", "l_linestatus",
+                    "sum_disc_c", "n_lines")
+            .orderBy(F.col("lvl").asc(),
+                     F.col("l_returnflag").asc_nulls_first(),
+                     F.col("l_linestatus").asc_nulls_first()))
+
+
+ORACLE_REL_ROLLUP = f"""
+WITH rows_q AS (
+  SELECT l_returnflag, l_linestatus,
+         cast(floor(l_extendedprice * (1.0e0 - l_discount) * 100.0e0)
+              as bigint) AS disc_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+)
+SELECT cast(GROUPING(l_returnflag, l_linestatus) as bigint) AS lvl,
+       l_returnflag, l_linestatus,
+       cast(sum(disc_c) as bigint) AS sum_disc_c,
+       cast(count(*) as bigint) AS n_lines
+FROM rows_q GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
 QUERIES = {"rel_pricing_summary": q_rel_pricing_summary,
-           "rel_top_orders": q_rel_top_orders}
+           "rel_top_orders": q_rel_top_orders,
+           "rel_pricing_rollup": q_rel_pricing_rollup}
 ORACLES = {"rel_pricing_summary": ORACLE_REL_PRICING,
-           "rel_top_orders": ORACLE_REL_TOP_ORDERS}
+           "rel_top_orders": ORACLE_REL_TOP_ORDERS,
+           "rel_pricing_rollup": ORACLE_REL_ROLLUP}

@@ -746,6 +746,36 @@ def test_relational_pushdown_contract_and_invariants(spark):
     assert sum(r["n_lines"] for r in q1.collect()) == n_filtered
 
 
+def test_relational_rollup_levels_reconcile(spark):
+    """ROLLUP invariants: the detail rows (lvl 0) sum exactly to each
+    per-flag subtotal (lvl 1), the subtotals sum to the single grand
+    total (lvl 3), and the plan is one Expand pass over one scan (no
+    union of three aggregations re-reading the fact table)."""
+    from collections import defaultdict
+    from jsonld_js_spark.operators.relational import q_rel_pricing_rollup
+    rows = q_rel_pricing_rollup(spark, "/root/testdata/sf0.001").collect()
+    by_lvl = defaultdict(list)
+    for r in rows:
+        by_lvl[r["lvl"]].append(r)
+    assert set(by_lvl) == {0, 1, 3} and len(by_lvl[3]) == 1
+    detail = defaultdict(lambda: [0, 0])
+    for r in by_lvl[0]:
+        detail[r["l_returnflag"]][0] += r["sum_disc_c"]
+        detail[r["l_returnflag"]][1] += r["n_lines"]
+    for r in by_lvl[1]:
+        assert r["l_linestatus"] is None
+        assert detail[r["l_returnflag"]] == [r["sum_disc_c"], r["n_lines"]]
+    g = by_lvl[3][0]
+    assert g["l_returnflag"] is None and g["l_linestatus"] is None
+    assert g["sum_disc_c"] == sum(v[0] for v in detail.values())
+    assert g["n_lines"] == sum(v[1] for v in detail.values())
+    plan = q_rel_pricing_rollup(
+        spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1  # one scan feeds all levels
+
+
 def test_skipgram_pairs_hand_truth(spark):
     """Window-2 skip-gram counts on a hand walk: counts symmetric,
     |Δstep| > window excluded, repeated co-occurrence accumulates."""
