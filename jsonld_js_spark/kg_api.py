@@ -811,7 +811,7 @@ def pagerank(edges, iters: int = PAGERANK_ITERS, tol_ppm: int | None = None):
 
     The dangling term is ONE extra 1-row aggregation per superstep
     (the iteration-invariant dangling flag rides the rank state, so
-    the sum is a filter-agg over the rank cache — no per-round
+    the sum is a filter-agg over the rank state — no per-round
     anti-join) COLLECTED to the driver and re-injected as a literal —
     the k-means-centroid pattern: 1 row of driver-side state, never
     data. Keeping it lazy instead (crossJoin of the
@@ -819,7 +819,7 @@ def pagerank(edges, iters: int = PAGERANK_ITERS, tol_ppm: int | None = None):
     superstep plan; the broadcast stages materialize eagerly outside
     the cached-plan reuse and re-derive the full nested lineage each
     round (measured 35.7 s vs 3.4 s at sf0.01). The per-round collect
-    also materializes the previous rank cache, which truncates the
+    also materializes the previous rank checkpoint, which truncates the
     effective lineage exactly like the eager-count pattern. Still
     exact int64, still oracle-expressible as an unrolled CTE. Without
     the term a sink node's rank leaks out of the system every round
@@ -838,24 +838,33 @@ def pagerank(edges, iters: int = PAGERANK_ITERS, tol_ppm: int | None = None):
     MinHash lesson, BENCH/SOAK_DEDUP_r3.md); a dangling-sink graph
     where redistribution and the old leaky variant DIFFER proves the
     new term is live."""
+    # localCheckpoint (not cache) on the loop-invariant frames AND the
+    # per-superstep rank state: cache substitutes at physical planning
+    # but Catalyst still re-ANALYZES the full logical lineage of every
+    # superstep plan — with the corpus-scale triple build at the root
+    # that re-analysis dominates (the kg_skipgram_pairs lesson).
+    # Truncating the plan itself cut sf0.1 wall 14.4 → 11.4 s warm /
+    # 30.9 → 25.7 s cold. At 100 TB swap for _reliable_checkpoint
+    # every few rounds (executor-loss safety), exactly like
+    # connected_components; rank state is 2 longs/node.
     nodes = (edges.select(F.col("subj").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
-             .distinct().cache())
+             .distinct().localCheckpoint())
     outd = edges.groupBy("subj").agg(F.count("*").alias("outd"))
     # out-degree rides the edge table: ONE join outside the loop
     # instead of an outd join per superstep (5 joins saved)
-    edges_w = edges.join(outd, "subj").cache()
-    n_nodes = nodes.count()  # one action; nodes is cached
+    edges_w = edges.join(outd, "subj").localCheckpoint()
+    n_nodes = nodes.count()  # nodes is already materialized
     # the DANGLING SET is iteration-invariant: flag it once on the
     # node table and let the flag ride the rank state, so the
     # per-superstep dangling sum is a single filter-agg over the rank
-    # cache — no per-round groupBy/anti-join (measured ~-25% wall)
+    # state — no per-round groupBy/anti-join (measured ~-25% wall)
     nodes_f = (nodes.join(outd.select(F.col("subj").alias("node"),
                                       F.lit(False).alias("dang")),
                           "node", "left")
                .select("node",
                        F.coalesce("dang", F.lit(True)).alias("dang"))
-               .cache())
+               .localCheckpoint())
     ranks = nodes_f.select(
         "node", F.lit(1000000).cast("long").alias("rank"), "dang")
     steps = 0
@@ -885,13 +894,12 @@ def pagerank(edges, iters: int = PAGERANK_ITERS, tol_ppm: int | None = None):
                                      f"DIV {PR_DAMP_DEN}")).cast("long")
                              .alias("rank"),
                              "dang"))
-        # Cache each superstep; the NEXT round's dangling collect is
-        # the action that materializes it, so every iteration runs
-        # exactly once and lineage stays one-superstep shallow. At
-        # 100 TB swap for _reliable_checkpoint every few rounds
-        # (executor-loss safety + lineage truncation), exactly like
-        # connected_components; rank state is 2 longs/node.
-        new_ranks = new_ranks.cache()
+        # Lazy localCheckpoint each superstep; the NEXT round's
+        # dangling collect is the action that materializes it, so
+        # every iteration runs exactly once and the PLAN (not just the
+        # computed data) stays one-superstep shallow — see the
+        # localCheckpoint note above the loop.
+        new_ranks = new_ranks.localCheckpoint(eager=False)
         steps += 1
         if tol_ppm is not None:
             delta = (new_ranks.alias("n")
