@@ -1120,7 +1120,7 @@ def triangle_counts(edges):
                         F.col("ent_b").alias("dst"))
            .unionAll(edges.select(F.col("ent_b").alias("src"),
                                   F.col("ent_a").alias("dst")))
-           .distinct()).cache()
+           .distinct()).localCheckpoint()
     deg = und.groupBy("src").agg(F.count("*").alias("d")) \
         .select(F.col("src").alias("node"), "d")
     withd = (und
@@ -1132,7 +1132,7 @@ def triangle_counts(edges):
     # each oriented edge so the wedge comparison needs no re-join
     o = (withd.filter(F.struct(F.col("sd"), F.col("src")) <
                       F.struct(F.col("dd"), F.col("dst")))
-         .select("src", "dst", "dd")).cache()
+         .select("src", "dst", "dd")).localCheckpoint()
     o1, o2 = o.alias("o1"), o.alias("o2")
     wedges = (o1.join(o2, (F.col("o1.src") == F.col("o2.src")) &
                       (F.struct(F.col("o1.dd"), F.col("o1.dst")) <
@@ -1141,7 +1141,7 @@ def triangle_counts(edges):
                       F.col("o1.dst").alias("v"),
                       F.col("o2.dst").alias("w")))
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"]).cache()
+    tri = wedges.join(closing, ["v", "w"]).localCheckpoint()
     corners = (tri.select(F.col("u").alias("ent"))
                .unionAll(tri.select(F.col("v").alias("ent")))
                .unionAll(tri.select(F.col("w").alias("ent"))))
@@ -1238,7 +1238,12 @@ def label_propagation(edges, iters: int = LPA_ITERS):
     100 TB swap for _reliable_checkpoint every few rounds, exactly like
     connected_components)."""
     nodes = edges.select(F.col("a").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("label")).cache()
+    # localCheckpoint, not cache: truncate the superstep PLAN so the
+    # final action doesn't re-analyze iters× nested lineage with the
+    # corpus scan at the root (the pagerank/skipgram lesson); lazy so
+    # each round still computes exactly once at materialization
+    labels = (nodes.select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=False))
     for _ in range(iters):
         votes = (edges.join(labels, edges["b"] == labels["node"])
                  .select(edges["a"].alias("node"), "label"))
@@ -1247,7 +1252,7 @@ def label_propagation(edges, iters: int = LPA_ITERS):
         labels = (counts.groupBy("node")
                   .agg(F.expr("min_by(label, struct(-cnt, label))")
                        .alias("label"))
-                  .cache())
+                  .localCheckpoint(eager=False))
     return labels
 
 
@@ -1265,7 +1270,8 @@ def q_kg_label_propagation(spark, sf_dir):
     # no-subplan-reuse; measured 13.5 -> ~2 s at sf0.1)
     edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
              .unionAll(p.select(F.col("ent_b").alias("a"),
-                                F.col("ent_a").alias("b")))).cache()
+                                F.col("ent_a").alias("b")))
+             ).localCheckpoint()
     labels = label_propagation(edges)
     w = Window.partitionBy("community")
     return (labels.select(F.col("node").alias("ent"),
@@ -1345,15 +1351,21 @@ def khop(edges, seeds, k: int = KHOP_K):
     cache for _reliable_checkpoint exactly like connected_components.
     Expects `edges` to carry each undirected edge in both directions.
     """
+    # lazy localCheckpoint per level (not cache): `new` and `visited`
+    # are each referenced twice per level AND feed the next level, so
+    # with cache the final plan nests k levels of corpus-rooted
+    # lineage that Catalyst re-analyzes whole (pagerank lesson)
     visited = (seeds.select("node")
-               .withColumn("hops", F.lit(0).cast("long")).cache())
+               .withColumn("hops", F.lit(0).cast("long"))
+               .localCheckpoint(eager=False))
     frontier = visited.select("node")
     for h in range(1, k + 1):
         nxt = (frontier.join(edges, frontier["node"] == edges["a"])
                .select(F.col("b").alias("node")).distinct())
         new = (nxt.join(visited, "node", "left_anti")
-               .withColumn("hops", F.lit(h).cast("long")).cache())
-        visited = visited.unionAll(new).cache()
+               .withColumn("hops", F.lit(h).cast("long"))
+               .localCheckpoint(eager=False))
+        visited = visited.unionAll(new).localCheckpoint(eager=False)
         frontier = new.select("node")
     return visited
 
@@ -1373,7 +1385,7 @@ def q_kg_khop(spark, sf_dir):
     # swap for a reliable checkpoint
     edges = fwd.unionAll(fwd.select(F.col("b").alias("a"),
                                     F.col("a").alias("b"))).distinct() \
-        .cache()
+        .localCheckpoint()
     seeds = spark.createDataFrame([(ENT_NS + "Entity0",)], "node string")
     return khop(edges, seeds).orderBy("hops", "node")
 
