@@ -7,10 +7,11 @@ from __future__ import annotations
 def queries() -> dict:
     from . import (asof, classifier, dedup, jsonld_column, lm,
                    multimodal, packing, relational, sampling, sessions,
-                   similarity, textstats)
+                   similarity, sketches, textstats)
     out = {}
     out.update(asof.QUERIES)
     out.update(relational.QUERIES)
+    out.update(sketches.QUERIES)
     out.update(classifier.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
@@ -27,10 +28,11 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     from . import (asof, classifier, dedup, jsonld_column, lm,
                    multimodal, packing, relational, sampling, sessions,
-                   similarity, textstats)
+                   similarity, sketches, textstats)
     out = {}
     out.update(asof.ORACLES)
     out.update(relational.ORACLES)
+    out.update(sketches.ORACLES)
     out.update(classifier.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)

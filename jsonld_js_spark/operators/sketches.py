@@ -1,0 +1,116 @@
+"""Distributed cardinality sketches: a portable HyperLogLog register
+table plus its driver-side estimator and shard merge.
+
+Exact count-distinct is the canonical scale bomb: every key must
+shuffle once (the groupBy(key) hiding under distinct()), so counting
+distinct postings over a 10^12-turn corpus moves the entire key set
+across the network. The HLL register table is the scale path: ONE
+corpus scan, a map-side partial max into m = 2^p buckets, and a fixed
+m-row result that merges across shards / days / incremental ingests
+by elementwise register max — history never re-scanned. Duplicates
+never need pre-collapsing either (max is idempotent), so there is no
+distinct() anywhere in the plan.
+
+Portability: register construction is pure integer arithmetic on the
+shared portable 60-bit md5-prefix hash (textstats.hash60): bucket =
+top p bits via DIV (operands non-negative — hash60 ∈ [0, 2^60) — so
+Spark's truncate-toward-zero and DuckDB's floor agree, per the
+CLAUDE.md bucketing rule), and rho = leading-zero rank of the low
+(60-p) bits via length(bin(w)) — both engines print minimal-width
+binary with bin(0) = '0'. The DuckDB oracle therefore reproduces the
+register TABLE bit-for-bit and the driver gate covers the whole
+sketch construction.
+
+The ESTIMATOR is a few float ops over the m collected register rows
+(driver-side scalar state, the k-means-centroid pattern — never data)
+and is judged in pytest against exact distinct counts: an equality
+gate cannot grade an approximation (the planted-truth lesson,
+BENCH/SOAK_DEDUP_r3.md). Formulation: Flajolet et al. 2007 raw
+estimator with the standard small-range linear-counting correction.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from .textstats import _NORM_SQL, hash60, hash60_sql
+
+HLL_P = 10                   # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P           # relative error ~ 1.04/sqrt(m) = 3.25%
+HLL_W_BITS = 60 - HLL_P      # low bits that feed the leading-zero rank
+_W_MOD = 1 << HLL_W_BITS     # 2^50
+_RHO_MAX = HLL_W_BITS + 1    # rho when the low bits are all zero
+
+
+def hll_registers(items, item_col: str = "item"):
+    """DataFrame with a string `item_col` -> the (bucket, max_rho)
+    register table (≤ m rows; empty buckets are absent and the
+    estimator accounts for them). One narrow projection + one
+    1024-group partial-combined aggregation — the whole sketch."""
+    h = hash60(F.col(item_col))
+    d = items.select(h.alias("h"))
+    bucket = F.expr(f"h DIV {_W_MOD}")
+    w = F.col("h") % F.lit(_W_MOD)
+    rho = (F.when(w == F.lit(0), F.lit(_RHO_MAX))
+           .otherwise(F.lit(_RHO_MAX) - F.length(F.bin(w))))
+    return (d.select(bucket.alias("bucket"),
+                     rho.cast("long").alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_merge(*register_dfs):
+    """Merge shard register tables: elementwise max per bucket. The
+    union is m rows per shard — merging a year of daily sketches is a
+    few MB, not a re-scan."""
+    out = register_dfs[0]
+    for r in register_dfs[1:]:
+        out = out.unionAll(r)
+    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(register_rows, m: int = HLL_M) -> int:
+    """Collected (bucket, max_rho) rows -> estimated cardinality.
+    Raw HLL harmonic-mean estimator; linear counting below 2.5m when
+    empty registers remain (the HLL++ small-range correction)."""
+    regs = {r["bucket"]: r["max_rho"] for r in register_rows}
+    n_zero = m - len(regs)
+    z = float(n_zero) + sum(2.0 ** -rho for rho in regs.values())
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / z
+    if est <= 2.5 * m and n_zero > 0:
+        est = m * math.log(m / n_zero)
+    return int(est)
+
+
+def q_sketch_hll_postings(spark, sf_dir):
+    """Gated query: the HLL register table for the corpus's distinct
+    (doc_id, token) postings — the statistic that sizes a TF-IDF /
+    inverted-index build. No distinct(), no key shuffle: one scan,
+    one explode, 1024 groups."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = (d.select(F.col("doc_id"), F.explode(F.split(norm, " "))
+                      .alias("tok"))
+             .select(F.concat_ws(":", F.col("doc_id"), F.col("tok"))
+                     .alias("item")))
+    return hll_registers(items).orderBy("bucket")
+
+
+ORACLE_SKETCH_HLL = f"""
+WITH items AS (
+  SELECT doc_id || ':' || unnest(string_split({_NORM_SQL}, ' ')) AS item
+  FROM documents
+),
+h AS (SELECT {hash60_sql('item')} AS h FROM items)
+SELECT h // {_W_MOD} AS bucket,
+       cast(max(CASE WHEN h % {_W_MOD} = 0 THEN {_RHO_MAX}
+                     ELSE {_RHO_MAX} - length(bin(h % {_W_MOD})) END)
+            as bigint) AS max_rho
+FROM h GROUP BY bucket ORDER BY bucket
+"""
+
+
+QUERIES = {"sketch_hll_postings": q_sketch_hll_postings}
+ORACLES = {"sketch_hll_postings": ORACLE_SKETCH_HLL}
