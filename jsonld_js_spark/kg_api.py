@@ -1587,7 +1587,12 @@ def random_walks(edges, walks_per_node: int = WALKS_PER_NODE,
     walks = nodes.select("seed", F.explode(F.array(
         *[F.lit(w).cast("long") for w in range(walks_per_node)]))
         .alias("w"))
-    state = walks.select("seed", "w", F.col("seed").alias("node")).cache()
+    # lazy localCheckpoint per step (pagerank lesson): truncate the
+    # PLAN, not just the computed data — the union of walk_len levels
+    # otherwise nests every step's corpus-rooted lineage for Catalyst
+    # to re-analyze at the final action
+    state = (walks.select("seed", "w", F.col("seed").alias("node"))
+             .localCheckpoint(eager=False))
     levels = [state.select(
         "seed", "w", F.lit(0).cast("long").alias("step"), "node")]
     for h in range(1, walk_len + 1):
@@ -1598,7 +1603,7 @@ def random_walks(edges, walks_per_node: int = WALKS_PER_NODE,
                          hash60(key).alias("h"))
                  .groupBy("seed", "w")
                  .agg(F.expr("min_by(b, struct(h, b))").alias("node"))
-                 .cache())
+                 .localCheckpoint(eager=False))
         levels.append(state.select(
             "seed", "w", F.lit(h).cast("long").alias("step"), "node"))
     out = levels[0]
@@ -1621,7 +1626,8 @@ def q_kg_random_walks(spark, sf_dir):
     # (measured 15.9 s -> 1.9 s at sf0.1).
     edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
              .unionAll(p.select(F.col("ent_b").alias("a"),
-                                F.col("ent_a").alias("b")))).cache()
+                                F.col("ent_a").alias("b")))
+             ).localCheckpoint()
     return random_walks(edges).orderBy("seed", "w", "step")
 
 
