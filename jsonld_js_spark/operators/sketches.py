@@ -112,5 +112,91 @@ FROM h GROUP BY bucket ORDER BY bucket
 """
 
 
-QUERIES = {"sketch_hll_postings": q_sketch_hll_postings}
-ORACLES = {"sketch_hll_postings": ORACLE_SKETCH_HLL}
+# ---------------------------------------------------------------------------
+# Count-Min: the mergeable FREQUENCY sketch (HLL answers "how many
+# distinct", CM answers "how often is X") — d independent hash rows of
+# w counters; est(x) = min over rows of the counter x hashes to, which
+# is >= the true count always and <= true + (e/w)*N w.h.p. Same scale
+# argument as HLL: the exact answer is a full key shuffle, the sketch
+# is one scan + a partial-combined d*w-group aggregation, and daily
+# tables merge by cellwise SUM. Row seeds are string prefixes into the
+# same portable hash, cells via % on non-negative operands — the
+# DuckDB oracle reproduces the counter table bit-for-bit.
+
+CM_D = 4                     # hash rows: P(overshoot) ~ e^-d per query
+CM_W = 1024                  # counters/row: overshoot <= (e/w)*N w.h.p.
+
+
+def countmin_table(items, item_col: str = "item",
+                   d: int = CM_D, w: int = CM_W):
+    """DataFrame with a string `item_col` -> the (r, cell, cnt)
+    Count-Min counter table (<= d*w rows; absent cells are zero).
+    The d-way expansion collapses in the map-side combiner — at most
+    d*w groups ever cross the exchange."""
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("r"),
+            (hash60(F.concat_ws(":", F.lit(str(i)), F.col(item_col)))
+             % F.lit(w)).alias("cell"))
+        for i in range(d)])
+    return (items.select(F.explode(cells).alias("rc"))
+            .groupBy(F.col("rc.r").alias("r"),
+                     F.col("rc.cell").alias("cell"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def countmin_merge(*tables):
+    """Merge shard counter tables: cellwise sum (the sketch is a
+    linear projection of the count vector, so shards add)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionAll(t)
+    return (out.groupBy("r", "cell").agg(F.sum("cnt").alias("cnt")))
+
+
+def countmin_estimate(table_rows, item: str,
+                      d: int = CM_D, w: int = CM_W) -> int:
+    """Collected (r, cell, cnt) rows -> frequency estimate for `item`:
+    min over the d counters it hashes to (>= truth, one-sided)."""
+    import hashlib
+    t = {(r["r"], r["cell"]): r["cnt"] for r in table_rows}
+    est = None
+    for i in range(d):
+        h = int(hashlib.md5(f"{i}:{item}".encode()).hexdigest()[:15],
+                16) % w
+        c = t.get((i, h), 0)
+        est = c if est is None else min(est, c)
+    return int(est)
+
+
+def q_sketch_countmin_tokens(spark, sf_dir):
+    """Gated query: the Count-Min counter table over the corpus token
+    stream — the mergeable per-token frequency surface a streaming
+    vocabulary/stopword monitor consumes. One scan, one explode, d*w
+    groups; no per-token key shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = docs.select(F.explode(F.split(norm, " ")).alias("item"))
+    return countmin_table(items).orderBy("r", "cell")
+
+
+ORACLE_SKETCH_COUNTMIN = f"""
+WITH items AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS item FROM documents
+),
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT cast({i} as bigint) AS r, "
+      f"{hash60_sql(chr(39) + str(i) + ':' + chr(39) + ' || item')} "
+      f"% {CM_W} AS cell FROM items"
+      for i in range(CM_D))}
+)
+SELECT r, cell, cast(count(*) as bigint) AS cnt
+FROM cells GROUP BY r, cell ORDER BY r, cell
+"""
+
+
+QUERIES = {"sketch_hll_postings": q_sketch_hll_postings,
+           "sketch_countmin_tokens": q_sketch_countmin_tokens}
+ORACLES = {"sketch_hll_postings": ORACLE_SKETCH_HLL,
+           "sketch_countmin_tokens": ORACLE_SKETCH_COUNTMIN}

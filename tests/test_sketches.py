@@ -73,6 +73,73 @@ def test_hll_estimate_accuracy(spark):
         assert abs(est - n) / n < 0.13, (n, est)
 
 
+def test_countmin_hand_truth(spark):
+    """The counter table on a tiny stream equals plain-python md5 bit
+    math (independent of both engines), duplicates included."""
+    import hashlib
+    from jsonld_js_spark.operators.sketches import (
+        CM_D, CM_W, countmin_table)
+    stream = ["a", "b", "a", "c", "a", "b"]
+    df = spark.createDataFrame([(s,) for s in stream], "item string")
+    got = sorted((r["r"], r["cell"], r["cnt"])
+                 for r in countmin_table(df).collect())
+    expect = {}
+    for s in stream:
+        for i in range(CM_D):
+            cell = int(hashlib.md5(f"{i}:{s}".encode())
+                       .hexdigest()[:15], 16) % CM_W
+            expect[(i, cell)] = expect.get((i, cell), 0) + 1
+    assert got == sorted((r, c, n) for (r, c), n in expect.items())
+
+
+def test_countmin_one_sided_and_merge(spark):
+    """Planted frequencies: the estimate is NEVER below the true
+    count (the CM guarantee), overshoot stays within (e/w)*N, shard
+    tables merge by cellwise sum, and an absent item estimates ~0."""
+    from jsonld_js_spark.operators.sketches import (
+        CM_W, countmin_estimate, countmin_merge, countmin_table)
+    truth = {f"hh{i}": 200 - 15 * i for i in range(10)}
+    truth.update({f"tail{i}": 1 for i in range(2000)})
+    stream = [s for s, n in truth.items() for _ in range(n)]
+    n_total = len(stream)
+    df = spark.createDataFrame([(s,) for s in stream], "item string")
+    half = len(stream) // 2
+    a = spark.createDataFrame([(s,) for s in stream[:half]],
+                              "item string")
+    b = spark.createDataFrame([(s,) for s in stream[half:]],
+                              "item string")
+    rows = countmin_table(df).collect()
+    merged = sorted((r["r"], r["cell"], r["cnt"]) for r in
+                    countmin_merge(countmin_table(a),
+                                   countmin_table(b)).collect())
+    assert merged == sorted((r["r"], r["cell"], r["cnt"]) for r in rows)
+    bound = int(2.72 * n_total / CM_W) + 1
+    for item, n in list(truth.items())[:10] + [("tail0", 1)]:
+        est = countmin_estimate(rows, item)
+        assert est >= n, (item, n, est)
+        assert est <= n + bound, (item, n, est, bound)
+    assert countmin_estimate(rows, "never-seen") <= bound
+
+
+def test_countmin_gated_query_estimates(spark):
+    """The gated token sketch at sf0.001: every token's estimate is
+    >= its exact count and the heaviest token's estimate is exact or
+    within the epsilon-N overshoot."""
+    from jsonld_js_spark.operators.sketches import (
+        CM_W, countmin_estimate, q_sketch_countmin_tokens)
+    rows = q_sketch_countmin_tokens(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    exact = {r["item"]: r["n"] for r in
+             d.select(F.explode(F.split(norm, " ")).alias("item"))
+             .groupBy("item").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(exact.values())
+    bound = int(2.72 * n_total / CM_W) + 1
+    for item, n in exact.items():
+        est = countmin_estimate(rows, item)
+        assert n <= est <= n + bound, (item, n, est)
+
+
 def test_hll_postings_query_shape_and_estimate(spark):
     """The gated query at sf0.001: registers bounded by m, and the
     estimate lands within tolerance of the exact distinct posting
