@@ -287,6 +287,38 @@ def stream_nquads_triples(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_hll_postings(spark: SparkSession, input_dir: str,
+                        checkpoint_dir: str,
+                        available_now: bool = True,
+                        query_name: str = "hll_postings"):
+    """Live distinct-postings monitor: the HLL register sketch
+    (operators/sketches.py) as a streaming aggregation. The register
+    table IS the streaming state — groupBy(bucket).max over m = 1024
+    buckets — so state is bounded at m rows FOREVER, regardless of
+    stream length or key cardinality: the one count-distinct shape
+    that never needs a watermark to stay bounded (contrast
+    stream_dedup_documents, whose exact-dedup state must expire by
+    event time). Complete output mode re-emits the full (tiny)
+    register table per trigger; downstream merges across days by
+    register max (sketches.hll_merge)."""
+    from ..operators.sketches import hll_registers
+    stream = (spark.readStream.schema(DOC_DDL)
+              .option("maxFilesPerTrigger", 4).parquet(input_dir))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = (stream.select(F.col("doc_id"),
+                           F.explode(F.split(norm, " ")).alias("tok"))
+             .select(F.concat_ws(":", F.col("doc_id"), F.col("tok"))
+                     .alias("item")))
+    regs = hll_registers(items)
+    writer = (regs.writeStream.format("memory")
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("complete"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
               "event_type string")
 

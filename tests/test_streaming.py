@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from jsonld_js_spark.pipeline import transcript_triples
 from jsonld_js_spark.streaming import (
@@ -92,6 +93,50 @@ def test_stream_dedup_documents(spark, tmp_path):
     assert len(fps) == len(set(fps)) == 3
     texts = {r["text"].lower().split()[0] for r in out}
     assert texts == {"alpha", "beta", "gamma"}
+
+
+def test_stream_hll_postings_matches_batch(spark, tmp_path):
+    """The streaming HLL register table after the whole stream drains
+    equals the batch sketch over the same documents — and the state
+    the query ever held is bounded by the m=1024 buckets (read from
+    the final progress), the claim that makes a count-distinct
+    monitor feasible on an unbounded stream."""
+    from datetime import datetime
+    import time
+
+    from jsonld_js_spark.operators.sketches import HLL_M, hll_registers
+    from jsonld_js_spark.streaming.ingest import stream_hll_postings
+
+    in_dir = str(tmp_path / "hll_in")
+    schema = "doc_id long, text string, ts timestamp"
+    rows = [(i, f"tok{i % 7} tok{i % 31} shared text body {i}",
+             datetime(2026, 1, 1, 0, i % 60)) for i in range(300)]
+    # several files so the sketch accumulates across micro-batches
+    for lo in range(0, 300, 100):
+        spark.createDataFrame(rows[lo:lo + 100], schema) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_hll_postings(spark, in_dir, str(tmp_path / "ckpt_hll"),
+                            query_name="hll_postings_t")
+    q.awaitTermination(120)
+    for _ in range(20):
+        got = spark.sql(
+            "SELECT bucket, max_rho FROM hll_postings_t").collect()
+        if got:
+            break
+        time.sleep(0.5)
+    batch_df = spark.createDataFrame(rows, schema)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = (batch_df.select("doc_id",
+                             F.explode(F.split(norm, " ")).alias("tok"))
+             .select(F.concat_ws(":", "doc_id", "tok").alias("item")))
+    want = hll_registers(items).collect()
+    as_set = lambda rs: {(r["bucket"], r["max_rho"]) for r in rs}  # noqa: E731
+    assert as_set(got) == as_set(want)
+    assert len(got) <= HLL_M
+    prog = q.lastProgress
+    ops = prog["stateOperators"]
+    assert ops and all(op["numRowsTotal"] <= HLL_M for op in ops)
 
 
 def test_stream_nquads_matches_batch(spark, tmp_path):
