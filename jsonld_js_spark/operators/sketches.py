@@ -196,7 +196,104 @@ FROM cells GROUP BY r, cell ORDER BY r, cell
 """
 
 
+# ---------------------------------------------------------------------------
+# Log-linear quantile histogram (HDR-histogram bucketing): the
+# mergeable DISTRIBUTION sketch that completes the family (HLL =
+# distinct, CM = frequency). corpus_length_percentiles is exact but
+# fundamentally needs a per-group sort (its PLANS.md note defers the
+# 100 TB profiler to a sketch — this is that sketch): values 0..15
+# get exact buckets, larger values 16 linear sub-buckets per power of
+# two, so relative error <= 2^-4 = 6.25% with <= ~900 buckets total
+# for the full int64 range. One scan + a <=900-group partial-combined
+# agg — no sort, no key shuffle; shards/days merge by cellwise sum.
+# Bucketing is pure integer arithmetic (bit length via length(bin(n)),
+# top-5-bits via DIV by a shifted 1 — operands non-negative) so the
+# DuckDB oracle reproduces the bucket TABLE bit-for-bit; the quantile
+# ESTIMATOR is a driver-side walk over the collected rows, judged in
+# pytest against exact percentiles with the provable error bound
+# (est <= v and v - est <= v/16).
+
+QH_SUB_BITS = 4
+QH_LIN = 1 << QH_SUB_BITS    # 16 sub-buckets per octave
+
+_QH_BUCKET_SPARK = (
+    "CASE WHEN n < 16 THEN n ELSE (length(bin(n)) - 5) * 16 + "
+    "(n DIV shiftleft(cast(1 as bigint), "
+    "cast(length(bin(n)) - 5 as int))) END")
+_QH_BUCKET_DUCK = (
+    "CASE WHEN n < 16 THEN n ELSE (length(bin(n)) - 5) * 16 + "
+    "(n // (cast(1 as bigint) << (length(bin(n)) - 5))) END")
+
+
+def qhist_table(values, value_col: str = "n"):
+    """DataFrame with a non-negative bigint `value_col` -> the
+    (bucket, cnt) log-linear histogram. For n in [2^k, 2^(k+1)) the
+    bucket keeps the top 5 bits (sub in [16,31]), giving
+    bucket = (k-4)*16 + sub — contiguous and monotone in n, so rank
+    order is preserved exactly and a quantile walk lands in the true
+    element's bucket."""
+    d = values.select(F.col(value_col).cast("long").alias("n"))
+    return (d.select(F.expr(_QH_BUCKET_SPARK).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("cnt")))
+
+
+def qhist_merge(*tables):
+    """Merge shard histograms: cellwise sum (linear in the counts)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionAll(t)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def qhist_lower(bucket: int) -> int:
+    """Inclusive lower bound of a bucket's value range: octave
+    o = max(0, bucket div 16 - 1), sub = bucket - o*16, lb = sub<<o.
+    For bucket < 32 this degenerates to lb = bucket (exact)."""
+    o = max(0, bucket // QH_LIN - 1)
+    return (bucket - o * QH_LIN) << o
+
+
+def qhist_quantile(table_rows, pct: int) -> int:
+    """Collected (bucket, cnt) rows -> nearest-rank percentile
+    estimate (the corpus_length_percentiles rank convention:
+    rank = (n*pct + 99) div 100). Returns the lower bound of the
+    true element's bucket: est <= v < est + step with step <= v/16,
+    i.e. a one-sided <=6.25% underestimate."""
+    rows = sorted((r["bucket"], r["cnt"]) for r in table_rows)
+    total = sum(c for _, c in rows)
+    rank = (total * pct + 99) // 100
+    cum = 0
+    for bucket, cnt in rows:
+        cum += cnt
+        if cum >= rank:
+            return qhist_lower(bucket)
+    return qhist_lower(rows[-1][0]) if rows else 0
+
+
+def q_sketch_quantile_doclen(spark, sf_dir):
+    """Gated query: the log-linear histogram of per-document token
+    lengths — the mergeable length profile a 100 TB curation run
+    keeps per shard where the exact percentile sort is infeasible.
+    One scan, one <=900-group agg, no sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    lens = d.select(F.size(F.split(norm, " ")).cast("long").alias("n"))
+    return qhist_table(lens).orderBy("bucket")
+
+
+ORACLE_SKETCH_QUANTILE = f"""
+WITH lens AS (
+  SELECT cast(len(string_split({_NORM_SQL}, ' ')) as bigint) AS n
+  FROM documents
+)
+SELECT {_QH_BUCKET_DUCK} AS bucket, cast(count(*) as bigint) AS cnt
+FROM lens GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {"sketch_hll_postings": q_sketch_hll_postings,
-           "sketch_countmin_tokens": q_sketch_countmin_tokens}
+           "sketch_countmin_tokens": q_sketch_countmin_tokens,
+           "sketch_quantile_doclen": q_sketch_quantile_doclen}
 ORACLES = {"sketch_hll_postings": ORACLE_SKETCH_HLL,
-           "sketch_countmin_tokens": ORACLE_SKETCH_COUNTMIN}
+           "sketch_countmin_tokens": ORACLE_SKETCH_COUNTMIN,
+           "sketch_quantile_doclen": ORACLE_SKETCH_QUANTILE}

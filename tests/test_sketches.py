@@ -157,3 +157,84 @@ def test_hll_postings_query_shape_and_estimate(spark):
              .distinct().count())
     est = hll_estimate(rows)
     assert abs(est - exact) / exact < 0.13, (exact, est)
+
+def test_qhist_bucket_hand_truth(spark):
+    """The log-linear bucket arithmetic vs plain-python bit math on
+    crafted values: exact below 16, octave boundaries, within-octave
+    sub-buckets, and a large value."""
+    from jsonld_js_spark.operators.sketches import (
+        QH_LIN, qhist_lower, qhist_table)
+    vals = [0, 1, 15, 16, 17, 31, 32, 33, 34, 63, 64, 100, 1023, 1024,
+            123_456_789]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = {r["bucket"]: r["cnt"] for r in qhist_table(df).collect()}
+
+    def py_bucket(n):
+        if n < 16:
+            return n
+        m = n.bit_length()
+        return (m - 5) * 16 + (n >> (m - 5))
+
+    expect = {}
+    for v in vals:
+        expect[py_bucket(v)] = expect.get(py_bucket(v), 0) + 1
+    assert got == expect
+    # decode inverts to the bucket's range: lb(b) <= v < lb(b+1)
+    for v in vals:
+        b = py_bucket(v)
+        assert qhist_lower(b) <= v
+        assert v < qhist_lower(b + 1)
+    # monotone + contiguous decode across the first octaves
+    lows = [qhist_lower(b) for b in range(4 * QH_LIN)]
+    assert lows == sorted(lows)
+
+
+def test_qhist_merge_and_rank_preservation(spark):
+    """Shard histograms merge by cellwise sum into exactly the
+    whole-corpus histogram, and the quantile walk's answer carries the
+    provable one-sided bound vs the true nearest-rank element:
+    est <= v and v - est <= max(1, v div 16)."""
+    import random
+    from jsonld_js_spark.operators.sketches import (
+        qhist_merge, qhist_quantile, qhist_table)
+    rng = random.Random(4242)
+    vals = ([rng.randrange(0, 40) for _ in range(400)] +
+            [rng.randrange(40, 5000) for _ in range(400)] +
+            [rng.randrange(5000, 10**7) for _ in range(200)])
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    half = len(vals) // 2
+    a = spark.createDataFrame([(v,) for v in vals[:half]], "n long")
+    b = spark.createDataFrame([(v,) for v in vals[half:]], "n long")
+    whole = sorted((r["bucket"], r["cnt"])
+                   for r in qhist_table(df).collect())
+    merged = sorted((r["bucket"], r["cnt"]) for r in
+                    qhist_merge(qhist_table(a), qhist_table(b))
+                    .collect())
+    assert merged == whole
+    rows = qhist_table(df).collect()
+    s = sorted(vals)
+    for pct in (1, 25, 50, 75, 90, 99, 100):
+        rank = (len(s) * pct + 99) // 100
+        v = s[rank - 1]
+        est = qhist_quantile(rows, pct)
+        assert est <= v, (pct, v, est)
+        assert v - est <= max(1, v // 16), (pct, v, est)
+
+
+def test_qhist_gated_query_vs_exact_percentiles(spark):
+    """The gated doc-length sketch at sf0.001 against exact sorted
+    percentiles of the same lengths: every estimate obeys the
+    one-sided 1/16 bound."""
+    from jsonld_js_spark.operators.sketches import (
+        q_sketch_quantile_doclen, qhist_quantile)
+    rows = q_sketch_quantile_doclen(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    lens = sorted(r["n"] for r in
+                  d.select(F.size(F.split(norm, " "))
+                           .cast("long").alias("n")).collect())
+    for pct in (10, 50, 90, 99):
+        rank = (len(lens) * pct + 99) // 100
+        v = lens[rank - 1]
+        est = qhist_quantile(rows, pct)
+        assert est <= v and v - est <= max(1, v // 16), (pct, v, est)
