@@ -291,9 +291,95 @@ FROM lens GROUP BY 1 ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Counting Bloom filter: the mergeable MEMBERSHIP sketch (fourth of
+# the family: HLL = distinct, CM = frequency, qhist = distribution,
+# Bloom = "have we seen X"). The incremental-ingest use: a new shard
+# asks "which of my doc fingerprints has the store seen?" without
+# joining against the store — ship the store's <= m-row counter table
+# (a few hundred KB), probe locally, and only the maybe-seen minority
+# pays the exact anti-join (kg_incremental_triples). Guarantees: NO
+# false negative ever (a seen item's k cells are all > 0 by
+# construction); false positives at rate ~(1 - e^(-kn/m))^k, paid for
+# by a needless exact check, never by data loss. Counting cells (not
+# bits) make shard tables merge by cellwise SUM — same linearity as
+# CM. Cell arithmetic is hash60 % m on non-negative operands, so the
+# DuckDB oracle reproduces the counter table bit-for-bit; the
+# no-false-negative and FP-rate properties are judged in pytest with
+# planted member/non-member sets.
+
+BF_K = 6                     # hash probes per item
+BF_M = 1 << 16               # cells; FP ~ (1 - e^(-kn/m))^k
+
+
+def bloom_table(items, item_col: str = "item",
+                k: int = BF_K, m: int = BF_M):
+    """DataFrame with a string `item_col` -> the (cell, cnt) counting
+    Bloom table (<= m rows; absent cells are zero). The k-way
+    expansion collapses in the map-side combiner — at most m groups
+    cross the exchange regardless of corpus size."""
+    cells = F.array(*[
+        (hash60(F.concat_ws(":", F.lit(f"bf{i}"), F.col(item_col)))
+         % F.lit(m)).alias(f"c{i}")
+        for i in range(k)])
+    return (items.select(F.explode(cells).alias("cell"))
+            .groupBy("cell").agg(F.count("*").alias("cnt")))
+
+
+def bloom_merge(*tables):
+    """Merge shard tables: cellwise sum (linear, like CM)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionAll(t)
+    return out.groupBy("cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def bloom_contains(table_rows, item: str,
+                   k: int = BF_K, m: int = BF_M) -> bool:
+    """Collected (cell, cnt) rows -> membership probe: True iff all k
+    cells the item hashes to are set. False means DEFINITELY unseen;
+    True means seen-or-false-positive."""
+    import hashlib
+    cells = {r["cell"] for r in table_rows if r["cnt"] > 0}
+    for i in range(k):
+        h = int(hashlib.md5(f"bf{i}:{item}".encode()).hexdigest()[:15],
+                16) % m
+        if h not in cells:
+            return False
+    return True
+
+
+def q_sketch_bloom_fingerprints(spark, sf_dir):
+    """Gated query: the counting Bloom table over normalized document
+    fingerprints (the text_fingerprint identity) — the shippable
+    "has the store seen this doc" surface an incremental shard probes
+    before paying the exact anti-join. One scan, <= m groups."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = d.select(norm.alias("item"))
+    return bloom_table(items).orderBy("cell")
+
+
+ORACLE_SKETCH_BLOOM = f"""
+WITH items AS (
+  SELECT {_NORM_SQL} AS item FROM documents
+),
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {hash60_sql(chr(39) + f'bf{i}:' + chr(39) + ' || item')} "
+      f"% {BF_M} AS cell FROM items"
+      for i in range(BF_K))}
+)
+SELECT cell, cast(count(*) as bigint) AS cnt
+FROM cells GROUP BY cell ORDER BY cell
+"""
+
+
 QUERIES = {"sketch_hll_postings": q_sketch_hll_postings,
            "sketch_countmin_tokens": q_sketch_countmin_tokens,
-           "sketch_quantile_doclen": q_sketch_quantile_doclen}
+           "sketch_quantile_doclen": q_sketch_quantile_doclen,
+           "sketch_bloom_fingerprints": q_sketch_bloom_fingerprints}
 ORACLES = {"sketch_hll_postings": ORACLE_SKETCH_HLL,
            "sketch_countmin_tokens": ORACLE_SKETCH_COUNTMIN,
-           "sketch_quantile_doclen": ORACLE_SKETCH_QUANTILE}
+           "sketch_quantile_doclen": ORACLE_SKETCH_QUANTILE,
+           "sketch_bloom_fingerprints": ORACLE_SKETCH_BLOOM}

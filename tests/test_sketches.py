@@ -238,3 +238,66 @@ def test_qhist_gated_query_vs_exact_percentiles(spark):
         v = lens[rank - 1]
         est = qhist_quantile(rows, pct)
         assert est <= v and v - est <= max(1, v // 16), (pct, v, est)
+
+def test_bloom_hand_truth_and_no_false_negative(spark):
+    """Counter table equals plain-python md5 bit math; EVERY inserted
+    item probes True (the no-false-negative guarantee)."""
+    import hashlib
+    from jsonld_js_spark.operators.sketches import (
+        BF_K, BF_M, bloom_contains, bloom_table)
+    items = [f"doc fingerprint {i}" for i in range(50)] + ["dup", "dup"]
+    df = spark.createDataFrame([(s,) for s in items], "item string")
+    rows = bloom_table(df).collect()
+    expect = {}
+    for s in items:
+        for i in range(BF_K):
+            cell = int(hashlib.md5(f"bf{i}:{s}".encode())
+                       .hexdigest()[:15], 16) % BF_M
+            expect[cell] = expect.get(cell, 0) + 1
+    assert sorted((r["cell"], r["cnt"]) for r in rows) == \
+        sorted(expect.items())
+    for s in items:
+        assert bloom_contains(rows, s), s
+
+
+def test_bloom_merge_and_fp_rate(spark):
+    """Shard tables merge by cellwise sum into exactly the whole-set
+    table; the false-positive rate over 2000 planted NON-members stays
+    within 3x the analytic (1-e^(-kn/m))^k bound (n=5000 -> ~0.25%)."""
+    import math
+    from jsonld_js_spark.operators.sketches import (
+        BF_K, BF_M, bloom_contains, bloom_merge, bloom_table)
+    members = [f"m{i}" for i in range(5000)]
+    df = spark.createDataFrame([(s,) for s in members], "item string")
+    a = spark.createDataFrame([(s,) for s in members[:2500]],
+                              "item string")
+    b = spark.createDataFrame([(s,) for s in members[2500:]],
+                              "item string")
+    whole = sorted((r["cell"], r["cnt"])
+                   for r in bloom_table(df).collect())
+    merged = sorted((r["cell"], r["cnt"]) for r in
+                    bloom_merge(bloom_table(a), bloom_table(b))
+                    .collect())
+    assert merged == whole
+    rows = bloom_table(df).collect()
+    fp = sum(bloom_contains(rows, f"absent{i}") for i in range(2000))
+    p = (1 - math.exp(-BF_K * 5000 / BF_M)) ** BF_K
+    assert fp / 2000 <= 3 * p + 0.002, (fp, p)
+
+
+def test_bloom_gated_query_probes(spark):
+    """The gated fingerprint table at sf0.001: every real document's
+    normalized text probes True; garbage strings probe False (2000
+    trials, FP-bounded)."""
+    from jsonld_js_spark.operators.sketches import (
+        q_sketch_bloom_fingerprints, bloom_contains)
+    rows = q_sketch_bloom_fingerprints(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fps = [r["item"] for r in d.select(norm.alias("item"))
+           .limit(200).collect()]
+    for s in fps:
+        assert bloom_contains(rows, s)
+    fp = sum(bloom_contains(rows, f"never seen doc {i}")
+             for i in range(500))
+    assert fp <= 5
