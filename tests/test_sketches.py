@@ -301,3 +301,27 @@ def test_bloom_gated_query_probes(spark):
     fp = sum(bloom_contains(rows, f"never seen doc {i}")
              for i in range(500))
     assert fp <= 5
+
+def test_sketch_plan_contracts(spark):
+    """Scan-level contracts for all four gated sketches: ONE FileScan
+    (no self-union re-reads), pruned ReadSchema (a sketch never needs
+    the full document width), map-side partial aggregation, and at
+    most two exchanges (the tiny-group agg + the deterministic output
+    sort) — the shape that makes a sketch scan-bound at 100 TB."""
+    from jsonld_js_spark.operators.sketches import (
+        q_sketch_bloom_fingerprints, q_sketch_countmin_tokens,
+        q_sketch_hll_postings, q_sketch_quantile_doclen)
+    for q, needs_doc_id in [(q_sketch_hll_postings, True),
+                            (q_sketch_countmin_tokens, False),
+                            (q_sketch_quantile_doclen, False),
+                            (q_sketch_bloom_fingerprints, False)]:
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert plan.count("FileScan") == 1, q.__name__
+        assert "partial" in plan.lower(), q.__name__
+        assert plan.count("Exchange") <= 2, q.__name__
+        # pruned scan: never reads source/lang/n_chars
+        import re
+        rs = re.search(r"ReadSchema: (\S+)", plan).group(1)
+        assert "source" not in rs and "n_chars" not in rs, (q.__name__, rs)
+        assert ("doc_id" in rs) == needs_doc_id, (q.__name__, rs)
