@@ -60,6 +60,27 @@ def hll_registers(items, item_col: str = "item"):
             .agg(F.max("rho").alias("max_rho")))
 
 
+def hll_registers_by(items, group_col: str, item_col: str = "item"):
+    """Grouped register tables: one HLL per value of `group_col` in a
+    single pass — the \"distinct X per group\" shape (per-source
+    vocabulary, per-day users) whose exact form is the worst shuffle
+    in analytics (groupBy(group, key) over EVERY key). Output is
+    <= |groups| * m rows keyed (group, bucket); merge across shards
+    with a (group, bucket) max. Skew-immune by construction: a group
+    with 10^9 distinct keys still contributes at most m rows past the
+    map-side combiner."""
+    h = hash60(F.col(item_col))
+    d = items.select(F.col(group_col), h.alias("h"))
+    bucket = F.expr(f"h DIV {_W_MOD}")
+    w = F.col("h") % F.lit(_W_MOD)
+    rho = (F.when(w == F.lit(0), F.lit(_RHO_MAX))
+           .otherwise(F.lit(_RHO_MAX) - F.length(F.bin(w))))
+    return (d.select(group_col, bucket.alias("bucket"),
+                     rho.cast("long").alias("rho"))
+            .groupBy(group_col, "bucket")
+            .agg(F.max("rho").alias("max_rho")))
+
+
 def hll_merge(*register_dfs):
     """Merge shard register tables: elementwise max per bucket. The
     union is m rows per shard — merging a year of daily sketches is a
@@ -109,6 +130,33 @@ SELECT h // {_W_MOD} AS bucket,
                      ELSE {_RHO_MAX} - length(bin(h % {_W_MOD})) END)
             as bigint) AS max_rho
 FROM h GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_sketch_hll_by_source(spark, sf_dir):
+    """Gated query: per-source distinct-TOKEN registers (per-source
+    vocabulary size) — one pass, <= |sources| * m rows, immune to a
+    source with a giant vocabulary (the skewed-group count-distinct
+    that melts the exact plan)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = d.select(F.col("source"),
+                     F.explode(F.split(norm, " ")).alias("item"))
+    return (hll_registers_by(items, "source")
+            .orderBy("source", "bucket"))
+
+
+ORACLE_SKETCH_HLL_BY_SOURCE = f"""
+WITH items AS (
+  SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS item
+  FROM documents
+),
+h AS (SELECT source, {hash60_sql('item')} AS h FROM items)
+SELECT source, h // {_W_MOD} AS bucket,
+       cast(max(CASE WHEN h % {_W_MOD} = 0 THEN {_RHO_MAX}
+                     ELSE {_RHO_MAX} - length(bin(h % {_W_MOD})) END)
+            as bigint) AS max_rho
+FROM h GROUP BY source, bucket ORDER BY source, bucket
 """
 
 
@@ -376,10 +424,12 @@ FROM cells GROUP BY cell ORDER BY cell
 
 
 QUERIES = {"sketch_hll_postings": q_sketch_hll_postings,
+           "sketch_hll_by_source": q_sketch_hll_by_source,
            "sketch_countmin_tokens": q_sketch_countmin_tokens,
            "sketch_quantile_doclen": q_sketch_quantile_doclen,
            "sketch_bloom_fingerprints": q_sketch_bloom_fingerprints}
 ORACLES = {"sketch_hll_postings": ORACLE_SKETCH_HLL,
+           "sketch_hll_by_source": ORACLE_SKETCH_HLL_BY_SOURCE,
            "sketch_countmin_tokens": ORACLE_SKETCH_COUNTMIN,
            "sketch_quantile_doclen": ORACLE_SKETCH_QUANTILE,
            "sketch_bloom_fingerprints": ORACLE_SKETCH_BLOOM}

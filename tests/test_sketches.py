@@ -325,3 +325,35 @@ def test_sketch_plan_contracts(spark):
         rs = re.search(r"ReadSchema: (\S+)", plan).group(1)
         assert "source" not in rs and "n_chars" not in rs, (q.__name__, rs)
         assert ("doc_id" in rs) == needs_doc_id, (q.__name__, rs)
+
+def test_hll_by_source_estimates_and_merge(spark):
+    """Grouped registers at sf0.001: each source's estimate lands
+    within 4 sigma of its exact distinct-token count; two shard
+    grouped tables merge by (group, bucket) max into exactly the
+    whole-corpus grouped table."""
+    from jsonld_js_spark.operators.sketches import (
+        hll_estimate, hll_registers_by, q_sketch_hll_by_source)
+    rows = q_sketch_hll_by_source(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = d.select("source",
+                     F.explode(F.split(norm, " ")).alias("item"))
+    exact = {r["source"]: r["n"] for r in
+             items.groupBy("source")
+             .agg(F.countDistinct("item").alias("n")).collect()}
+    assert set(by_src) == set(exact)
+    for src, n in exact.items():
+        est = hll_estimate(by_src[src])
+        assert abs(est - n) / n < 0.13, (src, n, est)
+    # grouped shard merge: (group, bucket) max
+    a = hll_registers_by(items.filter(F.col("item") < "m"), "source")
+    b = hll_registers_by(items.filter(~(F.col("item") < "m")), "source")
+    merged = (a.unionAll(b).groupBy("source", "bucket")
+              .agg(F.max("max_rho").alias("max_rho")))
+    as_set = lambda df: {(r["source"], r["bucket"], r["max_rho"])  # noqa: E731
+                         for r in df.collect()}
+    assert as_set(merged) == {(r["source"], r["bucket"], r["max_rho"])
+                              for r in rows}
