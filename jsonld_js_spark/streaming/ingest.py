@@ -319,6 +319,34 @@ def stream_hll_postings(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_countmin_tokens(spark: SparkSession, input_dir: str,
+                           checkpoint_dir: str,
+                           available_now: bool = True,
+                           query_name: str = "countmin_tokens"):
+    """Live token-frequency monitor: the Count-Min counter table
+    (operators/sketches.py) as a streaming aggregation — the heavy-
+    hitter / vocabulary-drift surface a curation pipeline watches
+    while a crawl streams in. State is the d*w = 4096 counter cells
+    (groupBy(r, cell).count), bounded FOREVER like the HLL registers:
+    frequency monitoring needs no watermark because the sketch, not
+    the key set, is the state. Complete mode re-emits the tiny table
+    per trigger; days merge by cellwise sum (sketches.countmin_merge);
+    probe with sketches.countmin_estimate."""
+    from ..operators.sketches import countmin_table
+    stream = (spark.readStream.schema(DOC_DDL)
+              .option("maxFilesPerTrigger", 4).parquet(input_dir))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = stream.select(F.explode(F.split(norm, " ")).alias("item"))
+    table = countmin_table(items)
+    writer = (table.writeStream.format("memory")
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("complete"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
               "event_type string")
 

@@ -323,3 +323,44 @@ def test_stream_asof_checkpoint_restart(spark, tmp_path):
     want = sorted(tuple(r) for r in
                   asof_attach(events, tolerance_us=60_000_000).collect())
     assert got == want and len(want) == 2
+
+def test_stream_countmin_matches_batch_and_bounded(spark, tmp_path):
+    """The streaming Count-Min counter table after the stream drains
+    equals the batch sketch over the same documents; state is bounded
+    by the d*w cells (from the final progress) and the planted hot
+    token's estimate is one-sided correct."""
+    from datetime import datetime
+    import time
+
+    from jsonld_js_spark.operators.sketches import (
+        CM_D, CM_W, countmin_estimate, countmin_table)
+    from jsonld_js_spark.streaming.ingest import stream_countmin_tokens
+
+    in_dir = str(tmp_path / "cm_in")
+    schema = "doc_id long, text string, ts timestamp"
+    rows = [(i, f"hotzz tok{i % 13} filler{i}",
+             datetime(2026, 1, 1, 0, i % 60)) for i in range(300)]
+    for lo in range(0, 300, 100):
+        spark.createDataFrame(rows[lo:lo + 100], schema) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_countmin_tokens(spark, in_dir, str(tmp_path / "ckpt_cm"),
+                               query_name="countmin_t")
+    q.awaitTermination(120)
+    for _ in range(20):
+        got = spark.sql("SELECT r, cell, cnt FROM countmin_t").collect()
+        if got:
+            break
+        time.sleep(0.5)
+    batch_df = spark.createDataFrame(rows, schema)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = batch_df.select(F.explode(F.split(norm, " ")).alias("item"))
+    want = countmin_table(items).collect()
+    as_set = lambda rs: {(r["r"], r["cell"], r["cnt"]) for r in rs}  # noqa: E731
+    assert as_set(got) == as_set(want)
+    assert len(got) <= CM_D * CM_W
+    est = countmin_estimate(got, "hotzz")
+    assert 300 <= est <= 300 + int(2.72 * 900 / CM_W) + 1
+    prog = q.lastProgress
+    ops = prog["stateOperators"]
+    assert ops and all(op["numRowsTotal"] <= CM_D * CM_W for op in ops)
