@@ -282,3 +282,22 @@ def test_jsonld_column_expansion_map(spark):
         id_ns="http://e/x/", expansion_map=emap)
     preds = {r["pred"] for r in out.collect()}
     assert preds == {"http://e/known", "http://mapped/weird"}
+
+
+def test_flagship_plan_is_shuffle_free(spark):
+    """The flagship contract pytest-enforced (it was previously only a
+    CLAUDE.md/PLANS.md rule): transcript_triples over a parquet source
+    plans ZERO Exchange (one scan, one Generate) and ONE FileScan —
+    the union-of-branches shape that multiplies source scans must
+    never reappear."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        transcripts_df(spark, n_conv=20).write \
+            .mode("overwrite").parquet(f"{d}/t.parquet")
+        src = spark.read.parquet(f"{d}/t.parquet")
+        plan = transcript_triples(src)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert plan.count("FileScan") == 1
+        assert "Generate" in plan  # the one explode
+        assert "Union" not in plan
