@@ -190,3 +190,32 @@ def test_processed_ctx_cache_purity_across_options():
     assert expand(doc, {}) == [
         {"http://e/v": [{"@value": "x"}]},
         {"http://e/v": [{"@value": "y"}]}]
+
+
+def test_kernel_package_is_spark_free():
+    """CLAUDE.md invariant, mechanically enforced: no module under
+    kernel/ imports pyspark (directly or via its module-level
+    imports), so the kernel stays usable as a plain-Python library
+    and importable on executors without a SparkSession."""
+    import importlib
+    import pkgutil
+    import sys
+
+    import jsonld_js_spark.kernel as k
+    for m in pkgutil.iter_modules(k.__path__):
+        importlib.import_module(f"jsonld_js_spark.kernel.{m.name}")
+    offenders = []
+    for name, mod in sys.modules.items():
+        if not name.startswith("jsonld_js_spark.kernel"):
+            continue
+        for attr in vars(mod).values():
+            mn = getattr(attr, "__module__", None) or \
+                getattr(attr, "__name__", "")
+            if isinstance(mn, str) and mn.split(".")[0] == "pyspark":
+                offenders.append((name, mn))
+    src_hits = []
+    import pathlib
+    for p in pathlib.Path(k.__path__[0]).glob("*.py"):
+        if "pyspark" in p.read_text():
+            src_hits.append(p.name)
+    assert not offenders and not src_hits, (offenders, src_hits)
