@@ -5,11 +5,12 @@ from __future__ import annotations
 
 
 def queries() -> dict:
-    from . import (asof, classifier, dedup, jsonld_column, lm,
+    from . import (asof, bpe, classifier, dedup, jsonld_column, lm,
                    multimodal, packing, relational, sampling, sessions,
                    similarity, sketches, textstats)
     out = {}
     out.update(asof.QUERIES)
+    out.update(bpe.QUERIES)
     out.update(relational.QUERIES)
     out.update(sketches.QUERIES)
     out.update(classifier.QUERIES)
@@ -26,11 +27,12 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
-    from . import (asof, classifier, dedup, jsonld_column, lm,
+    from . import (asof, bpe, classifier, dedup, jsonld_column, lm,
                    multimodal, packing, relational, sampling, sessions,
                    similarity, sketches, textstats)
     out = {}
     out.update(asof.ORACLES)
+    out.update(bpe.ORACLES)
     out.update(relational.ORACLES)
     out.update(sketches.ORACLES)
     out.update(classifier.ORACLES)

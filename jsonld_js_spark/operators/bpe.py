@@ -1,0 +1,155 @@
+"""Tokenizer induction: distributed BPE merge-rule learning over the
+`documents` corpus.
+
+The one tokenizer-side operator a training-data pipeline runs that the
+engine lacked: learn the first K byte-pair-encoding merge rules from
+corpus statistics (Sennrich et al. 2016, the word-frequency formulation
+every production BPE trainer uses). The output is the merge TABLE
+(rank, left, right, count) — the artifact a tokenizer builder ships —
+not a re-tokenized corpus.
+
+Scale shape: the only corpus-scale stage is the word-frequency
+aggregation (one explode + one map-side-combined groupBy over uniform
+word keys). Everything after runs on the WORD VOCABULARY (|unique
+words| rows — ~10^7-10^8 at web scale, kilobytes at test scale): K
+iterations of a vocab-scale pair count + a 1-row argmax collected to
+the driver (the k-means-centroid pattern: driver-side state is one
+merge rule, never data) + a literal-pattern replace projection. The
+per-iteration vocab state is localCheckpoint-ed so the plan stays
+one-iteration shallow (the pagerank lesson); at cluster scale swap for
+reliable checkpoint().
+
+Exactness/portability contract (CLAUDE.md cross-engine rules):
+- words = regexp_extract_all(lower(text), '[a-z]+') — ascii letter
+  runs, identical in Java regex and RE2.
+- initial symbols: per-character split via regexp_replace '(.)' →
+  "c1 c2 ... cn </w>" (the end-of-word marker standard since the
+  original BPE paper).
+- pair counts are exact int64 sums; the winning pair is
+  max by (count DESC, left ASC, right ASC) — total order, no floats.
+- merge application is TWO sequential plain-string
+  replace(' L R ' → ' LR ') passes over the space-delimited symbol
+  string. Plain replace scans left-to-right non-overlapping with
+  identical semantics in Spark, DuckDB and Python str.replace, so both
+  engines produce byte-identical vocab states. (Textbook greedy BPE
+  re-scans runs of identical symbols until fixpoint; a fixpoint loop is
+  not expressible per-row in SQL, and on natural-language words runs of
+  length ≥ 6 identical symbols are vanishingly rare — the two-pass
+  contract is documented, deterministic, and shared by the pytest
+  reference implementation, so a drift would fail three ways.)
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+N_MERGES = 6  # gated-query constant; parameterized for real use
+
+MERGE_SCHEMA = StructType([
+    StructField("merge_rank", LongType()),
+    StructField("left_sym", StringType()),
+    StructField("right_sym", StringType()),
+    StructField("pair_count", LongType()),
+])
+
+
+def bpe_merges(docs, n_merges: int = N_MERGES):
+    """documents(text) → the first `n_merges` BPE merge rules as a
+    (merge_rank, left_sym, right_sym, pair_count) DataFrame.
+
+    Stops early (fewer rows) if the vocabulary runs out of adjacent
+    pairs — mirrored exactly by the oracle's empty-CTE cascade."""
+    spark = docs.sparkSession
+    words = docs.select(F.explode(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0))
+        .alias("word"))
+    vocab = (words.groupBy("word").agg(F.count("*").alias("cnt"))
+             .select(F.concat(F.regexp_replace("word", "(.)", "$1 "),
+                              F.lit("</w>")).alias("sym"),
+                     "cnt")
+             .localCheckpoint())
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        # size guard: a fully-merged single-symbol word has no pairs,
+        # and Spark's sequence(1, 0) would run DESCENDING ([1, 0])
+        # instead of empty
+        pairs = (vocab.select(F.split("sym", " ").alias("s"), "cnt")
+                 .filter(F.size("s") >= 2)
+                 .select(F.expr(
+                     "explode(transform(sequence(1, size(s)-1), "
+                     "i -> struct(element_at(s, i) as a, "
+                     "element_at(s, i+1) as b)))").alias("p"), "cnt")
+                 .groupBy("p.a", "p.b")
+                 .agg(F.sum("cnt").alias("c")))
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        merges.append((rank, a, b, int(c)))
+        if rank < n_merges:
+            pat = F.lit(f" {a} {b} ")
+            rep = F.lit(f" {a}{b} ")
+            delim = F.concat(F.lit(" "), "sym", F.lit(" "))
+            vocab = (vocab.select(
+                F.trim(F.replace(F.replace(delim, pat, rep), pat, rep))
+                .alias("sym"), "cnt")
+                .localCheckpoint(eager=False))
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def q_vocab_bpe_merges(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_merges(docs)
+
+
+def oracle_vocab_bpe_merges(n_merges: int = N_MERGES) -> str:
+    """Unrolled-CTE DuckDB oracle reproducing every iteration
+    bit-for-bit (the kg_pagerank pattern). The pair-index table is
+    bounded by v0's max symbol count — merges only shrink it."""
+    prev = "v0"
+    ctes = []
+    rows = []
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""
+p{i} AS (
+  SELECT t.s[g.i] AS a, t.s[g.i+1] AS b, cast(sum(t.cnt) AS bigint) AS c
+  FROM (SELECT string_split(sym, ' ') AS s, cnt FROM {prev}) t
+  JOIN idx g ON g.i <= len(t.s) - 1
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1)""")
+        rows.append(f"SELECT cast({i} AS bigint) AS merge_rank, "
+                    f"a AS left_sym, b AS right_sym, c AS pair_count "
+                    f"FROM m{i}")
+        if i < n_merges:
+            ctes.append(f"""
+v{i} AS (
+  SELECT trim(replace(replace(' ' || v.sym || ' ',
+                              ' ' || m.a || ' ' || m.b || ' ',
+                              ' ' || m.a || m.b || ' '),
+                      ' ' || m.a || ' ' || m.b || ' ',
+                      ' ' || m.a || m.b || ' ')) AS sym, v.cnt
+  FROM {prev} v, m{i} m
+)""")
+            prev = f"v{i}"
+    return rf"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+v0 AS (
+  SELECT regexp_replace(word, '(.)', '\1 ', 'g') || '</w>' AS sym,
+         cast(count(*) AS bigint) AS cnt
+  FROM words GROUP BY word
+),
+idx AS (
+  SELECT unnest(generate_series(1,
+      (SELECT max(len(string_split(sym, ' '))) FROM v0) - 1)) AS i
+),{",".join(ctes)}
+SELECT * FROM ({" UNION ALL ".join(rows)}) ORDER BY merge_rank
+"""
+
+
+QUERIES = {"vocab_bpe_merges": q_vocab_bpe_merges}
+ORACLES = {"vocab_bpe_merges": oracle_vocab_bpe_merges()}

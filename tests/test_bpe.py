@@ -1,0 +1,103 @@
+"""BPE merge learning: Spark vs an independently-written pure-Python
+reference of the SAME documented contract (word-frequency BPE,
+two-pass replace merge application), plus planted-truth and
+degenerate-input cases. The DuckDB oracle is exercised separately by
+tools/check_oracles.py; a shared-defect drift would also fail here
+(the oracle-gate-blind-spots lesson)."""
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+from jsonld_js_spark.operators.bpe import bpe_merges
+
+
+def ref_bpe(texts, k):
+    """Reference BPE per the operator contract, written over plain
+    dicts (no Spark, no SQL)."""
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            vocab[" ".join(w) + " </w>"] += 1
+    v = dict(vocab)
+    merges = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for sym, cnt in v.items():
+            toks = sym.split(" ")
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += cnt
+        if not pc:
+            break
+        (a, b), c = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, c))
+        if rank < k:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            nv = {}
+            for sym, cnt in v.items():
+                s = f" {sym} ".replace(pat, rep).replace(pat, rep).strip()
+                nv[s] = nv.get(s, 0) + cnt
+            v = nv
+    return merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_bpe_matches_reference_random_corpus(spark):
+    rng = random.Random(411)
+    alphabet = "aabbcde"
+    texts = []
+    for _ in range(60):
+        words = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 7)))
+                 for _ in range(rng.randint(3, 25))]
+        texts.append(" ".join(words) + (" 42!" if rng.random() < 0.3
+                                        else ""))
+    got = [tuple(r) for r in
+           bpe_merges(_docs(spark, texts), 8).collect()]
+    assert got == ref_bpe(texts, 8)
+
+
+def test_bpe_planted_dominant_pair(spark):
+    # 'th' occurs in every word of every doc and nowhere else a pair
+    # comes close -> first merge must be (t, h)
+    texts = ["the this that throb myth " * 3] * 10 + ["zq xv"]
+    rows = bpe_merges(_docs(spark, texts), 3).collect()
+    assert (rows[0]["left_sym"], rows[0]["right_sym"]) == ("t", "h")
+    assert rows[0]["merge_rank"] == 1
+    # counts are exact: 'th' appears once per word x 5 words x 3
+    # repeats x 10 docs = 150 (myth contributes 'th' too)
+    assert rows[0]["pair_count"] == 150
+    assert [r["merge_rank"] for r in rows] == [1, 2, 3]
+
+
+def test_bpe_merged_symbol_participates_in_later_rounds(spark):
+    # the=20, thee=5. Round 1: (t,h)=(h,e)=(e,</w>)=25 tie -> ascending
+    # (a,b) tie-break picks (e,</w>). Round 2: (t,h)=25 wins. Round 3
+    # works on syms 'th e</w>' (20) and 'th e e</w>' (5): the winning
+    # pair (th, e</w>)=20 has MERGED symbols on both sides — proving
+    # later rounds re-pair over the updated vocab, not the chars.
+    texts = ["the the the the thee"] * 5
+    rows = [tuple(r) for r in bpe_merges(_docs(spark, texts), 3).collect()]
+    assert rows == [(1, "e", "</w>", 25), (2, "t", "h", 25),
+                    (3, "th", "e</w>", 20)]
+    assert rows == ref_bpe(texts, 3)
+
+
+def test_bpe_no_letters_yields_empty(spark):
+    texts = ["12345 !!!", "   ", "42 42 42"]
+    assert bpe_merges(_docs(spark, texts), 4).collect() == []
+
+
+def test_bpe_single_char_words_stop_early(spark):
+    # vocab 'a </w>' has exactly one pair; after merging (a, </w>)
+    # there are no pairs left -> exactly one merge row
+    texts = ["a a a a"]
+    rows = [tuple(r) for r in bpe_merges(_docs(spark, texts), 5).collect()]
+    assert rows == [(1, "a", "</w>", 4)]
+    assert rows == ref_bpe(texts, 5)
