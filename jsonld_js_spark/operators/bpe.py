@@ -151,5 +151,79 @@ SELECT * FROM ({" UNION ALL ".join(rows)}) ORDER BY merge_rank
 """
 
 
-QUERIES = {"vocab_bpe_merges": q_vocab_bpe_merges}
-ORACLES = {"vocab_bpe_merges": oracle_vocab_bpe_merges()}
+def bpe_tokenize_counts(docs, merges: list[tuple]):
+    """Apply learned merge rules to the corpus: per-doc BPE token
+    count under the learned vocabulary — the number a token-budget
+    sampler or packing stage actually needs.
+
+    `merges` is the driver-side rule list from `bpe_merges` (rank,
+    left, right, count). Application is pure JVM column expressions:
+    symbolize each word, chain the K merges in rank order (two-pass
+    replace each, the same contract as learning), count symbols. One
+    scan + one explode + one partial-aggregated groupBy(doc_id) — at
+    100 TB this is the scan-bandwidth-bound stage, and the K rules are
+    plan literals (no join, no broadcast table)."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"),
+                                       F.lit("[a-z]+"), 0))
+        .alias("word"))
+    sym = F.concat(F.lit(" "),
+                   F.regexp_replace("word", "(.)", "$1 "),
+                   F.lit("</w> "))
+    for _, a, b, _c in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        sym = F.replace(F.replace(sym, pat, rep), pat, rep)
+    per_word = words.select("doc_id",
+                            F.size(F.split(F.trim(sym), " ")).alias("n"))
+    counts = per_word.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bpe_tokens"))
+    return (docs.select("doc_id").join(counts, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+                    .alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
+
+
+def q_vocab_bpe_tokenize(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = [tuple(r) for r in bpe_merges(docs).collect()]
+    return bpe_tokenize_counts(docs, rules)
+
+
+def oracle_vocab_bpe_tokenize(n_merges: int = N_MERGES) -> str:
+    """Re-learns the same merge chain (shared CTE builder) and applies
+    it with scalar subqueries — no literal smuggling, the oracle is
+    self-contained."""
+    learn = oracle_vocab_bpe_merges(n_merges)
+    # reuse everything up to the final SELECT of the learning oracle
+    # (strip its trailing newline, then splice with a comma)
+    ctes = learn[: learn.rindex("SELECT * FROM")].rstrip() + ","
+    apply_expr = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> '"
+    for i in range(1, n_merges + 1):
+        pat = f"' ' || (SELECT a FROM m{i}) || ' ' || (SELECT b FROM m{i}) || ' '"
+        rep = f"' ' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ' '"
+        apply_expr = (f"replace(replace({apply_expr}, {pat}, {rep}), "
+                      f"{pat}, {rep})")
+    return f"""{ctes}
+doc_words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+per_word AS (
+  SELECT doc_id,
+         len(string_split(trim({apply_expr}), ' ')) AS n
+  FROM doc_words
+)
+SELECT d.doc_id,
+       cast(coalesce((SELECT sum(w.n) FROM per_word w
+                      WHERE w.doc_id = d.doc_id), 0) AS bigint)
+  AS n_bpe_tokens
+FROM documents d ORDER BY d.doc_id
+"""
+
+
+QUERIES = {"vocab_bpe_merges": q_vocab_bpe_merges,
+           "vocab_bpe_tokenize": q_vocab_bpe_tokenize}
+ORACLES = {"vocab_bpe_merges": oracle_vocab_bpe_merges(),
+           "vocab_bpe_tokenize": oracle_vocab_bpe_tokenize()}

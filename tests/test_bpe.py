@@ -101,3 +101,50 @@ def test_bpe_single_char_words_stop_early(spark):
     rows = [tuple(r) for r in bpe_merges(_docs(spark, texts), 5).collect()]
     assert rows == [(1, "a", "</w>", 4)]
     assert rows == ref_bpe(texts, 5)
+
+
+def ref_tokenize_counts(texts, merges):
+    out = []
+    for t in texts:
+        n = 0
+        for w in re.findall("[a-z]+", t.lower()):
+            s = " " + " ".join(w) + " </w> "
+            for _, a, b, _c in merges:
+                pat, rep = f" {a} {b} ", f" {a}{b} "
+                s = s.replace(pat, rep).replace(pat, rep)
+            n += len(s.strip().split(" "))
+        out.append(n)
+    return out
+
+
+def test_bpe_tokenize_matches_reference(spark):
+    from jsonld_js_spark.operators.bpe import (bpe_merges,
+                                               bpe_tokenize_counts)
+    rng = random.Random(733)
+    texts = []
+    for _ in range(40):
+        words = ["".join(rng.choice("aabbcd")
+                         for _ in range(rng.randint(1, 6)))
+                 for _ in range(rng.randint(0, 20))]
+        texts.append(" ".join(words))
+    docs = _docs(spark, texts)
+    merges = [tuple(r) for r in bpe_merges(docs, 5).collect()]
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_tokenize_counts(docs, merges).collect()}
+    want = ref_tokenize_counts(texts, ref_bpe(texts, 5))
+    assert got == {i: n for i, n in enumerate(want)}
+
+
+def test_bpe_tokenize_fewer_tokens_than_chars(spark):
+    # merges only ever shrink the symbol count; every doc's BPE count
+    # is <= letters + words (the unmerged ceiling) and >= n_words
+    from jsonld_js_spark.operators.bpe import (bpe_merges,
+                                               bpe_tokenize_counts)
+    texts = ["the cat and the hat sat on the mat"] * 3
+    docs = _docs(spark, texts)
+    merges = [tuple(r) for r in bpe_merges(docs, 6).collect()]
+    rows = bpe_tokenize_counts(docs, merges).collect()
+    words = re.findall("[a-z]+", texts[0])
+    ceiling = sum(len(w) + 1 for w in words)
+    for r in rows:
+        assert len(words) <= r["n_bpe_tokens"] < ceiling
