@@ -1,0 +1,273 @@
+"""Randomized-INPUT oracle fuzzing for the data-pipeline operators.
+
+The driver gate (tools/check_oracles.py) proves Spark==DuckDB on ONE
+fixed corpus. Fixed-input equality cannot see input-shape-dependent
+divergence: aggregation ties broken differently, empty groups, empty
+strings, boundary-length documents, duplicate vectors, equal
+timestamps. This tool synthesizes a fresh ADVERSARIAL corpus per seed
+(documents + embeddings + events — inside the documented input
+contract: ascii text, non-null columns, nonzero vectors, unique ids)
+and runs the SAME type-strict compare over every gated query that
+reads those tables.
+
+Planted shapes per corpus (probabilistic per seed): exact-duplicate
+and near-duplicate docs, empty/whitespace-only text, single-char and
+200-char words, shared boilerplate lines, PII strings, digit/punct
+noise, case-only variants, heavy token repetition, tiny corpora
+(empty-group paths), duplicate + opposite + grid-valued embeddings
+(cosine ties), same-timestamp event bursts (as-of/sessionize
+tie-break pressure), negative props values.
+
+Usage: python tools/oracle_fuzz.py [n_seeds=5] [seed0=1] [--subset K]
+(--subset runs K randomly chosen queries per seed instead of all —
+more input diversity per unit time). Exit 1 on any mismatch.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import string
+import sys
+import time
+from datetime import datetime, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb
+
+from check_oracles import (arrow_type_class, norm_rows,
+                           spark_type_class)
+
+WORK = "/root/repo/.local/oracle_fuzz/work"
+
+# gated queries whose ONLY inputs are documents/embeddings/events
+FUZZABLE = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_clusters", "dedup_clusters_star",
+    "dedup_keep_best", "dedup_cross_corpus", "dedup_substring",
+    "dedup_substring_scrub", "dedup_semantic", "dedup_embedding_cosine",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_chunks", "text_pii_scrub", "text_tfidf_topk",
+    "text_repetition", "text_classifier_score", "text_lm_score",
+    "corpus_quality_filter", "corpus_ngram_topk", "corpus_split",
+    "corpus_sample_stratified", "corpus_boilerplate_stats",
+    "corpus_contamination", "corpus_decontaminate",
+    "corpus_length_percentiles", "corpus_domain_mix",
+    "corpus_mix_upsample", "corpus_pack_sequences",
+    "corpus_token_budget_sample", "vocab_bpe_merges",
+    "vocab_bpe_tokenize", "doc_jsonl_roundtrip",
+    "sketch_hll_postings", "sketch_hll_by_source",
+    "sketch_countmin_tokens", "sketch_quantile_doclen",
+    "sketch_bloom_fingerprints",
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_dedup",
+    "multimodal_neardup",
+    "events_sessionize", "events_funnel", "events_retention",
+    "events_asof_join", "events_anomaly",
+    "jsonld_props_triples", "jsonld_props_bnode_triples",
+]
+
+VOCABULARY = None
+
+
+def _vocab(rng):
+    return ["".join(rng.choice(string.ascii_lowercase)
+                    for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(30, 300))]
+
+
+def synth_documents(rng):
+    n = rng.choice([rng.randint(4, 12), rng.randint(30, 120),
+                    rng.randint(150, 400)])
+    vocab = _vocab(rng)
+    boiler = " ".join(rng.choice(vocab) for _ in range(8))
+    texts = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.04:
+            t = ""
+        elif r < 0.07:
+            t = " " * rng.randint(1, 4)
+        elif r < 0.10:
+            t = rng.choice(vocab)[0]
+        elif r < 0.13:
+            t = "x" * rng.randint(150, 220)
+        elif r < 0.18 and texts:
+            t = rng.choice(texts)  # exact duplicate
+        elif r < 0.23 and texts:
+            words = rng.choice(texts).split(" ")
+            if words:
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            t = " ".join(words)  # near duplicate
+        elif r < 0.27:
+            t = " ".join(str(rng.randint(-999, 9999))
+                         for _ in range(rng.randint(2, 12))) + " !?;:"
+        else:
+            words = [rng.choice(vocab)
+                     for _ in range(rng.randint(3, 120))]
+            if rng.random() < 0.25:
+                words = [boiler] + words
+            if rng.random() < 0.15:
+                w = rng.choice(vocab)
+                words += [w] * rng.randint(5, 40)  # heavy repetition
+            if rng.random() < 0.12:
+                words.append(f"user{i}@example.com")
+            if rng.random() < 0.08:
+                words.append("555-0" + str(100 + i))
+            t = " ".join(words)
+            if rng.random() < 0.10:
+                t = t.upper()  # case-only variant pressure
+        texts.append(t)
+    return [{"doc_id": i, "text": t,
+             "lang": rng.choice(["en", "de", "fr", "es", "xx"]),
+             "source": rng.choice(["web", "chat", "soak"]),
+             "n_chars": len(t)}
+            for i, t in enumerate(texts)]
+
+
+def synth_embeddings(rng):
+    n = rng.randint(40, 160)
+    dim = 64
+    grid = [-0.5, -0.25, 0.25, 0.5]
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.15 and rows:
+            vec = list(rng.choice(rows)["embedding"])  # duplicate
+        elif r < 0.22 and rows:
+            vec = [-x for x in rng.choice(rows)["embedding"]]  # opposite
+        elif r < 0.40:
+            vec = [rng.choice(grid) for _ in range(dim)]  # tie-heavy
+        else:
+            vec = [round(rng.uniform(-1, 1), 4) for _ in range(dim)]
+        if all(abs(x) < 1e-9 for x in vec):
+            vec[0] = 0.25  # zero vectors are out of contract
+        rows.append({"vec_id": i, "embedding": vec,
+                     "label": rng.randint(0, 3)})
+    return rows
+
+
+def synth_events(rng):
+    n = rng.randint(150, 1200)
+    base = datetime(2024, 1, 1)
+    users = rng.randint(3, 30)
+    types = ["view", "click", "purchase", "error"]
+    rows, ts = [], base
+    for i in range(n):
+        if rng.random() < 0.12:
+            pass  # same-timestamp burst: do not advance
+        else:
+            ts = ts + timedelta(microseconds=rng.randint(1, 4 * 10**8))
+        rows.append({"event_id": i, "ts": ts,
+                     "user_id": rng.randint(0, users),
+                     "event_type": (rng.choice(types)
+                                    if rng.random() > 0.05 else "rare"),
+                     "value": round(rng.uniform(0, 100), 2),
+                     "props": json.dumps(
+                         {"k": rng.randint(-50, 200)})})
+    return rows
+
+
+def write_tables(rng):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK, exist_ok=True)
+    docs = synth_documents(rng)
+    pq.write_table(pa.Table.from_pylist(docs, schema=pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_chars", pa.int64())])), f"{WORK}/documents.parquet")
+    embs = synth_embeddings(rng)
+    pq.write_table(pa.Table.from_pylist(embs, schema=pa.schema([
+        ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32())])), f"{WORK}/embeddings.parquet")
+    evs = synth_events(rng)
+    pq.write_table(pa.Table.from_pylist(evs, schema=pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())])),
+        f"{WORK}/events.parquet")
+    return len(docs), len(embs), len(evs)
+
+
+def compare_one(spark, con, qs, oracles, name):
+    df = qs[name](spark, WORK)
+    cols = df.columns
+    stypes = {f.name: spark_type_class(f.dataType)
+              for f in df.schema.fields}
+    rows = [tuple(r) for r in df.collect()]
+    tbl = con.execute(oracles[name]).fetch_arrow_table()
+    ocols = tbl.schema.names
+    otypes = {f.name: arrow_type_class(f.type) for f in tbl.schema}
+    orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
+    ok_cols = sorted(cols) == sorted(ocols)
+    ok_types = ok_cols and all(stypes[c] == otypes[c] for c in cols)
+    a = norm_rows(cols, rows)
+    b = norm_rows(ocols, orows)
+    if ok_cols and ok_types and a == b:
+        return None
+    sa, sb = set(a), set(b)
+    return {"name": name, "spark_rows": len(rows),
+            "oracle_rows": len(orows), "ok_cols": ok_cols,
+            "ok_types": ok_types,
+            "extra": [repr(x)[:160] for x in list(sa - sb)[:2]],
+            "missing": [repr(x)[:160] for x in list(sb - sa)[:2]]}
+
+
+def main(argv):
+    n_seeds = int(argv[0]) if argv else 5
+    seed0 = int(argv[1]) if len(argv) > 1 else 1
+    subset = 0
+    if "--subset" in argv:
+        subset = int(argv[argv.index("--subset") + 1])
+
+    from pyspark.sql import SparkSession
+    import __spark_entry__ as entry
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    bad = []
+    for s in range(seed0, seed0 + n_seeds):
+        rng = random.Random(s)
+        nd, ne, nv = write_tables(rng)
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        for t in ("documents", "embeddings", "events"):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM '{WORK}/{t}.parquet'")
+        names = (rng.sample(FUZZABLE, subset) if subset
+                 else list(FUZZABLE))
+        t0 = time.time()
+        fails = []
+        for name in names:
+            try:
+                r = compare_one(spark, con, qs, oracles, name)
+            except Exception as ex:  # noqa: BLE001 — report, keep going
+                r = {"name": name, "error": repr(ex)[:300]}
+            if r is not None:
+                fails.append(r)
+        con.close()
+        status = "OK" if not fails else "MISMATCH"
+        print(json.dumps({"seed": s, "docs": nd, "embs": ne,
+                          "events": nv, "queries": len(names),
+                          "status": status,
+                          "wall_s": round(time.time() - t0, 1),
+                          "fails": fails}), flush=True)
+        bad.extend(fails)
+    spark.stop()
+    print(json.dumps({"summary": "oracle_fuzz", "seeds": n_seeds,
+                      "mismatches": len(bad)}), flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
