@@ -41,7 +41,12 @@ import duckdb
 from check_oracles import (arrow_type_class, norm_rows,
                            spark_type_class)
 
-WORK = "/root/repo/.local/oracle_fuzz/work"
+WORK_ROOT = "/root/repo/.local/oracle_fuzz"
+WORK = None  # set per seed: queries that .cache() internally are
+# plan-keyed — re-writing the SAME path would serve the previous
+# seed's cached frames (observed: every post-first seed froze at the
+# first seed's results). A unique dir per seed + clearCache() between
+# seeds keeps plan identities distinct.
 
 # gated queries whose ONLY inputs are documents/embeddings/events
 FUZZABLE = [
@@ -171,31 +176,31 @@ def synth_events(rng):
     return rows
 
 
-def write_tables(rng):
+def write_tables(rng, work):
     import pyarrow as pa
     import pyarrow.parquet as pq
-    shutil.rmtree(WORK, ignore_errors=True)
-    os.makedirs(WORK, exist_ok=True)
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
     docs = synth_documents(rng)
     pq.write_table(pa.Table.from_pylist(docs, schema=pa.schema([
         ("doc_id", pa.int64()), ("text", pa.string()),
         ("lang", pa.string()), ("source", pa.string()),
-        ("n_chars", pa.int64())])), f"{WORK}/documents.parquet")
+        ("n_chars", pa.int64())])), f"{work}/documents.parquet")
     embs = synth_embeddings(rng)
     pq.write_table(pa.Table.from_pylist(embs, schema=pa.schema([
         ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
-        ("label", pa.int32())])), f"{WORK}/embeddings.parquet")
+        ("label", pa.int32())])), f"{work}/embeddings.parquet")
     evs = synth_events(rng)
     pq.write_table(pa.Table.from_pylist(evs, schema=pa.schema([
         ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
         ("user_id", pa.int64()), ("event_type", pa.string()),
         ("value", pa.float64()), ("props", pa.string())])),
-        f"{WORK}/events.parquet")
+        f"{work}/events.parquet")
     return len(docs), len(embs), len(evs)
 
 
-def compare_one(spark, con, qs, oracles, name):
-    df = qs[name](spark, WORK)
+def compare_one(spark, con, qs, oracles, name, work):
+    df = qs[name](spark, work)
     cols = df.columns
     stypes = {f.name: spark_type_class(f.dataType)
               for f in df.schema.fields}
@@ -238,24 +243,27 @@ def main(argv):
     bad = []
     for s in range(seed0, seed0 + n_seeds):
         rng = random.Random(s)
-        nd, ne, nv = write_tables(rng)
+        work = f"{WORK_ROOT}/seed{s}"
+        spark.catalog.clearCache()
+        nd, ne, nv = write_tables(rng, work)
         con = duckdb.connect()
         con.execute("SET TimeZone='UTC'")
         for t in ("documents", "embeddings", "events"):
             con.execute(f"CREATE VIEW {t} AS "
-                        f"SELECT * FROM '{WORK}/{t}.parquet'")
+                        f"SELECT * FROM '{work}/{t}.parquet'")
         names = (rng.sample(FUZZABLE, subset) if subset
                  else list(FUZZABLE))
         t0 = time.time()
         fails = []
         for name in names:
             try:
-                r = compare_one(spark, con, qs, oracles, name)
+                r = compare_one(spark, con, qs, oracles, name, work)
             except Exception as ex:  # noqa: BLE001 — report, keep going
                 r = {"name": name, "error": repr(ex)[:300]}
             if r is not None:
                 fails.append(r)
         con.close()
+        shutil.rmtree(work, ignore_errors=True)
         status = "OK" if not fails else "MISMATCH"
         print(json.dumps({"seed": s, "docs": nd, "embs": ne,
                           "events": nv, "queries": len(names),
