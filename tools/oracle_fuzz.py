@@ -73,6 +73,7 @@ FUZZABLE = [
     "events_sessionize", "events_funnel", "events_retention",
     "events_asof_join", "events_anomaly",
     "jsonld_props_triples", "jsonld_props_bnode_triples",
+    "rel_pricing_summary", "rel_top_orders", "rel_pricing_rollup",
 ]
 
 VOCABULARY = None
@@ -176,6 +177,39 @@ def synth_events(rng):
     return rows
 
 
+def synth_tpch(rng):
+    """Randomized lineitem/orders with dates straddling the Q1/Q3
+    cutoffs and 2-decimal doubles (the committed oracles use the same
+    IEEE expression trees in both engines, so float cents are
+    bit-identical)."""
+    n_orders = rng.randint(30, 400)
+    base = datetime(1995, 1, 1)
+    orders = [{"o_orderkey": i, "o_custkey": rng.randint(0, 99),
+               "o_orderstatus": rng.choice(["O", "F", "P"]),
+               "o_totalprice": round(rng.uniform(900, 200000), 2),
+               "o_orderdate": base + timedelta(
+                   seconds=rng.randint(0, 4 * 365 * 86400)),
+               "o_orderpriority": rng.choice(
+                   ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                    "4-NOT SPECIFIED", "5-LOW"])}
+              for i in range(n_orders)]
+    n_lines = rng.randint(200, 2500)
+    lines = [{"l_orderkey": rng.randint(0, n_orders - 1),
+              "l_partkey": rng.randint(0, 999),
+              "l_suppkey": rng.randint(0, 99),
+              "l_linenumber": rng.randint(1, 7),
+              "l_quantity": float(rng.randint(1, 50)),
+              "l_extendedprice": round(rng.uniform(900, 105000), 2),
+              "l_discount": round(rng.randint(0, 10) / 100, 2),
+              "l_tax": round(rng.randint(0, 8) / 100, 2),
+              "l_returnflag": rng.choice(["R", "A", "N"]),
+              "l_linestatus": rng.choice(["O", "F"]),
+              "l_shipdate": base + timedelta(
+                  seconds=rng.randint(0, 4 * 365 * 86400))}
+             for _ in range(n_lines)]
+    return orders, lines
+
+
 def write_tables(rng, work):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -196,6 +230,21 @@ def write_tables(rng, work):
         ("user_id", pa.int64()), ("event_type", pa.string()),
         ("value", pa.float64()), ("props", pa.string())])),
         f"{work}/events.parquet")
+    orders, lines = synth_tpch(rng)
+    pq.write_table(pa.Table.from_pylist(orders, schema=pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")),
+        ("o_orderpriority", pa.string())])),
+        f"{work}/orders.parquet")
+    pq.write_table(pa.Table.from_pylist(lines, schema=pa.schema([
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us"))])),
+        f"{work}/lineitem.parquet")
     return len(docs), len(embs), len(evs)
 
 
@@ -248,7 +297,7 @@ def main(argv):
         nd, ne, nv = write_tables(rng, work)
         con = duckdb.connect()
         con.execute("SET TimeZone='UTC'")
-        for t in ("documents", "embeddings", "events"):
+        for t in ("documents", "embeddings", "events", "orders", "lineitem"):
             con.execute(f"CREATE VIEW {t} AS "
                         f"SELECT * FROM '{work}/{t}.parquet'")
         names = (rng.sample(FUZZABLE, subset) if subset
