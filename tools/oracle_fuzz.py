@@ -41,12 +41,12 @@ import duckdb
 from check_oracles import (arrow_type_class, norm_rows,
                            spark_type_class)
 
-WORK_ROOT = "/root/repo/.local/oracle_fuzz"
-WORK = None  # set per seed: queries that .cache() internally are
-# plan-keyed — re-writing the SAME path would serve the previous
+# One work dir PER SEED: queries that .cache() internally are
+# plan-keyed — re-writing the same path would serve the previous
 # seed's cached frames (observed: every post-first seed froze at the
-# first seed's results). A unique dir per seed + clearCache() between
-# seeds keeps plan identities distinct.
+# first seed's results). Unique dir + clearCache() between seeds
+# keeps plan identities distinct.
+WORK_ROOT = "/root/repo/.local/oracle_fuzz"
 
 # gated queries whose ONLY inputs are documents/embeddings/events
 FUZZABLE = [
