@@ -1,0 +1,169 @@
+"""Randomized-graph brute-force truths for the graph operators.
+
+The DuckDB oracles share each operator's formula, and the hand truths
+cover one fixed tiny graph each — these tests run the DISTRIBUTED
+implementations against independently-written pure-Python references
+on random Erdős–Rényi graphs plus adversarial shapes (star, clique,
+chain), closing the shared-defect blind spot for the graph family the
+same way the planted-truth soaks do for dedup/ANN (memory:
+oracle-gate-blind-spots)."""
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from jsonld_js_spark.kg_api import (KHOP_K, LPA_ITERS, PAGERANK_ITERS,
+                                    PR_DAMP_DEN, PR_DAMP_NUM, khop,
+                                    label_propagation, neighbor_jaccard,
+                                    pagerank, triangle_counts)
+
+
+def random_graphs():
+    rng = random.Random(20260819)
+    graphs = []
+    for _ in range(4):
+        n = rng.randint(8, 30)
+        p = rng.choice([0.08, 0.2, 0.45])
+        edges = {(f"n{i}", f"n{j}")
+                 for i in range(n) for j in range(i + 1, n)
+                 if rng.random() < p}
+        graphs.append(edges)
+    n = 12  # star: hub wedge pressure
+    graphs.append({("hub", f"n{i}") for i in range(n)})
+    n = 7   # clique: every pair closes every wedge
+    graphs.append({(f"n{i}", f"n{j}")
+                   for i in range(n) for j in range(i + 1, n)})
+    graphs.append({(f"n{i}", f"n{i+1}") for i in range(10)})  # chain
+    return [g for g in graphs if g]
+
+
+def both_dirs(und):
+    return [(a, b) for a, b in und] + [(b, a) for a, b in und]
+
+
+def adj(und):
+    d = defaultdict(set)
+    for a, b in und:
+        d[a].add(b)
+        d[b].add(a)
+    return d
+
+
+def test_khop_matches_bfs(spark):
+    for und in random_graphs():
+        nodes = sorted({x for e in und for x in e})
+        seeds = nodes[:2]
+        g = adj(und)
+        # reference: level-order BFS with exact min hop
+        dist = {s: 0 for s in seeds}
+        frontier = list(seeds)
+        for h in range(1, KHOP_K + 1):
+            nxt = []
+            for u in frontier:
+                for v in g[u]:
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        edges = spark.createDataFrame(both_dirs(und), "a string, b string")
+        seeds_df = spark.createDataFrame([(s,) for s in seeds],
+                                         "node string")
+        got = {(r["node"], r["hops"]) for r in
+               khop(edges, seeds_df).collect()}
+        assert got == {(k, v) for k, v in dist.items()}
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    for und in random_graphs():
+        g = adj(und)
+        nodes = sorted(g)
+        tri = Counter()
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1:]:
+                if v not in g[u]:
+                    continue
+                for w in nodes:
+                    if w > v and w in g[u] and w in g[v]:
+                        tri[u] += 1
+                        tri[v] += 1
+                        tri[w] += 1
+        # operator input: (ent_a, ent_b) any multiplicity — feed each
+        # undirected edge once plus a duplicated/reversed sample
+        rows = list(und) + [(b, a) for a, b in list(und)[::3]]
+        edges = spark.createDataFrame(rows, "ent_a string, ent_b string")
+        got = {(r["ent"], r["n_triangles"]) for r in
+               triangle_counts(edges).collect()}
+        assert got == {(k, v) for k, v in tri.items()}
+
+
+def test_label_propagation_matches_sync_reference(spark):
+    for und in random_graphs():
+        g = adj(und)
+        labels = {u: u for u in g}
+        for _ in range(LPA_ITERS):
+            new = {}
+            for u in g:
+                votes = Counter(labels[v] for v in g[u])
+                # max count, tie -> lexicographic-min label
+                new[u] = min(votes, key=lambda L: (-votes[L], L))
+            labels = new
+        edges = spark.createDataFrame(both_dirs(und), "a string, b string")
+        got = {(r["node"], r["label"]) for r in
+               label_propagation(edges).collect()}
+        assert got == {(k, v) for k, v in labels.items()}
+
+
+def test_neighbor_jaccard_matches_bruteforce(spark):
+    for und in random_graphs():
+        g = adj(und)
+        deg = {u: len(g[u]) for u in g}
+        scores = {}
+        pairs = {(x, y) for n in g for x in g[n] for y in g[n] if x < y}
+        for x, y in pairs:
+            shared = len(g[x] & g[y])
+            if shared == 0:
+                continue
+            # mirror the operator's float expression exactly
+            ppm = math.floor(shared * 1000000.0 /
+                             (deg[x] + deg[y] - shared))
+            scores[(x, y)] = (shared, ppm)
+        want = sorted(((x, y, s, p) for (x, y), (s, p) in scores.items()),
+                      key=lambda t: (-t[3], t[0], t[1]))[:50]
+        edges = spark.createDataFrame(both_dirs(und), "a string, b string")
+        got = [(r["x"], r["y"], r["n_shared"], r["jaccard_ppm"])
+               for r in neighbor_jaccard(edges).collect()]
+        assert got == want
+
+
+def test_pagerank_matches_integer_reference(spark):
+    for und in random_graphs():
+        # directed edges: orient each undirected edge BOTH ways for
+        # some, one way for others (mixed out-degrees + dangling nodes)
+        rng = random.Random(hash(frozenset(und)) & 0xFFFF)
+        directed = set()
+        for a, b in und:
+            if rng.random() < 0.6:
+                directed.add((a, b))
+            if rng.random() < 0.6:
+                directed.add((b, a))
+        if not directed:
+            directed = {next(iter(und))}
+        nodes = sorted({x for e in directed for x in e})
+        outd = Counter(a for a, _ in directed)
+        n = len(nodes)
+        rank = {u: 1000000 for u in nodes}
+        for _ in range(PAGERANK_ITERS):
+            dshare = sum(rank[u] for u in nodes if outd[u] == 0) // n
+            inflow = defaultdict(int)
+            for a, b in directed:
+                inflow[b] += rank[a] // outd[a]
+            rank = {u: 150000 +
+                    PR_DAMP_NUM * (inflow[u] + dshare) // PR_DAMP_DEN
+                    for u in nodes}
+        edges = spark.createDataFrame(sorted(directed),
+                                      "subj string, dst string")
+        got = {(r["node"], r["rank"]) for r in pagerank(edges).collect()}
+        assert got == {(k, v) for k, v in rank.items()}
