@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     q.update(kg_api.queries())
     q.update(operators.queries())
+    from jsonld_js_spark.pipeline import curate
+    q.update(curate.QUERIES)
     return q
 
 
@@ -105,6 +107,8 @@ def _oracle_sql(n_conv: int) -> dict[str, str]:
     out = kg_oracles(n_conv)
     out.update(kg_api.oracles(n_conv))
     out.update(operators.oracle_sql())
+    from jsonld_js_spark.pipeline import curate
+    out.update(curate.ORACLES)
     return out
 
 

@@ -667,12 +667,17 @@ def q_kg_nquads_source_roundtrip(spark, sf_dir):
     equal the original triple set exactly — escapes, language tags and
     datatype elision included — which the plain triple-derivation
     oracle verifies."""
-    import os
+    import tempfile
 
     from .sources import read_nquads, write_nquads
     t = _triples(spark, sf_dir)
-    path = os.path.join(
-        "/tmp", f"jsonld_js_spark_nq_{os.path.basename(sf_dir.rstrip('/'))}")
+    # unique per call: a fixed /tmp name keyed on the sf basename let
+    # two concurrent runs over the same sf (bench + check_oracles)
+    # clobber each other's part files mid-read — the same race ADVICE
+    # r4 flagged for doc_jsonl_roundtrip (observed live in the r5
+    # full sweep: FileNotFoundException on a part file bench had just
+    # overwritten)
+    path = tempfile.mkdtemp(prefix="jsonld_js_spark_nq_")
     write_nquads(t, path)
     return read_nquads(spark, path)
 
@@ -1761,23 +1766,54 @@ FROM sym GROUP BY center, context ORDER BY center, context"""
 
 SIM_TOPK = 50
 
+# Quadratic guard for the wedge join: a shared-neighbor hub of degree
+# d contributes C(d,2) wedge rows, and hub degree in the co-mention
+# graph is UNBOUNDED (the per-conversation comention guard caps
+# entities per conversation, not an entity's degree ACROSS
+# conversations — one celebrity entity at 10^5 degree is 10^10
+# wedges). 1000 keeps the worst single hub under 5·10^5 wedges, the
+# same budget rationale as MAX_ENTITIES_PER_CONV. DEFAULT-ON per
+# round-4 verdict item 2; dropped-hub count is a companion stats
+# frame (no silent caps), same pattern as the comention guard.
+MAX_HUB_DEGREE = 1000
 
-def neighbor_jaccard(edges, topk: int = SIM_TOPK):
+
+def neighbor_jaccard(edges, topk: int = SIM_TOPK,
+                     max_hub_degree: int | None = MAX_HUB_DEGREE):
     """(a, b) both-direction edge rows -> top-`topk` entity pairs by
     neighbor-set Jaccard (ppm) — the link-prediction / sameAs-candidate
     signal a KG-enrichment pipeline feeds into sameas_closure. Pairs
     are generated through shared neighbors (wedge join on the common
-    neighbor), so disconnected pairs are never materialized; per-hub
-    wedge volume is deg(hub)^2 — at scale cap hub degree (drop or
-    sample neighbors above a bound, the comention-guard pattern) or
-    pre-filter candidates with MinHash over neighbor sets
-    (operators/dedup.py machinery). Jaccard is exact integer ppm:
+    neighbor), so disconnected pairs are never materialized.
+
+    Scale: per-hub wedge volume is C(deg(hub), 2), so shared-neighbor
+    nodes above `max_hub_degree` are excluded as wedge CENTERS
+    (stop-word semantics — a 10^5-degree hub carries almost no
+    similarity signal but 10^10 wedges; its edges still count toward
+    dx/dy, so the Jaccard denominator stays exact and only n_shared
+    for pairs meeting THROUGH a dropped hub undercounts). The degree
+    filter is one extra join on the wedge key `a` — already the
+    shuffle key of the self-join, no new Exchange shape. The returned
+    DataFrame carries `._jaccard_guard_df`, a 1-row (dropped_hubs,
+    total_nodes) companion aggregation; `neighbor_jaccard_guard_stats`
+    runs and logs it. Jaccard is exact integer ppm:
     floor(shared * 1e6 / (deg_a + deg_c - shared))."""
     und = edges.distinct().cache()
     deg = und.groupBy("a").agg(F.count("*").alias("d")) \
         .select(F.col("a").alias("node"), "d")
-    shared = (und.alias("e1").join(
-        und.alias("e2"),
+    guard_df = None
+    wedge_src = und
+    if max_hub_degree is not None:
+        guard_df = deg.agg(
+            F.coalesce(F.sum((F.col("d") > max_hub_degree)
+                             .cast("long")), F.lit(0))
+            .alias("dropped_hubs"),
+            F.count("*").alias("total_nodes"))
+        wedge_src = und.join(
+            deg.filter(F.col("d") <= max_hub_degree)
+               .select(F.col("node").alias("a")), "a")
+    shared = (wedge_src.alias("e1").join(
+        wedge_src.alias("e2"),
         (F.col("e1.a") == F.col("e2.a")) &
         (F.col("e1.b") < F.col("e2.b")))
         .groupBy(F.col("e1.b").alias("x"), F.col("e2.b").alias("y"))
@@ -1792,7 +1828,27 @@ def neighbor_jaccard(edges, topk: int = SIM_TOPK):
                            (F.col("dx") + F.col("dy") -
                             F.col("n_shared"))).cast("long")
                    .alias("jaccard_ppm")))
-    return (out.orderBy(F.desc("jaccard_ppm"), "x", "y").limit(topk))
+    res = out.orderBy(F.desc("jaccard_ppm"), "x", "y").limit(topk)
+    res._jaccard_guard_df = guard_df
+    return res
+
+
+def neighbor_jaccard_guard_stats(df) -> dict:
+    """Run (and log) the hub-degree-guard companion aggregation of a
+    neighbor_jaccard result. Returns
+    {'dropped_hubs': n, 'total_nodes': m}."""
+    import logging
+    gdf = getattr(df, "_jaccard_guard_df", None)
+    if gdf is None:
+        return {"dropped_hubs": 0, "total_nodes": None}
+    row = gdf.collect()[0]
+    stats = {"dropped_hubs": row["dropped_hubs"],
+             "total_nodes": row["total_nodes"]}
+    logging.getLogger("jsonld_js_spark.kg_api").info(
+        "kg_neighbor_jaccard guard: dropped %s of %s nodes as wedge "
+        "centers over max_hub_degree", stats["dropped_hubs"],
+        stats["total_nodes"])
+    return stats
 
 
 def q_kg_neighbor_jaccard(spark, sf_dir):
@@ -1829,9 +1885,13 @@ und AS (
   UNION ALL SELECT ent_b, ent_a FROM pairs
 ),
 deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+wedge_src AS (
+  SELECT e.a, e.b FROM und e
+  JOIN deg g ON g.node = e.a AND g.d <= {MAX_HUB_DEGREE}
+),
 shared AS (
   SELECT e1.b AS x, e2.b AS y, count(*) AS n_shared
-  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+  FROM wedge_src e1 JOIN wedge_src e2 ON e1.a = e2.a AND e1.b < e2.b
   GROUP BY e1.b, e2.b
 )
 SELECT s.x, s.y, cast(s.n_shared as bigint) AS n_shared,

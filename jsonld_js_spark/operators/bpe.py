@@ -151,18 +151,82 @@ SELECT * FROM ({" UNION ALL ".join(rows)}) ORDER BY merge_rank
 """
 
 
+# Above this rule count, the column-expression applier's 2K nested
+# replace calls stop being plannable (codegen/analysis blowup at
+# production vocab sizes) and we switch to the broadcast-rules
+# mapInPandas applier — identical output, vocabulary-size-independent
+# plan.
+SCALE_K_THRESHOLD = 64
+
+
+def bpe_tokenize_counts_scale(docs, merges: list[tuple]):
+    """Scale-path merge application: broadcast the rank-ordered rule
+    list and apply the two-pass-replace contract per Arrow batch in
+    pure Python (`mapInPandas`) — byte-identical counts to the
+    column-expression path for ANY K, and the only path that PLANS at
+    a production vocabulary (a 30k-merge tokenizer would otherwise
+    become ~60,000 nested replace calls in one expression).
+
+    Per-batch cost is amortized over UNIQUE words (a per-worker memo:
+    word -> token count), so the K-rule chain runs once per vocabulary
+    entry, not once per occurrence — at web scale the memo is bounded
+    by the language's word vocabulary (~10^6), kilobytes per rule
+    applied. The plan is one scan + one mapInPandas + no shuffle
+    (counts are emitted per input row)."""
+    spark = docs.sparkSession
+    rules = [(f" {a} {b} ", f" {a}{b} ") for _, a, b, _c in merges]
+    bc = spark.sparkContext.broadcast(rules)
+
+    def apply_batches(batches):
+        import re
+
+        import pandas as pd
+        rls = bc.value
+        word_re = re.compile("[a-z]+")
+        memo: dict = {}
+
+        def count_word(w):
+            n = memo.get(w)
+            if n is None:
+                s = " " + " ".join(w) + " </w> "
+                for pat, rep in rls:
+                    s = s.replace(pat, rep).replace(pat, rep)
+                n = len(s.strip().split(" "))
+                memo[w] = n
+            return n
+
+        for pdf in batches:
+            counts = [
+                sum(count_word(w) for w in word_re.findall(t.lower()))
+                if isinstance(t, str) else 0
+                for t in pdf["text"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n_bpe_tokens": counts})
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(apply_batches,
+                         "doc_id long, n_bpe_tokens long")
+            .orderBy("doc_id"))
+
+
 def bpe_tokenize_counts(docs, merges: list[tuple]):
     """Apply learned merge rules to the corpus: per-doc BPE token
     count under the learned vocabulary — the number a token-budget
     sampler or packing stage actually needs.
 
     `merges` is the driver-side rule list from `bpe_merges` (rank,
-    left, right, count). Application is pure JVM column expressions:
-    symbolize each word, chain the K merges in rank order (two-pass
-    replace each, the same contract as learning), count symbols. One
-    scan + one explode + one partial-aggregated groupBy(doc_id) — at
-    100 TB this is the scan-bandwidth-bound stage, and the K rules are
-    plan literals (no join, no broadcast table)."""
+    left, right, count). For small K (<= SCALE_K_THRESHOLD) the
+    application is pure JVM column expressions: symbolize each word,
+    chain the K merges in rank order (two-pass replace each, the same
+    contract as learning), count symbols — one scan + one explode +
+    one partial-aggregated groupBy(doc_id). The 2K nested replace
+    calls are plan literals, which is a CEILING, not a feature: past
+    ~64 rules analysis/codegen cost dominates, so larger vocabularies
+    dispatch to `bpe_tokenize_counts_scale` (broadcast rules +
+    mapInPandas, identical output — parity enforced by
+    tests/test_bpe.py)."""
+    if len(merges) > SCALE_K_THRESHOLD:
+        return bpe_tokenize_counts_scale(docs, merges)
     words = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower("text"),
@@ -189,6 +253,15 @@ def q_vocab_bpe_tokenize(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     rules = [tuple(r) for r in bpe_merges(docs).collect()]
     return bpe_tokenize_counts(docs, rules)
+
+
+def q_vocab_bpe_tokenize_scale(spark, sf_dir):
+    """Gated query: the SAME learned rules applied through the
+    scale-path mapInPandas applier — pins broadcast-rules application
+    to the identical DuckDB oracle as the column-expression path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = [tuple(r) for r in bpe_merges(docs).collect()]
+    return bpe_tokenize_counts_scale(docs, rules)
 
 
 def oracle_vocab_bpe_tokenize(n_merges: int = N_MERGES) -> str:
@@ -224,6 +297,8 @@ FROM documents d ORDER BY d.doc_id
 
 
 QUERIES = {"vocab_bpe_merges": q_vocab_bpe_merges,
-           "vocab_bpe_tokenize": q_vocab_bpe_tokenize}
+           "vocab_bpe_tokenize": q_vocab_bpe_tokenize,
+           "vocab_bpe_tokenize_scale": q_vocab_bpe_tokenize_scale}
 ORACLES = {"vocab_bpe_merges": oracle_vocab_bpe_merges(),
-           "vocab_bpe_tokenize": oracle_vocab_bpe_tokenize()}
+           "vocab_bpe_tokenize": oracle_vocab_bpe_tokenize(),
+           "vocab_bpe_tokenize_scale": oracle_vocab_bpe_tokenize()}

@@ -301,11 +301,14 @@ _BANDS_SQL = ", ".join(
 _BAND_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, bkey{b} AS bkey FROM sigs"
     for b in range(N_BANDS))
-# shingle→minhash→band CTE chain shared by the self-join oracle and
-# the cross-corpus oracle (band math is per-doc, so filtering the one
-# band table is exactly equivalent to banding each side separately)
-_BAND_CTES = f"""{CORPUS_SQL},
-docs AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM corpus),
+# shingle→minhash→band CTE chain shared by the self-join oracle, the
+# cross-corpus oracle, and the composed curation-pipeline oracle
+# (band math is per-doc, so filtering the one band table is exactly
+# equivalent to banding each side separately). Parameterized on the
+# (doc_id, text) source relation so it composes mid-pipeline.
+
+def band_ctes_over(rel: str) -> str:
+    return f"""docs AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM {rel}),
 hashed AS (SELECT doc_id, shingles,
            list_transform(shingles, s -> {hash60_sql('s')}) AS hs
            FROM docs),
@@ -313,7 +316,11 @@ sigs0 AS (SELECT doc_id, shingles, {_SIG_SQL} FROM hashed),
 sigs AS (SELECT *, {_BANDS_SQL} FROM sigs0),
 bands AS ({_BAND_UNION})"""
 
-_MINHASH_CTES = f"""{_BAND_CTES},
+
+def minhash_ctes_over(rel: str) -> str:
+    """docs/.../dup_pairs CTE chain: verified near-dup pairs
+    (J >= {JACCARD_PPM_MIN} ppm) over any (doc_id, text) relation."""
+    return f"""{band_ctes_over(rel)},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -329,6 +336,11 @@ verified AS (
 dup_pairs AS (
   SELECT doc_a, doc_b FROM verified WHERE jaccard_ppm >= {JACCARD_PPM_MIN}
 )"""
+
+
+_BAND_CTES = f"{CORPUS_SQL},\n{band_ctes_over('corpus')}"
+
+_MINHASH_CTES = f"{CORPUS_SQL},\n{minhash_ctes_over('corpus')}"
 
 ORACLE_DEDUP_MINHASH = f"""
 WITH {_MINHASH_CTES}

@@ -52,16 +52,20 @@ LANG_BUDGETS = {"en": 6000, "zh": 100000}
 BUDGET_DEFAULT = 2500
 
 
-def _keyed_tokens(spark, sf_dir, salt: str):
-    """(doc_id, lang, n_tokens, h, bucket) — the narrow scan both
-    operators start from."""
-    d = _docs(spark, sf_dir)
+def keyed_tokens_from(d, salt: str):
+    """(doc_id, lang, text) frame -> (doc_id, lang, n_tokens, h,
+    bucket) — the narrow projection both operators start from; shared
+    with the curation pipeline's pack stage."""
     h = hash60(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
     return d.select(
         "doc_id", "lang",
         F.size(F.split(_norm(F.col("text")), " ")).alias("n_tokens"),
         h.alias("h"),
         F.pmod(h, F.lit(N_BUCKETS)).alias("bucket"))
+
+
+def _keyed_tokens(spark, sf_dir, salt: str):
+    return keyed_tokens_from(_docs(spark, sf_dir), salt)
 
 
 def _keyed_sql(salt: str) -> str:
@@ -75,7 +79,15 @@ def q_corpus_pack_sequences(spark, sf_dir):
     """Assign every document its token extent on the packed-sequence
     axis: offset (tokens before it in the global deterministic order),
     first/last pack of SEQ_LEN tokens it lands in, packs spanned."""
-    t = _keyed_tokens(spark, sf_dir, PACK_SALT)
+    return pack_extents(_keyed_tokens(spark, sf_dir, PACK_SALT))
+
+
+def pack_extents(t):
+    """The two-level distributed prefix sum over a
+    (doc_id, n_tokens, h, bucket) frame — shared by the gated
+    standalone query and the curation pipeline's pack stage. Never a
+    single-partition global window: per-bucket cumsum + an
+    N_BUCKETS-row broadcast base table."""
     w_in = (Window.partitionBy("bucket").orderBy("h", "doc_id")
             .rowsBetween(Window.unboundedPreceding, -1))
     cum = t.withColumn(

@@ -862,13 +862,15 @@ ORACLES["corpus_length_percentiles"] = ORACLE_CORPUS_LENGTH_PCTS
 # escaping or type-widening loss in either direction breaks the hash.
 
 def q_doc_jsonl_roundtrip(spark, sf_dir):
-    import os
+    import tempfile
 
     from ..sources import read_jsonl, write_jsonl
     d = _docs(spark, sf_dir)
-    path = os.path.join(
-        "/tmp",
-        f"jsonld_js_spark_jsonl_{os.path.basename(sf_dir.rstrip('/'))}")
+    # unique per call: a fixed /tmp name keyed on the sf_dir basename
+    # let two concurrent runs over same-named corpora (parallel pytest
+    # + check_oracles, overlapping fuzz seeds) clobber each other
+    # mid-read (ADVICE r4)
+    path = tempfile.mkdtemp(prefix="jsonld_js_spark_jsonl_")
     write_jsonl(d, path)
     return (read_jsonl(spark, path)
             .select("doc_id", "text", "lang", "source", "n_chars")

@@ -418,7 +418,14 @@ def stream_asof_attach(spark: SparkSession, input_dir: str,
         pend.sort()  # (us, right-before-left via False<True, event_id)
         out, keep = [], []
         for us, left, eid in pend:
-            if us > wm_us:
+            # finalize only STRICTLY below the watermark: Spark still
+            # admits late rows whose event time EQUALS the watermark,
+            # so a right event at us == wm_us may yet arrive for a
+            # co-timed left — buffer the boundary row; the timeout
+            # (us // 1000 + 1 ms) re-processes it once the watermark
+            # strictly passes. Emitting at us == wm_us diverged from
+            # batch asof_attach at the exact boundary (ADVICE r4).
+            if us >= wm_us:
                 keep.append((us, left, eid))
             elif left:
                 ok = last_rus is not None and (

@@ -121,3 +121,37 @@ def test_asof_randomized_vs_brute_force(spark):
                    for e, t, u, y in rows]
         want = _brute_asof(tz_rows, "purchase", "view", tol)
         assert got == want, (trial, tol, rows)
+
+
+def test_asof_salted_equals_unsalted_with_hot_key(spark):
+    """Time-bucket salting + boundary carry must be output-invisible:
+    a planted bot user (events spanning many buckets, including rights
+    exactly ON bucket boundaries, left-only buckets, right-only
+    buckets, and same-us ties) compared row-for-row against the
+    unsalted plan at three bucket widths."""
+    import random
+    rng = random.Random(2026)
+    rows, eid = [], 0
+    # bot user 99: 400 events over ~40 s; bucket width 1 s -> ~40
+    # boundaries crossed
+    for _ in range(400):
+        us = rng.randint(0, 40_000_000)
+        if rng.random() < 0.3:
+            us = (us // 1_000_000) * 1_000_000  # exactly on a boundary
+        typ = rng.choice(["view", "purchase"])
+        rows.append(_ev(eid, us, 99, typ)); eid += 1
+    # background users, incl. same-us bursts
+    for _ in range(150):
+        us = rng.choice([7_000_000, rng.randint(0, 40_000_000)])
+        rows.append(_ev(eid, us, rng.randint(0, 5),
+                        rng.choice(["view", "purchase", "error"])))
+        eid += 1
+    ev = _frame(spark, rows)
+    for tol in (None, 3_000_000):
+        base = sorted(tuple(r) for r in asof_attach(
+            ev, tolerance_us=tol).collect())
+        for bucket_us in (1_000_000, 7_777_777, 60_000_000):
+            salted = sorted(tuple(r) for r in asof_attach(
+                ev, tolerance_us=tol,
+                salt_bucket_us=bucket_us).collect())
+            assert salted == base, (tol, bucket_us)

@@ -148,3 +148,86 @@ def test_bpe_tokenize_fewer_tokens_than_chars(spark):
     ceiling = sum(len(w) + 1 for w in words)
     for r in rows:
         assert len(words) <= r["n_bpe_tokens"] < ceiling
+
+
+def _synth_rules(k, seed=7, max_sym_len=8):
+    """Deterministic compositional rule generator for scale tests:
+    start from the alphabet, repeatedly merge two existing symbols
+    (seeded), growing a realistic rank-ordered vocabulary of k rules —
+    no Spark learning loop needed."""
+    rng = random.Random(seed)
+    pool = list("abcdefghijklmnopqrstuvwxyz") + ["</w>"]
+    rules, seen = [], set()
+    while len(rules) < k:
+        a, b = rng.choice(pool), rng.choice(pool)
+        if len(a) + len(b) > max_sym_len or (a, b) in seen:
+            continue
+        seen.add((a, b))
+        rules.append((len(rules) + 1, a, b, 0))
+        pool.append(a + b)
+    return rules
+
+
+def test_bpe_tokenize_scale_path_matches_column_path(spark):
+    # the vectorized/kernel-parity pattern: both appliers must emit
+    # identical counts for the same learned rules
+    from jsonld_js_spark.operators.bpe import (bpe_merges,
+                                               bpe_tokenize_counts,
+                                               bpe_tokenize_counts_scale)
+    rng = random.Random(911)
+    texts = []
+    for _ in range(50):
+        words = ["".join(rng.choice("aabbccde")
+                         for _ in range(rng.randint(1, 8)))
+                 for _ in range(rng.randint(0, 30))]
+        texts.append(" ".join(words) + (" Zig 7!" if rng.random() < 0.2
+                                        else ""))
+    docs = _docs(spark, texts)
+    merges = [tuple(r) for r in bpe_merges(docs, 6).collect()]
+    col = [tuple(r) for r in bpe_tokenize_counts(docs, merges).collect()]
+    scl = [tuple(r) for r in
+           bpe_tokenize_counts_scale(docs, merges).collect()]
+    assert col == scl
+    assert scl == [(i, n) for i, n in
+                   enumerate(ref_tokenize_counts(texts, merges))]
+
+
+def test_bpe_tokenize_scale_path_large_k_matches_reference(spark):
+    # 300 synthetic rules: far past the column-expr dispatch threshold;
+    # the mapInPandas applier must plan instantly and match the pure-
+    # Python two-pass contract exactly (incl. multi-char symbol rules)
+    from jsonld_js_spark.operators.bpe import (SCALE_K_THRESHOLD,
+                                               bpe_tokenize_counts,
+                                               bpe_tokenize_counts_scale)
+    rules = _synth_rules(300)
+    assert len(rules) > SCALE_K_THRESHOLD
+    rng = random.Random(137)
+    texts = [" ".join("".join(rng.choice("abcde")
+                              for _ in range(rng.randint(1, 9)))
+                      for _ in range(rng.randint(1, 15)))
+             for _ in range(30)] + ["", "999 ??"]
+    docs = _docs(spark, texts)
+    want = ref_tokenize_counts(texts, rules)
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_tokenize_counts_scale(docs, rules).collect()}
+    assert got == {i: n for i, n in enumerate(want)}
+    # the dispatching wrapper must route large K to the scale path
+    # (identical result, no 600-deep replace chain in the plan)
+    got2 = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_tokenize_counts(docs, rules).collect()}
+    assert got2 == got
+
+
+def test_bpe_tokenize_scale_null_and_empty_text(spark):
+    from jsonld_js_spark.operators.bpe import bpe_tokenize_counts_scale
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, None), (2, ""), (3, "THE")],
+        "doc_id long, text string")
+    rules = [(1, "t", "h", 0), (2, "th", "e</w>", 0),
+             (3, "e", "</w>", 0)]
+    rows = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_tokenize_counts_scale(docs, rules).collect()}
+    # "the": ' t h e </w> ' -> rule1 -> ' th e </w> ' -> rule2 (needs
+    # 'e</w>' symbol, absent) -> rule3 -> ' th e</w> ' = 2 tokens
+    # "cat": no rule applies -> c a t </w> = 4
+    assert rows == {0: 6, 1: 0, 2: 0, 3: 2}

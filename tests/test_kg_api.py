@@ -815,3 +815,38 @@ def test_neighbor_jaccard_hand_truth(spark):
     assert got[("b", "e")] == (1, 500000)
     assert got[("b", "d")] == (2, 1000000)  # identical neighbor sets
     assert ("a", "e") not in got  # adjacent but no shared neighbor
+
+
+def test_neighbor_jaccard_hub_guard(spark):
+    """Planted super-hub: h touches 10 leaves (degree 10); a genuine
+    similar pair (p, q) shares two low-degree neighbors. With
+    max_hub_degree=5 the hub is excluded as a wedge CENTER (its
+    C(10,2)=45 leaf-pair wedges vanish) while (p, q) survives with
+    EXACT degrees in the denominator; the guard stats frame reports
+    exactly one dropped hub. With the guard off, leaf pairs appear."""
+    from jsonld_js_spark.kg_api import (neighbor_jaccard,
+                                        neighbor_jaccard_guard_stats)
+    leaves = [f"l{i}" for i in range(10)]
+    und = [("h", l) for l in leaves] + \
+          [("p", "m1"), ("p", "m2"), ("q", "m1"), ("q", "m2")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "a string, b string")
+
+    capped = neighbor_jaccard(edges, topk=1000, max_hub_degree=5)
+    got = {(r["x"], r["y"]): (r["n_shared"], r["jaccard_ppm"])
+           for r in capped.collect()}
+    # (p,q) share {m1,m2}, deg 2 each -> J = 2/(2+2-2) = 1
+    assert got[("p", "q")] == (2, 1000000)
+    # wedges THROUGH low-degree centers p/q still emit (m1,m2)
+    assert got[("m1", "m2")] == (2, 1000000)
+    # every leaf pair met only through the dropped hub -> absent
+    assert not any(x.startswith("l") and y.startswith("l")
+                   for x, y in got)
+    stats = neighbor_jaccard_guard_stats(capped)
+    assert stats == {"dropped_hubs": 1,
+                     "total_nodes": len(leaves) + 5}
+
+    unc = {(r["x"], r["y"]) for r in
+           neighbor_jaccard(edges, topk=1000,
+                            max_hub_degree=None).collect()}
+    assert ("l0", "l1") in unc and ("p", "q") in unc

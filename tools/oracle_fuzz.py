@@ -76,9 +76,6 @@ FUZZABLE = [
     "rel_pricing_summary", "rel_top_orders", "rel_pricing_rollup",
 ]
 
-VOCABULARY = None
-
-
 def _vocab(rng):
     return ["".join(rng.choice(string.ascii_lowercase)
                     for _ in range(rng.randint(1, 9)))
@@ -160,7 +157,10 @@ def synth_events(rng):
     n = rng.randint(150, 1200)
     base = datetime(2024, 1, 1)
     users = rng.randint(3, 30)
-    types = ["view", "click", "purchase", "error"]
+    # 'signup' keeps events_retention non-vacuous (its cohorts key on
+    # signup events — without them both engines return empty every
+    # seed and the fuzz covers nothing, ADVICE r4)
+    types = ["view", "click", "purchase", "error", "signup"]
     rows, ts = [], base
     for i in range(n):
         if rng.random() < 0.12:
