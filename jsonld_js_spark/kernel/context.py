@@ -66,6 +66,7 @@ def _clone_active_context(active_ctx: dict) -> dict:
     # never share the IRI memos: the clone's mappings may diverge
     child.pop("_iri_memo", None)
     child.pop("_ci_memo", None)
+    child.pop("_val_memo", None)
     # the processed-context cache is keyed per active-ctx IDENTITY
     # (the reference's getProcessed(activeCtx)) — a clone is a new
     # identity, so it starts empty

@@ -550,6 +550,23 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                 expanded_value = expand(term_ctx, value,
                                         key, options,
                                         inside_list=is_list_container)
+            elif value is not None and \
+                    not isinstance(value, (dict, list)) and \
+                    term_ctx is active_ctx and \
+                    not is_keyword(expanded_property) and \
+                    options.get("expansionMap") is None:
+                # scalar fast path (the dispatcher's scalar branch
+                # inlined): with no property-scoped context
+                # expand_iri(term_ctx, key) IS expanded_property — a
+                # non-keyword absolute IRI, never "@graph" — so the
+                # dispatcher would reach _expand_value unconditionally.
+                # Saves the dispatcher prelude + one memoized
+                # expand_iri per scalar property value (~15% of kernel
+                # CPU on flat node shapes). Disabled under an
+                # expansionMap: the dispatcher's expandIri event is
+                # part of the observable callback stream.
+                expanded_value = _expand_value(term_ctx, key, value,
+                                               options)
             else:
                 expanded_value = expand(term_ctx, value, key, options,
                                         inside_list=False)
@@ -695,24 +712,54 @@ def _expand_type(type_ctx, value, rval, options):
 
 
 def _expand_value(active_ctx, active_property, value, options):
-    """Value Expansion (ref lib/expand.js:930-988)."""
+    """Value Expansion (ref lib/expand.js:930-988).
+
+    The per-property decision tuple (expanded property, @type
+    coercion, @language, @direction) is a pure function of the
+    immutable active context, so it rides a `_val_memo` on the
+    context (dropped on clone like _iri_memo, context.py:68; captures
+    EVERY ctx-derived input the body reads). Bypassed under an
+    expansionMap — the internal expandIri events are observable."""
     if value is None:
         return None
     if active_property == "@default":
         return value
 
-    # @id / @type active properties expand to bare IRIs
-    # (ref lib/expand.js:936-944)
-    expanded_property = expand_iri(active_ctx, active_property, vocab=True,
-                                   options=options) \
-        if isinstance(active_property, str) else active_property
+    plan = None
+    if active_property.__class__ is str and (
+            options is None or options.get("expansionMap") is None):
+        memo = active_ctx.get("_val_memo")
+        if memo is None:
+            memo = active_ctx["_val_memo"] = {}
+        plan = memo.get(active_property)
+        if plan is None:
+            plan = memo[active_property] = (
+                expand_iri(active_ctx, active_property, vocab=True,
+                           options=options),
+                get_context_value(active_ctx, active_property, "@type"),
+                get_context_value(active_ctx, active_property,
+                                  "@language"),
+                get_context_value(active_ctx, active_property,
+                                  "@direction"))
+    if plan is not None:
+        expanded_property, type_, language, direction = plan
+    else:
+        # @id / @type active properties expand to bare IRIs
+        # (ref lib/expand.js:936-944)
+        expanded_property = expand_iri(
+            active_ctx, active_property, vocab=True, options=options) \
+            if isinstance(active_property, str) else active_property
+        type_ = get_context_value(active_ctx, active_property, "@type")
+        language = get_context_value(active_ctx, active_property,
+                                     "@language")
+        direction = get_context_value(active_ctx, active_property,
+                                      "@direction")
+
     if expanded_property == "@id" and isinstance(value, str):
         return expand_iri(active_ctx, value, base=True, options=options)
     if expanded_property == "@type" and isinstance(value, str):
         return expand_iri(active_ctx, value, vocab=True, base=True,
                           options=options, type_expansion=True)
-
-    type_ = get_context_value(active_ctx, active_property, "@type")
 
     # @id coercion (automatic for @graph) (ref lib/expand.js:949-958)
     if (type_ == "@id" or expanded_property == "@graph") and \
@@ -732,10 +779,8 @@ def _expand_value(active_ctx, active_property, value, options):
     if type_ is not None and type_ not in ("@id", "@vocab", "@none"):
         rval["@type"] = type_
     elif isinstance(value, str):
-        language = get_context_value(active_ctx, active_property, "@language")
         if language is not None:
             rval["@language"] = language
-        direction = get_context_value(active_ctx, active_property, "@direction")
         if direction is not None:
             rval["@direction"] = direction
     return rval

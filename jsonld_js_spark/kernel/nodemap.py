@@ -251,8 +251,15 @@ def create_node_map(input_, graphs: dict, graph: str,
                 add_value(subject, prop_out, result, property_is_array=True,
                           allow_duplicate=False)
             else:
-                # value object (relabel bnode @type handled in recursion)
-                create_node_map(o, graphs, graph, issuer, name, None, _memo)
+                # value object (or GIGO raw scalar): the recursion
+                # with list_=None only relabels a bnode @type and
+                # returns — inlined (value objects are the bulk of
+                # create_node_map calls on flat corpora; ~1/3 of
+                # node-map CPU)
+                if isinstance(o, dict):
+                    t = o.get("@type")
+                    if t.__class__ is str and t.startswith("_:"):
+                        o["@type"] = issuer.get_id(t)
                 if isinstance(o, dict) and "@id" in o:
                     # GIGO value object carrying @id: it participates
                     # in reference equality via the @id fallback, so

@@ -20,12 +20,12 @@ import re
 
 from .nodemap import create_node_map
 from .util import (
-    JsonLdError, IdentifierIssuer, RDF, RDF_TYPE, RDF_FIRST, RDF_REST,
-    RDF_NIL, RDF_LANGSTRING, RDF_JSON_LITERAL, XSD_STRING, XSD_BOOLEAN,
-    XSD_INTEGER, XSD_DOUBLE, canonical_double, canonical_integer,
-    is_absolute_iri, is_blank_node_id, is_keyword, is_value, is_list,
-    is_double, is_integer_number, jcs_canonicalize, js_parse_float,
-    parse_json,
+    JsonLdError, IdentifierIssuer, KEYWORDS, RDF, RDF_TYPE, RDF_FIRST,
+    RDF_REST, RDF_NIL, RDF_LANGSTRING, RDF_JSON_LITERAL, XSD_STRING,
+    XSD_BOOLEAN, XSD_INTEGER, XSD_DOUBLE, canonical_double,
+    canonical_integer, is_absolute_iri, is_blank_node_id, is_keyword,
+    is_value, is_list, is_double, is_integer_number, jcs_canonicalize,
+    js_parse_float, parse_json,
 )
 
 I18N_NS = "https://www.w3.org/ns/i18n#"
@@ -51,9 +51,23 @@ def to_rdf(expanded, options: dict | None = None) -> list[tuple]:
     return dataset
 
 
+# predicate classification memo (pure per string): 0 = relative IRI
+# (skipped), 1 = named, 2 = blank node (skipped unless generalized
+# RDF). Capped like _ABS_IRI_CACHE so a unique-predicate stream can't
+# grow a worker's memory.
+_PRED_CLASS: dict = {}
+
+
 def _graph_to_rdf(dataset, graph: dict, graph_term: str, issuer, options):
     """(ref lib/toRdf.js:88-145)"""
+    generalized = options.get("produceGeneralizedRdf")
     for id_ in sorted(graph.keys()):
+        # relative-IRI subjects skipped (ref lib/toRdf.js:108-111) —
+        # hoisted out of the property loop: pure in id_, and nothing
+        # observable (no issuer allocation, no hook) happens before
+        # the reference's per-property check fires
+        if not (is_absolute_iri(id_) or is_blank_node_id(id_)):
+            continue
         node = graph[id_]
         for property_ in sorted(node.keys()):
             items = node[property_]
@@ -63,23 +77,27 @@ def _graph_to_rdf(dataset, graph: dict, graph_term: str, issuer, options):
                 property_out = RDF_TYPE
                 items_iter = [{"@id": t} for t in items] \
                     if isinstance(items, list) else [{"@id": items}]
-            elif is_keyword(property_):
+            elif property_ in KEYWORDS:
                 continue  # other keywords skipped (ref lib/toRdf.js:97-99)
             else:
                 property_out = property_
                 items_iter = items if isinstance(items, list) else [items]
 
-            # relative-IRI subjects skipped (ref lib/toRdf.js:108-111)
-            if not (is_absolute_iri(id_) or is_blank_node_id(id_)):
-                continue
-            # relative-IRI predicates skipped (ref lib/toRdf.js:119-121)
-            if not (is_absolute_iri(property_out) or
-                    is_blank_node_id(property_out)):
-                continue
+            cls = _PRED_CLASS.get(property_out)
+            if cls is None:
+                if is_blank_node_id(property_out):
+                    cls = 2
+                elif is_absolute_iri(property_out):
+                    cls = 1
+                else:
+                    cls = 0
+                if len(_PRED_CLASS) > 65536:
+                    _PRED_CLASS.clear()
+                _PRED_CLASS[property_out] = cls
+            # relative-IRI predicates skipped (ref lib/toRdf.js:119-121);
             # bnode predicates skipped unless generalized RDF
             # (ref lib/toRdf.js:124-127)
-            if is_blank_node_id(property_out) and \
-                    not options.get("produceGeneralizedRdf"):
+            if cls == 0 or (cls == 2 and not generalized):
                 continue
 
             for item in items_iter:

@@ -74,6 +74,30 @@ FUZZABLE = [
     "events_asof_join", "events_anomaly",
     "jsonld_props_triples", "jsonld_props_bnode_triples",
     "rel_pricing_summary", "rel_top_orders", "rel_pricing_rollup",
+    "corpus_curate_pipeline", "events_asof_join_salted",
+    "vocab_bpe_tokenize_scale",
+]
+
+# kg_* queries read the deterministic transcripts generator (plus the
+# customer/nation/region dims and events). Their input is randomized
+# along the axes the generator contract allows: corpus SIZE (n_conv —
+# varies hot-conv count, entity-id mass, empty-tail groups; the work
+# dir is named sf{n_conv/1e5} so sf_from_dir() reproduces it and the
+# oracle CTE is rebuilt per seed via _oracle_sql(n_conv)) and fully
+# randomized dim tables (duplicate names, dangling foreign keys,
+# negative balances).
+KG_FUZZABLE = [
+    "kg_transcript_triples", "kg_transcript_triples_kernel",
+    "kg_entity_canonical_map", "kg_predicate_stats", "kg_conv_sizes",
+    "kg_conv_window", "kg_mentions_topk", "kg_customer_graph",
+    "kg_events_graph", "kg_merge_sources", "kg_flatten_nodes",
+    "kg_frame_turns", "kg_frame_kernel_path", "kg_compact_conversations",
+    "kg_fromrdf_nodemap", "kg_fromrdf_roundtrip", "kg_nquads",
+    "kg_nquads_source_roundtrip", "kg_incremental_triples",
+    "kg_entity_comention", "kg_degree_stats", "kg_khop",
+    "kg_triangle_count", "kg_label_propagation", "kg_neighbor_jaccard",
+    "kg_sameas_closure", "kg_pagerank", "kg_random_walks",
+    "kg_skipgram_pairs",
 ]
 
 def _vocab(rng):
@@ -210,6 +234,40 @@ def synth_tpch(rng):
     return orders, lines
 
 
+def synth_dims(rng):
+    """customer/nation/region with adversarial shapes: duplicate
+    names (dedup pressure on (subj,pred,obj) triples), dangling
+    foreign keys (inner-join drops), negative balances, single-region
+    corpora (broadcast of a 1-row dim)."""
+    n_reg = rng.randint(1, 5)
+    regions = [{"r_regionkey": i,
+                "r_name": rng.choice(
+                    ["AMERICA", "ASIA", "EUROPE", f"region-{i % 2}"])}
+               for i in range(n_reg)]
+    n_nat = rng.randint(2, 15)
+    nations = [{"n_nationkey": i,
+                "n_name": (rng.choice(["FRANCE", "PERU", "CHINA"])
+                           if rng.random() < 0.5
+                           else f"nation-{rng.randint(0, 3)}"),
+                # ~10% dangling regionkey → inner-join drop
+                "n_regionkey": (n_reg if rng.random() < 0.1
+                                else rng.randint(0, n_reg - 1))}
+               for i in range(n_nat)]
+    n_cus = rng.randint(10, 250)
+    customers = [{"c_custkey": i,
+                  # duplicate names across keys
+                  "c_name": f"Customer#{rng.randint(0, n_cus // 3 + 1)}",
+                  # ~8% dangling nationkey
+                  "c_nationkey": (n_nat + 1 if rng.random() < 0.08
+                                  else rng.randint(0, n_nat - 1)),
+                  "c_acctbal": round(rng.uniform(-999, 9999), 2),
+                  "c_mktsegment": rng.choice(
+                      ["BUILDING", "AUTOMOBILE", "MACHINERY",
+                       "HOUSEHOLD", "FURNITURE"])}
+                 for i in range(n_cus)]
+    return regions, nations, customers
+
+
 def write_tables(rng, work):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -245,6 +303,17 @@ def write_tables(rng, work):
         ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
         ("l_shipdate", pa.timestamp("us"))])),
         f"{work}/lineitem.parquet")
+    regions, nations, customers = synth_dims(rng)
+    pq.write_table(pa.Table.from_pylist(regions, schema=pa.schema([
+        ("r_regionkey", pa.int32()), ("r_name", pa.string())])),
+        f"{work}/region.parquet")
+    pq.write_table(pa.Table.from_pylist(nations, schema=pa.schema([
+        ("n_nationkey", pa.int32()), ("n_name", pa.string()),
+        ("n_regionkey", pa.int32())])), f"{work}/nation.parquet")
+    pq.write_table(pa.Table.from_pylist(customers, schema=pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string())])), f"{work}/customer.parquet")
     return len(docs), len(embs), len(evs)
 
 
@@ -288,20 +357,30 @@ def main(argv):
              .config("spark.driver.memory", "8g")
              .getOrCreate())
     qs = entry.queries()
-    oracles = entry.oracle_sql()
     bad = []
+    pool = FUZZABLE + KG_FUZZABLE
     for s in range(seed0, seed0 + n_seeds):
         rng = random.Random(s)
-        work = f"{WORK_ROOT}/seed{s}"
+        # corpus size is a fuzz axis for the transcripts-backed kg
+        # queries: the work dir is sf-named so sf_from_dir() in the
+        # Spark queries reproduces n_conv, and the DuckDB oracles are
+        # rebuilt per seed with the same n_conv.
+        n_conv = rng.choice([rng.randint(20, 80), rng.randint(81, 300),
+                             rng.randint(301, 900)])
+        from jsonld_js_spark.transcripts import n_conv_for_sf, sf_from_dir
+        work = f"{WORK_ROOT}/seed{s}/sf{n_conv / 100000:.5f}"
+        assert n_conv_for_sf(sf_from_dir(work)) == n_conv
+        oracles = entry._oracle_sql(n_conv)
         spark.catalog.clearCache()
         nd, ne, nv = write_tables(rng, work)
         con = duckdb.connect()
         con.execute("SET TimeZone='UTC'")
-        for t in ("documents", "embeddings", "events", "orders", "lineitem"):
+        for t in ("documents", "embeddings", "events", "orders",
+                  "lineitem", "customer", "nation", "region"):
             con.execute(f"CREATE VIEW {t} AS "
                         f"SELECT * FROM '{work}/{t}.parquet'")
-        names = (rng.sample(FUZZABLE, subset) if subset
-                 else list(FUZZABLE))
+        names = (rng.sample(pool, subset) if subset
+                 else list(pool))
         t0 = time.time()
         fails = []
         for name in names:
@@ -312,10 +391,11 @@ def main(argv):
             if r is not None:
                 fails.append(r)
         con.close()
-        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(f"{WORK_ROOT}/seed{s}", ignore_errors=True)
         status = "OK" if not fails else "MISMATCH"
         print(json.dumps({"seed": s, "docs": nd, "embs": ne,
-                          "events": nv, "queries": len(names),
+                          "events": nv, "n_conv": n_conv,
+                          "queries": len(names),
                           "status": status,
                           "wall_s": round(time.time() - t0, 1),
                           "fails": fails}), flush=True)
