@@ -30,16 +30,35 @@ TERM_NAMES = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "id",
               "type", "nested", "lang_t", "list_t", "set_t", "idx_t",
               "rev_t", "json_t", "idmap_t", "typemap_t", "graph_t"]
 
+# DIFFTEST_UNICODE=1: adversarial unicode in IRIs, string values,
+# language tags and map keys — exercises N-Quads escaping, JCS @json
+# canonicalization, BCP47 case-normalization (language-map keys are
+# lowercased in expansion), absolute-IRI/CURIE detection over
+# non-ASCII, and JS-vs-Python string equality in node-map merging.
+UNI = bool(os.environ.get("DIFFTEST_UNICODE"))
+_UNI_STRINGS = [
+    "héllo wörld", "é combining", "😀🎉 astral", "日本語テスト",
+    "‮bidi‬", "zw‍join", "tab\tnl\nquote\"bs\\",
+    "Å vs Å", "Ω≠µ", "bellus", "﷽ rtl ﻼ",
+]
+_UNI_LANGS = ["eN-Latn-US", "de-419", "en-a-bbb-x-a", "zh-Hant",
+              "JA", "und", "en-gb-oed", "123", "en--us", "x-" + "y" * 9]
+
 
 def _iri(rng):
     if rng.random() < 0.12:
         # exotic absolute IRIs: scheme-only forms, urn/tag/mailto,
         # unicode path — stress absolute-IRI detection, CURIE
         # compaction candidates, and base-relativization roots
-        return rng.choice([
+        pool = [
             "urn:uuid:0f9e", "tag:ex,2020:t", "mailto:a@b.c",
             "a:", "a:b:c", EX + "%C3%BC/pct", EX + "üni/ß",
-        ])
+        ]
+        if UNI:
+            pool += ["http://例え.jp/パス", EX + "😀/astral",
+                     EX + "é/combining", "urn:uni:✓",
+                     EX + "bidi‮", EX + "sp%20ace#日本"]
+        return rng.choice(pool)
     return EX + rng.choice(["a", "b", "c", "d", "n1", "n2", "x/y",
                             "frag#z", "px#q", "px#deep/leaf"])
 
@@ -55,7 +74,13 @@ def random_context(rng: random.Random) -> dict:
         ctx["@base"] = rng.choice(
             ["http://base.org/dir/", "http://base.org/dir/doc", "./"])
     if rng.random() < 0.2:
-        ctx["@language"] = rng.choice(["en", "de"])
+        ctx["@language"] = rng.choice(
+            ["en", "de"] + (_UNI_LANGS if UNI else []))
+    if UNI and rng.random() < 0.2:
+        # unicode TERM name: term-definition creation, inverse-context
+        # compaction candidates and CURIE prefixing over non-ASCII
+        ctx["tüerm"] = rng.choice(
+            [EX + "tuerm", {"@id": EX + "tuerm", "@prefix": True}])
     if rng.random() < 0.15:
         ctx["id"] = "@id"
     if rng.random() < 0.15:
@@ -193,6 +218,15 @@ _NUM_EDGES = [9007199254740991, 9007199254740992.0, -9007199254740991,
 
 
 def _scalar(rng):
+    if UNI and rng.random() < 0.35:
+        u = rng.choice(_UNI_STRINGS)
+        return rng.choice([
+            u, {"@value": u},
+            {"@value": u, "@language": rng.choice(_UNI_LANGS)},
+            {"@value": u, "@type": EX + "T"},
+            {"@value": u, "@language": rng.choice(_UNI_LANGS),
+             "@direction": "rtl"},
+        ])
     return rng.choice([
         "plain", 42, -7, True, False, 2.5, 0.1, 1e21, "",
         {"@value": "v", "@language": "en"},
@@ -208,11 +242,18 @@ def _scalar(rng):
 def _container_value(rng, container, depth):
     c = container if isinstance(container, list) else [container]
     if "@language" in c:
-        return {rng.choice(["en", "de", "@none"]):
-                rng.choice(["x", ["y", "z"]])}
+        keys = ["en", "de", "@none"]
+        if UNI:
+            # language-map keys are case-normalized in expansion;
+            # malformed tags warn-and-keep — both must match the
+            # reference byte-for-byte
+            keys += ["EN", "eN-LaTn", "de-419", "123"]
+        return {rng.choice(keys): rng.choice(["x", ["y", "z"]])}
     if "@index" in c:
-        return {rng.choice(["k0", "k1", "@none"]):
-                random_value(rng, depth)}
+        keys = ["k0", "k1", "@none"]
+        if UNI:
+            keys += ["ключ", "日本語", "k é"]
+        return {rng.choice(keys): random_value(rng, depth)}
     if "@id" in c:
         return {rng.choice([EX + "i1", "rel-i", "@none"]):
                 random_node(rng, depth)}
@@ -304,7 +345,10 @@ def random_node(rng, depth) -> dict:
         node["@reverse"] = {rng.choice(["gamma", EX + "rp"]):
                             random_node(rng, 0)}
     if rng.random() < 0.1:
-        node["@index"] = "ix"
+        node["@index"] = "íx☺" if UNI and rng.random() < 0.4 else "ix"
+    if UNI and rng.random() < 0.15:
+        # unicode property used directly (vocab-mapped or dropped)
+        node["tüerm"] = random_value(rng, 0)
     if rng.random() < 0.06:
         # keyword-FORM @-words: @import/@propagate are NOT in the
         # reference's isKeyword switch (dropped with a warning), and
