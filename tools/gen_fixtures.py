@@ -3034,6 +3034,63 @@ CASES += [
 ]
 
 
+# ----- adversarial unicode (round-5 fuzz dimension pinned as goldens):
+# N-Quads escaping of control/astral/bidi chars, BCP47 case
+# normalization, non-ASCII IRIs/CURIEs, JCS @json key ordering (JS
+# sorts by UTF-16 code units — astral keys order differently than
+# Python's default code-point sort), unicode index/language map keys.
+CASES += [
+    dict(
+        name="unicode-iris",
+        input={"@context": {"@vocab": EX, "px": {"@id": EX + "日本#",
+                                                 "@prefix": True},
+                            "link": {"@id": EX + "link", "@type": "@id"}},
+               "@id": "http://例え.jp/パス",
+               "link": [EX + "😀/astral", EX + "é/combining",
+                        "urn:uni:✓", EX + "%C3%BC/pct"],
+               "px:suffix✓": "curie-value"},
+    ),
+    dict(
+        name="unicode-nquads-escaping",
+        op_override=["expand", "toRDF"],
+        input={"@context": {"@vocab": EX}, "@id": EX + "a",
+               "ctrl": "belltab\tnl\nus",
+               "quote": "q\"bs\\end",
+               "astral": "\U0001f600\U0001f389",
+               "bidi": "‮rtl‬ zw‍j",
+               "combining": "é vs é"},
+    ),
+    dict(
+        name="unicode-language-tags",
+        input={"@context": {"@vocab": EX, "@language": "eN-LaTn-US",
+                            "lmap": {"@id": EX + "lmap",
+                                     "@container": "@language"}},
+               "@id": EX + "a", "plain": "v",
+               "lmap": {"EN": "upper-key", "de-419": "region",
+                        "zh-HANT": ["a", "b"]},
+               "tagged": {"@value": "x", "@language": "JA"}},
+    ),
+    dict(
+        name="unicode-json-literal-jcs",
+        op_override=["expand", "toRDF"],
+        input={"@context": {"@vocab": EX,
+                            "j": {"@id": EX + "j", "@type": "@json"}},
+               "@id": EX + "a",
+               "j": {"\U0001f600astral": 1, "zz": 2, "！full": 3,
+                     "é": [True, ""], "Ω": {"nested": "µ"}}},
+    ),
+    dict(
+        name="unicode-index-keys",
+        input={"@context": {"@vocab": EX,
+                            "vals": {"@id": EX + "vals",
+                                     "@container": "@index"}},
+               "@id": EX + "a",
+               "vals": {"ключ": "cyrillic", "日本語": "cjk",
+                        "k é": {"@value": 5}}},
+    ),
+]
+
+
 def run_oracle(req: dict) -> dict:
     env = dict(os.environ, NODE_PATH=os.path.join(HARNESS, "node_modules"))
     out = subprocess.run(
