@@ -185,7 +185,60 @@ FROM o WHERE lang_tok_offset < {_BUDGET_SQL}
 ORDER BY doc_id
 """
 
+def q_corpus_pack_sequences_bpe(spark, sf_dir):
+    """Packing under the ACTUAL tokenizer: per-doc BPE token counts
+    (learned vocabulary applied through the broadcast-rules scale
+    applier) replace whitespace counts on the packed-token axis —
+    the round-4 verdict's point that tokenizer-true counts gate
+    packing/budget/mixing. Zero-token docs (no [a-z]+ words) occupy
+    no extent and are excluded from the axis on BOTH sides: a
+    0-length extent would evaluate (tok_offset - 1) div SEQ_LEN,
+    where Spark's div truncates toward zero and DuckDB's // floors
+    (the documented non-negative-operands rule)."""
+    from .bpe import bpe_merges, bpe_tokenize_counts_scale
+    d = _docs(spark, sf_dir)
+    rules = [tuple(r) for r in bpe_merges(d).collect()]
+    counts = bpe_tokenize_counts_scale(d, rules)
+    h = hash60(F.concat(F.lit(PACK_SALT), F.col("doc_id").cast("string")))
+    t = (counts.filter(F.col("n_bpe_tokens") > 0)
+         .select("doc_id",
+                 F.col("n_bpe_tokens").alias("n_tokens"),
+                 h.alias("h"),
+                 F.pmod(h, F.lit(N_BUCKETS)).alias("bucket")))
+    return pack_extents(t)
+
+
+def oracle_pack_bpe() -> str:
+    """Composed oracle: the self-contained BPE tokenize oracle as a
+    CTE (re-learns the merge chain in SQL), then the identical pack
+    prefix-sum over its counts."""
+    from .bpe import oracle_vocab_bpe_tokenize
+    h = hash60_sql(f"'{PACK_SALT}' || cast(doc_id as varchar)")
+    return f"""
+WITH bpe AS ({oracle_vocab_bpe_tokenize()}),
+t AS (
+  SELECT doc_id, n_bpe_tokens AS n_tokens,
+         {h} AS h, ({h}) % {N_BUCKETS} AS bucket
+  FROM bpe WHERE n_bpe_tokens > 0),
+o AS (
+  SELECT doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (
+           ORDER BY bucket, h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bigint) AS tok_offset
+  FROM t)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // {SEQ_LEN} AS pack_first,
+       (tok_offset + n_tokens - 1) // {SEQ_LEN} AS pack_last,
+       (tok_offset + n_tokens - 1) // {SEQ_LEN}
+         - tok_offset // {SEQ_LEN} + 1 AS packs_spanned
+FROM o ORDER BY doc_id
+"""
+
+
 QUERIES["corpus_pack_sequences"] = q_corpus_pack_sequences
+QUERIES["corpus_pack_sequences_bpe"] = q_corpus_pack_sequences_bpe
 QUERIES["corpus_token_budget_sample"] = q_corpus_token_budget_sample
 ORACLES["corpus_pack_sequences"] = ORACLE_PACK
+ORACLES["corpus_pack_sequences_bpe"] = oracle_pack_bpe()
 ORACLES["corpus_token_budget_sample"] = ORACLE_BUDGET

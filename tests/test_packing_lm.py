@@ -59,6 +59,47 @@ def test_pack_offsets_match_pure_python(spark):
     assert cum == sum(n for n, _, _, _ in truth.values())
 
 
+def test_pack_bpe_offsets_match_pure_python(spark):
+    """BPE-count packing recomputed end-to-end in pure Python: learn
+    the merge chain with the engine (fixture-verified elsewhere),
+    apply it with the two-pass contract reference, lay out the axis
+    with hashlib md5 order. Zero-token docs must be absent."""
+    from jsonld_js_spark.operators.bpe import bpe_merges
+    from jsonld_js_spark.operators.packing import (
+        q_corpus_pack_sequences_bpe)
+    rows = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").collect())
+    rules = [tuple(r) for r in bpe_merges(
+        spark.read.parquet(f"{SF}/documents.parquet")).collect()]
+    # two-pass contract reference (tests/test_bpe.py::ref_tokenize_counts)
+    import re as _re
+    counts = {}
+    for r in rows:
+        n = 0
+        for w in _re.findall("[a-z]+", r["text"].lower()):
+            s = " " + " ".join(w) + " </w> "
+            for _, a, b, _c in rules:
+                pat, rep = f" {a} {b} ", f" {a}{b} "
+                s = s.replace(pat, rep).replace(pat, rep)
+            n += len(s.strip().split(" "))
+        counts[r["doc_id"]] = n
+    keyed = sorted(
+        ((h := _py_hash60(f"{PACK_SALT}{d}")) % N_BUCKETS, h, d, n)
+        for d, n in counts.items() if n > 0)
+    truth, cum = {}, 0
+    for _, _, d, n in keyed:
+        truth[d] = (n, cum, cum // SEQ_LEN, (cum + n - 1) // SEQ_LEN)
+        cum += n
+    out = {r["doc_id"]: r for r in
+           q_corpus_pack_sequences_bpe(spark, SF).collect()}
+    assert set(out) == set(truth)  # zero-token docs excluded exactly
+    for d, (n, off, pf, pl) in truth.items():
+        r = out[d]
+        assert (r["n_tokens"], r["tok_offset"], r["pack_first"],
+                r["pack_last"], r["packs_spanned"]) == \
+            (n, off, pf, pl, pl - pf + 1), d
+
+
 def test_budget_sample_matches_pure_python(spark):
     """The kept set must be exactly the per-language hash-order prefix
     under each budget — recomputed independently."""

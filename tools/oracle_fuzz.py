@@ -75,7 +75,7 @@ FUZZABLE = [
     "jsonld_props_triples", "jsonld_props_bnode_triples",
     "rel_pricing_summary", "rel_top_orders", "rel_pricing_rollup",
     "corpus_curate_pipeline", "events_asof_join_salted",
-    "vocab_bpe_tokenize_scale",
+    "vocab_bpe_tokenize_scale", "corpus_pack_sequences_bpe",
 ]
 
 # kg_* queries read the deterministic transcripts generator (plus the
