@@ -59,26 +59,40 @@ QUALITY_MIN_PPM = 250000
 # corpus (documents + injected duplicates, lang carried for the mix)
 
 def curate_corpus_df(spark, sf_dir):
+    """documents + injected near/exact duplicates. The injected ids
+    are offset by max(doc_id)+1 multiples — NOT a fixed constant: a
+    fixed +100000 collides with base ids once the corpus exceeds 100k
+    docs, silently breaking doc_id uniqueness and multiplying every
+    downstream doc_id join (caught by jobs/soak_curate.py at 4N).
+    The max is a 1-row driver scalar (k-means pattern)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text", "lang")
+    span = int(d.agg(F.max("doc_id")).collect()[0][0]) + 1
     near = (d.filter(F.col("doc_id") % 10 == 0)
-            .select((F.col("doc_id") + 100000).alias("doc_id"),
+            .select((F.col("doc_id") + span).alias("doc_id"),
                     F.concat("text", F.lit(" near duplicate suffix marker"))
                     .alias("text"), "lang"))
     exact = (d.filter(F.col("doc_id") % 25 == 0)
-             .select((F.col("doc_id") + 200000).alias("doc_id"),
+             .select((F.col("doc_id") + 2 * span).alias("doc_id"),
                      "text", "lang"))
     return d.unionAll(near).unionAll(exact)
 
 
+# span as a scalar subquery — same max(doc_id)+1 arithmetic as the
+# Spark side, evaluated inside DuckDB
 CURATE_CORPUS_SQL = """
+dspan AS (
+  SELECT max(doc_id) + 1 AS s FROM documents
+),
 corpus0 AS (
   SELECT doc_id, text, lang FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text || ' near duplicate suffix marker', lang
+  SELECT doc_id + (SELECT s FROM dspan),
+         text || ' near duplicate suffix marker', lang
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 25 = 0
+  SELECT doc_id + 2 * (SELECT s FROM dspan), text, lang
+  FROM documents WHERE doc_id % 25 = 0
 )"""
 
 
