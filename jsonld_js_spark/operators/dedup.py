@@ -59,9 +59,27 @@ MIX_CONSTS = [686579305, 119540833, 239670713, 149827707,
 # ---------------------------------------------------------------------------
 # corpus with injected duplicates
 
+def guard_injection_span(d, offset: int, col: str = "doc_id"):
+    """Fail fast if a fixed duplicate-injection id offset would
+    collide with real ids (id uniqueness silently breaks and every
+    downstream id join multiplies rows — the defect class
+    jobs/soak_curate.py caught in the curate corpus builder at 120k
+    docs). These injected corpora are gated/fuzz test harnesses; the
+    underlying operators take arbitrary frames and carry no offsets.
+    One 1-row agg job (driver-scalar pattern)."""
+    mx = d.agg(F.max(col)).collect()[0][0]
+    if mx is not None and int(mx) >= offset:
+        raise ValueError(
+            f"injected-duplicate offset {offset} collides with "
+            f"max({col})={mx}; use a corpus under {offset} ids or the "
+            f"span-relative builder (pipeline/curate.py)")
+    return d
+
+
 def corpus_df(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
+    d = guard_injection_span(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text"), 100000)
     near = (d.filter(F.col("doc_id") % 10 == 0)
             .select((F.col("doc_id") + 100000).alias("doc_id"),
                     F.concat("text", F.lit(" near duplicate suffix marker"))

@@ -251,8 +251,11 @@ def payload_neardup_pairs(media_hex, j_ppm: int = MM_NEARDUP_J_PPM):
 
 
 def q_multimodal_neardup(spark, sf_dir):
+    from .dedup import guard_injection_span
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = d.select("doc_id", _payload_hex_col().alias("payload_hex"))
+    base = guard_injection_span(
+        d.select("doc_id", _payload_hex_col().alias("payload_hex")),
+        500000)
     planted = (base.filter(F.col("doc_id") % 10 == 0)
                .select((F.col("doc_id") + 500000).alias("doc_id"),
                        F.concat("payload_hex", F.lit(MM_CORRUPT_TAG))

@@ -294,8 +294,11 @@ def nd_band_sigs(vcol, planes_per_band: int = ND_PLANES_PER_BAND,
 
 
 def _nd_corpus(spark, sf_dir):
-    e = _emb(spark, sf_dir).select(
-        "vec_id", _vec_d(F.col("embedding")).alias("v"))
+    from .dedup import guard_injection_span
+    e = guard_injection_span(
+        _emb(spark, sf_dir).select(
+            "vec_id", _vec_d(F.col("embedding")).alias("v")),
+        100000, col="vec_id")
     dup = (e.filter(F.col("vec_id") % 20 == 0)
            .select((F.col("vec_id") + 100000).alias("vec_id"), "v"))
     return e.unionAll(dup)

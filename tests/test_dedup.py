@@ -50,6 +50,22 @@ def test_prefix_filter_still_complete(spark):
     assert (0, 1) in cand
 
 
+def test_injection_guard_rejects_colliding_corpus(spark):
+    """A corpus whose ids reach the fixed injection offset must fail
+    fast, not silently duplicate ids (the soak_curate finding)."""
+    import pytest
+    from jsonld_js_spark.operators.dedup import guard_injection_span
+    big = spark.range(3).select(
+        (F.col("id") + 99999).alias("doc_id"),
+        F.lit("x").alias("text"))
+    with pytest.raises(ValueError, match="collides"):
+        guard_injection_span(big, 100000)
+    # under the offset: passes through unchanged
+    ok = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    assert guard_injection_span(ok, 100000).count() == 3
+
+
 def test_minhash_finds_injected_near_dups(spark):
     """The corpus injects a near-copy (+100000) for every 10th doc and
     an exact copy (+200000) for every 25th; MinHash+LSH must recover
