@@ -236,9 +236,73 @@ FROM o ORDER BY doc_id
 """
 
 
+def q_corpus_token_budget_sample_bpe(spark, sf_dir):
+    """Per-language token budgets measured in BPE tokens (the
+    tokenizer-true variant of corpus_token_budget_sample — budgets
+    and mixing are denominated in what the trainer actually consumes,
+    completing the packing/budget pair over the scale applier).
+    Same two-level scan keyed (lang, bucket); the only change is the
+    token-mass column (counts join on doc_id). Zero-token docs carry
+    no mass and are kept-iff-under-budget like any other doc — no
+    div/floor hazard here (offsets only, no extent-end arithmetic)."""
+    from .bpe import bpe_merges, bpe_tokenize_counts_scale
+    d = _docs(spark, sf_dir)
+    rules = [tuple(r) for r in bpe_merges(d).collect()]
+    counts = bpe_tokenize_counts_scale(d, rules)
+    h = hash60(F.concat(F.lit(BUDGET_SALT),
+                        F.col("doc_id").cast("string")))
+    t = (d.select("doc_id", "lang").join(counts, "doc_id")
+         .select("doc_id", "lang",
+                 F.col("n_bpe_tokens").alias("n_tokens"),
+                 h.alias("h"),
+                 F.pmod(h, F.lit(N_BUCKETS)).alias("bucket")))
+    w_in = (Window.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum = t.withColumn(
+        "cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+    w_b = (Window.partitionBy("lang").orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    base = (t.groupBy("lang", "bucket")
+            .agg(F.sum("n_tokens").alias("btot"))
+            .select("lang", "bucket",
+                    F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+                     .alias("base")))
+    return (cum.join(F.broadcast(base), ["lang", "bucket"])
+            .select("doc_id", "lang", "n_tokens",
+                    (F.col("base") + F.col("cum_in"))
+                    .alias("lang_tok_offset"))
+            .filter(F.col("lang_tok_offset") < _budget_expr())
+            .orderBy("doc_id"))
+
+
+def oracle_budget_bpe() -> str:
+    from .bpe import oracle_vocab_bpe_tokenize
+    h = hash60_sql(f"'{BUDGET_SALT}' || cast(d.doc_id as varchar)")
+    return f"""
+WITH bpe AS ({oracle_vocab_bpe_tokenize()}),
+t AS (
+  SELECT d.doc_id, d.lang, b.n_bpe_tokens AS n_tokens,
+         {h} AS h, ({h}) % {N_BUCKETS} AS bucket
+  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id),
+o AS (
+  SELECT doc_id, lang, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY bucket, h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bigint) AS lang_tok_offset
+  FROM t)
+SELECT doc_id, lang, n_tokens, lang_tok_offset
+FROM o WHERE lang_tok_offset < {_BUDGET_SQL}
+ORDER BY doc_id
+"""
+
+
 QUERIES["corpus_pack_sequences"] = q_corpus_pack_sequences
 QUERIES["corpus_pack_sequences_bpe"] = q_corpus_pack_sequences_bpe
 QUERIES["corpus_token_budget_sample"] = q_corpus_token_budget_sample
+QUERIES["corpus_token_budget_sample_bpe"] = \
+    q_corpus_token_budget_sample_bpe
 ORACLES["corpus_pack_sequences"] = ORACLE_PACK
 ORACLES["corpus_pack_sequences_bpe"] = oracle_pack_bpe()
 ORACLES["corpus_token_budget_sample"] = ORACLE_BUDGET
+ORACLES["corpus_token_budget_sample_bpe"] = oracle_budget_bpe()

@@ -100,6 +100,43 @@ def test_pack_bpe_offsets_match_pure_python(spark):
             (n, off, pf, pl, pl - pf + 1), d
 
 
+def test_budget_sample_bpe_matches_pure_python(spark):
+    """BPE-count budget sampling recomputed in pure Python: the kept
+    set must be the per-language hash-order prefix under each budget,
+    with token mass from the two-pass BPE contract reference."""
+    from jsonld_js_spark.operators.bpe import bpe_merges
+    from jsonld_js_spark.operators.packing import (
+        q_corpus_token_budget_sample_bpe)
+    rows = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "lang", "text").collect())
+    rules = [tuple(r) for r in bpe_merges(
+        spark.read.parquet(f"{SF}/documents.parquet")).collect()]
+    import re as _re
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        n = 0
+        for w in _re.findall("[a-z]+", r["text"].lower()):
+            s = " " + " ".join(w) + " </w> "
+            for _, a, b, _c in rules:
+                pat, rep = f" {a} {b} ", f" {a}{b} "
+                s = s.replace(pat, rep).replace(pat, rep)
+            n += len(s.strip().split(" "))
+        h = _py_hash60(f"{BUDGET_SALT}{r['doc_id']}")
+        by_lang.setdefault(r["lang"], []).append(
+            (h % N_BUCKETS, h, r["doc_id"], n))
+    truth = {}
+    for lang, lrows in by_lang.items():
+        budget = LANG_BUDGETS.get(lang, BUDGET_DEFAULT)
+        cum = 0
+        for _, _, d, n in sorted(lrows):
+            if cum < budget:
+                truth[d] = (lang, n, cum)
+            cum += n
+    out = {r["doc_id"]: (r["lang"], r["n_tokens"], r["lang_tok_offset"])
+           for r in q_corpus_token_budget_sample_bpe(spark, SF).collect()}
+    assert out == truth
+
+
 def test_budget_sample_matches_pure_python(spark):
     """The kept set must be exactly the per-language hash-order prefix
     under each budget — recomputed independently."""
