@@ -153,6 +153,11 @@ def domain_mix_plan(docs, weights=None, domain_col: str = "lang",
     schema = ("domain string, n_docs long, n_tokens long, "
               "weight_pm long, alloc_tokens long, keep_pm long")
     spark = docs.sparkSession
+    # a domain whose token supply is 0 (possible under BPE counts —
+    # every doc may lack [a-z] words) can neither anchor the budget
+    # nor receive an allocation: drop it from the plan (its keep rate
+    # is undefined, 0/0)
+    supply = {dom: (nd, t) for dom, (nd, t) in supply.items() if t > 0}
     if not supply:
         plan_rows = []
     else:
@@ -217,6 +222,7 @@ supply AS (
          cast(sum(n_tokens) as bigint) AS n_tokens,
          min(weight_pm) AS weight_pm
   FROM d GROUP BY 1
+  HAVING sum(n_tokens) > 0
 ),
 b AS (SELECT min(n_tokens * 1000 // weight_pm) AS budget FROM supply),
 plan AS (
@@ -337,11 +343,76 @@ FROM d JOIN plan p ON d.domain = p.domain
 ORDER BY d.doc_id
 """
 
+def q_corpus_domain_mix_bpe(spark, sf_dir):
+    """Domain-mixture plan with token mass in BPE tokens (the
+    tokenizer-true variant — with pack/budget this completes the
+    trio: packing, budgets and mixing all denominated in what the
+    trainer consumes). Same two-scan plan; the counts join on doc_id
+    is the tokenizer pass."""
+    from .bpe import bpe_merges, bpe_tokenize_counts_scale
+    d = _docs(spark, sf_dir)
+    rules = [tuple(r) for r in bpe_merges(d).collect()]
+    counts = bpe_tokenize_counts_scale(d, rules)
+    keyed = (d.select("doc_id", "lang").join(counts, "doc_id")
+             .select("doc_id", "lang",
+                     F.col("n_bpe_tokens").alias("n_tokens")))
+    return domain_mix_plan(keyed).orderBy("domain")
+
+
+def oracle_domain_mix_bpe() -> str:
+    from .bpe import oracle_vocab_bpe_tokenize
+    # d is referenced twice (supply + kept); without MATERIALIZED,
+    # DuckDB inlines the whole correlated BPE chain into both and the
+    # per-doc scalar subquery goes quadratic (observed: minutes at
+    # 500 docs vs ~10 s single-reference)
+    return f"""
+WITH bpe AS MATERIALIZED ({oracle_vocab_bpe_tokenize()}),
+d AS MATERIALIZED (
+  SELECT doc.lang AS domain, doc.doc_id,
+         {hash60_sql("'" + MIX_SALT + "' || cast(doc.doc_id as varchar)")}
+           % 1000 AS bucket,
+         bp.n_bpe_tokens AS n_tokens,
+         {_MIX_W_SQL.replace("CASE lang", "CASE doc.lang")} AS weight_pm
+  FROM documents doc JOIN bpe bp ON doc.doc_id = bp.doc_id
+  WHERE doc.lang IN ({_MIX_LANGS_SQL})
+),
+supply AS (
+  SELECT domain, cast(count(*) as bigint) AS n_docs,
+         cast(sum(n_tokens) as bigint) AS n_tokens,
+         min(weight_pm) AS weight_pm
+  FROM d GROUP BY 1
+  HAVING sum(n_tokens) > 0
+),
+b AS (SELECT min(n_tokens * 1000 // weight_pm) AS budget FROM supply),
+plan AS (
+  SELECT s.domain, s.n_docs, s.n_tokens, s.weight_pm,
+         (SELECT budget FROM b) * s.weight_pm // 1000 AS alloc_tokens,
+         ((SELECT budget FROM b) * s.weight_pm // 1000) * 1000
+           // s.n_tokens AS keep_pm
+  FROM supply s
+),
+kept AS (
+  SELECT d.domain, cast(count(*) as bigint) AS kept_docs,
+         cast(sum(d.n_tokens) as bigint) AS kept_tokens
+  FROM d JOIN plan p ON d.domain = p.domain
+  WHERE d.bucket < p.keep_pm GROUP BY 1
+)
+SELECT p.domain, p.n_docs, p.n_tokens, p.weight_pm, p.alloc_tokens,
+       p.keep_pm,
+       cast(coalesce(k.kept_docs, 0) as bigint) AS kept_docs,
+       cast(coalesce(k.kept_tokens, 0) as bigint) AS kept_tokens
+FROM plan p LEFT JOIN kept k ON p.domain = k.domain
+ORDER BY p.domain
+"""
+
+
 QUERIES["corpus_split"] = q_corpus_split
 QUERIES["corpus_sample_stratified"] = q_corpus_sample_stratified
 QUERIES["corpus_domain_mix"] = q_corpus_domain_mix
+QUERIES["corpus_domain_mix_bpe"] = q_corpus_domain_mix_bpe
 QUERIES["corpus_mix_upsample"] = q_corpus_mix_upsample
 ORACLES["corpus_split"] = ORACLE_CORPUS_SPLIT
 ORACLES["corpus_sample_stratified"] = ORACLE_CORPUS_SAMPLE
 ORACLES["corpus_domain_mix"] = ORACLE_CORPUS_DOMAIN_MIX
+ORACLES["corpus_domain_mix_bpe"] = oracle_domain_mix_bpe()
 ORACLES["corpus_mix_upsample"] = ORACLE_CORPUS_MIX_UPSAMPLE

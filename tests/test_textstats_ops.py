@@ -246,6 +246,51 @@ def test_domain_mix_gated_invariants(spark):
     assert out == q_corpus_domain_mix(spark, SF).collect()
 
 
+def test_domain_mix_zero_supply_domain_dropped(spark):
+    """A domain whose total token mass is 0 (possible under BPE
+    counts) must be dropped from the plan — not crash the budget
+    arithmetic or pin it to 0."""
+    from jsonld_js_spark.operators.sampling import domain_mix_plan
+    rows = ([(i, "A", 10) for i in range(10)]
+            + [(100 + i, "Z", 0) for i in range(5)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "n_tokens long")
+    plan = {r["domain"]: r for r in
+            domain_mix_plan(docs, weights={"A": 800, "Z": 200})
+            .collect()}
+    assert set(plan) == {"A"}
+    assert plan["A"]["keep_pm"] == 1000  # sole supplier keeps all
+
+
+def test_domain_mix_bpe_matches_whitespace_structure(spark):
+    """The BPE-count mix plan obeys the same invariants as the
+    whitespace plan (one shared budget, alloc <= supply, >= 1
+    bottleneck) and its token masses equal the gated BPE tokenize
+    counts summed per language — tying the two gated queries to each
+    other through an independent aggregation."""
+    from jsonld_js_spark.operators.sampling import (
+        MIX_WEIGHTS, q_corpus_domain_mix_bpe)
+    from jsonld_js_spark.operators.bpe import q_vocab_bpe_tokenize_scale
+    import pyspark.sql.functions as F
+    out = q_corpus_domain_mix_bpe(spark, SF).collect()
+    assert {r["domain"] for r in out} <= set(MIX_WEIGHTS)
+    for r in out:
+        assert r["alloc_tokens"] <= r["n_tokens"]
+        assert 0 <= r["keep_pm"] <= 1000
+        assert r["kept_docs"] <= r["n_docs"]
+    assert sum(1 for r in out if r["keep_pm"] >= 999) >= 1
+    counts = q_vocab_bpe_tokenize_scale(spark, SF)
+    langs = (spark.read.parquet(f"{SF}/documents.parquet")
+             .select("doc_id", "lang"))
+    mass = {r["lang"]: r["t"] for r in
+            counts.join(langs, "doc_id")
+            .filter(F.col("lang").isin(*MIX_WEIGHTS.keys()))
+            .groupBy("lang")
+            .agg(F.sum("n_bpe_tokens").alias("t")).collect()
+            if r["t"] and r["t"] > 0}
+    assert {r["domain"]: r["n_tokens"] for r in out} == mass
+
+
 def test_domain_mix_edge_cases(spark):
     """Crafted edge supplies: single domain (everything kept),
     extreme weight disparity (tiny-weight domain becomes the

@@ -76,7 +76,7 @@ FUZZABLE = [
     "rel_pricing_summary", "rel_top_orders", "rel_pricing_rollup",
     "corpus_curate_pipeline", "events_asof_join_salted",
     "vocab_bpe_tokenize_scale", "corpus_pack_sequences_bpe",
-    "corpus_token_budget_sample_bpe",
+    "corpus_token_budget_sample_bpe", "corpus_domain_mix_bpe",
 ]
 
 # kg_* queries read the deterministic transcripts generator (plus the
