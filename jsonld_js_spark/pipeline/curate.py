@@ -81,10 +81,10 @@ def curate_corpus_df(spark, sf_dir):
 # span as a scalar subquery — same max(doc_id)+1 arithmetic as the
 # Spark side, evaluated inside DuckDB
 CURATE_CORPUS_SQL = """
-dspan AS (
+dspan AS MATERIALIZED (
   SELECT max(doc_id) + 1 AS s FROM documents
 ),
-corpus0 AS (
+corpus0 AS MATERIALIZED (
   SELECT doc_id, text, lang FROM documents
   UNION ALL
   SELECT doc_id + (SELECT s FROM dspan),
@@ -280,14 +280,14 @@ def oracle_corpus_curate(weights=None) -> str:
     return f"""
 WITH RECURSIVE {CURATE_CORPUS_SQL},
 q0 AS ({quality_sql('corpus0')}),
-s1 AS (
+s1 AS MATERIALIZED (
   SELECT c.doc_id, c.text, c.lang FROM corpus0 c
   JOIN q0 ON q0.doc_id = c.doc_id
   WHERE q0.quality_score_ppm >= {QUALITY_MIN_PPM}
 ),
 fp AS (SELECT doc_id, md5({_NORM_SQL}) AS f FROM s1),
 can AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
-s2 AS (SELECT s1.* FROM s1 JOIN can ON can.doc_id = s1.doc_id),
+s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN can ON can.doc_id = s1.doc_id),
 {minhash_ctes_over('s2')},
 cedges AS (
   SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
@@ -312,7 +312,7 @@ keepers AS (
            max(selkey) OVER (PARTITION BY cluster_id) AS mx FROM m)
   WHERE selkey = mx
 ),
-s3 AS (SELECT s2.* FROM s2 JOIN keepers USING (doc_id)),
+s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN keepers USING (doc_id)),
 ev AS (
   SELECT doc_id AS eval_doc_id, {SHINGLES_SQL} AS sh
   FROM documents WHERE doc_id % {CONTAM_EVAL_EVERY} = 0
@@ -332,8 +332,8 @@ flagged AS (
   WHERE floor(s.n_shared * 1000000.0 / v.n_eval)
         >= {CONTAM_OVERLAP_PPM_MIN}
 ),
-s4 AS (SELECT s3.* FROM s3 ANTI JOIN flagged f ON s3.doc_id = f.doc_id),
-d AS (
+s4 AS MATERIALIZED (SELECT s3.* FROM s3 ANTI JOIN flagged f ON s3.doc_id = f.doc_id),
+d AS MATERIALIZED (
   SELECT lang AS domain, doc_id, {mix_bucket} AS bucket,
          cast({ntok} as bigint) AS n_tokens,
          {_mix_w_sql(weights)} AS weight_pm
