@@ -280,6 +280,9 @@ def mix_upsample_plan(docs, weights=None, domain_col: str = "lang",
     supply = {r["domain"]: r["t"] for r in
               d.groupBy("domain").agg(F.sum("n_tokens").alias("t"))
               .collect()}
+    # zero-supply domains (possible under BPE counts) have undefined
+    # epochs (0/0) — dropped, like domain_mix_plan
+    supply = {dom: t for dom, t in supply.items() if t > 0}
     spark = docs.sparkSession
     target = (target_tokens if target_tokens is not None
               else sum(supply.values()))
@@ -327,6 +330,7 @@ supply AS (
   SELECT domain, cast(sum(n_tokens) as bigint) AS t,
          min(weight_pm) AS weight_pm
   FROM d GROUP BY 1
+  HAVING sum(n_tokens) > 0
 ),
 tgt AS (SELECT cast(sum(t) as bigint) AS target FROM supply),
 plan AS (
@@ -342,6 +346,56 @@ SELECT d.doc_id, d.domain, d.n_tokens, p.epochs_pm,
 FROM d JOIN plan p ON d.domain = p.domain
 ORDER BY d.doc_id
 """
+
+def q_corpus_mix_upsample_bpe(spark, sf_dir):
+    """Per-domain epoch counts with token mass in BPE tokens — the
+    upsampling half of tokenizer-true mixing (copy counts, like
+    budgets and allocations, denominated in what the trainer
+    consumes)."""
+    from .bpe import bpe_merges, bpe_tokenize_counts_scale
+    d = _docs(spark, sf_dir)
+    rules = [tuple(r) for r in bpe_merges(d).collect()]
+    counts = bpe_tokenize_counts_scale(d, rules)
+    keyed = (d.select("doc_id", "lang").join(counts, "doc_id")
+             .select("doc_id", "lang",
+                     F.col("n_bpe_tokens").alias("n_tokens")))
+    return mix_upsample_plan(keyed).orderBy("doc_id")
+
+
+def oracle_mix_upsample_bpe() -> str:
+    from .bpe import oracle_vocab_bpe_tokenize
+    return f"""
+WITH bpe AS MATERIALIZED ({oracle_vocab_bpe_tokenize()}),
+d AS MATERIALIZED (
+  SELECT doc.lang AS domain, doc.doc_id,
+         bp.n_bpe_tokens AS n_tokens,
+         {_MIX_W_SQL.replace("CASE lang", "CASE doc.lang")} AS weight_pm,
+         {hash60_sql("'" + UPSAMPLE_SALT +
+                     "' || cast(doc.doc_id as varchar)")} % 1000 AS bucket
+  FROM documents doc JOIN bpe bp ON doc.doc_id = bp.doc_id
+  WHERE doc.lang IN ({_MIX_LANGS_SQL})
+),
+supply AS (
+  SELECT domain, cast(sum(n_tokens) as bigint) AS t,
+         min(weight_pm) AS weight_pm
+  FROM d GROUP BY 1
+  HAVING sum(n_tokens) > 0
+),
+tgt AS (SELECT cast(sum(t) as bigint) AS target FROM supply),
+plan AS (
+  SELECT s.domain,
+         ((SELECT target FROM tgt) * s.weight_pm // 1000) * 1000 // s.t
+           AS epochs_pm
+  FROM supply s
+)
+SELECT d.doc_id, d.domain, d.n_tokens, p.epochs_pm,
+       p.epochs_pm // 1000
+         + CASE WHEN d.bucket < p.epochs_pm % 1000 THEN 1 ELSE 0 END
+         AS n_copies
+FROM d JOIN plan p ON d.domain = p.domain
+ORDER BY d.doc_id
+"""
+
 
 def q_corpus_domain_mix_bpe(spark, sf_dir):
     """Domain-mixture plan with token mass in BPE tokens (the
@@ -411,8 +465,10 @@ QUERIES["corpus_sample_stratified"] = q_corpus_sample_stratified
 QUERIES["corpus_domain_mix"] = q_corpus_domain_mix
 QUERIES["corpus_domain_mix_bpe"] = q_corpus_domain_mix_bpe
 QUERIES["corpus_mix_upsample"] = q_corpus_mix_upsample
+QUERIES["corpus_mix_upsample_bpe"] = q_corpus_mix_upsample_bpe
 ORACLES["corpus_split"] = ORACLE_CORPUS_SPLIT
 ORACLES["corpus_sample_stratified"] = ORACLE_CORPUS_SAMPLE
 ORACLES["corpus_domain_mix"] = ORACLE_CORPUS_DOMAIN_MIX
 ORACLES["corpus_domain_mix_bpe"] = oracle_domain_mix_bpe()
 ORACLES["corpus_mix_upsample"] = ORACLE_CORPUS_MIX_UPSAMPLE
+ORACLES["corpus_mix_upsample_bpe"] = oracle_mix_upsample_bpe()

@@ -291,6 +291,49 @@ def test_domain_mix_bpe_matches_whitespace_structure(spark):
     assert {r["domain"]: r["n_tokens"] for r in out} == mass
 
 
+def test_mix_upsample_zero_supply_domain_dropped(spark):
+    from jsonld_js_spark.operators.sampling import mix_upsample_plan
+    rows = ([(i, "A", 10) for i in range(10)]
+            + [(100 + i, "Z", 0) for i in range(5)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "n_tokens long")
+    out = mix_upsample_plan(docs, weights={"A": 800, "Z": 200}).collect()
+    assert {r["domain"] for r in out} == {"A"}
+    # sole surviving supplier at target == its own supply but weight
+    # 800/1000: epochs_pm = (100*800//1000)*1000//100 = 800
+    assert all(r["epochs_pm"] == 800 for r in out)
+
+
+def test_mix_upsample_bpe_invariants(spark):
+    """Copy-mass conservation under BPE token denomination: per
+    domain, sum(n_copies * n_tokens) lands within one doc of
+    alloc = target * w // 1000, and the token masses equal the gated
+    BPE counts."""
+    from jsonld_js_spark.operators.sampling import (
+        MIX_WEIGHTS, q_corpus_mix_upsample_bpe)
+    from jsonld_js_spark.operators.bpe import q_vocab_bpe_tokenize_scale
+    import pyspark.sql.functions as F
+    out = q_corpus_mix_upsample_bpe(spark, SF).collect()
+    counts = {r["doc_id"]: r["n_bpe_tokens"] for r in
+              q_vocab_bpe_tokenize_scale(spark, SF).collect()}
+    langs = {r["doc_id"]: r["lang"] for r in
+             spark.read.parquet(f"{SF}/documents.parquet")
+             .select("doc_id", "lang").collect()}
+    supply: dict = {}
+    for d, n in counts.items():
+        lg = langs[d]
+        if lg in MIX_WEIGHTS:
+            supply[lg] = supply.get(lg, 0) + n
+    supply = {k: v for k, v in supply.items() if v > 0}
+    target = sum(supply.values())
+    for r in out:
+        assert r["n_tokens"] == counts[r["doc_id"]]
+        alloc = target * MIX_WEIGHTS[r["domain"]] // 1000
+        assert r["epochs_pm"] == alloc * 1000 // supply[r["domain"]]
+        assert r["n_copies"] in (r["epochs_pm"] // 1000,
+                                 r["epochs_pm"] // 1000 + 1)
+
+
 def test_domain_mix_edge_cases(spark):
     """Crafted edge supplies: single domain (everything kept),
     extreme weight disparity (tiny-weight domain becomes the

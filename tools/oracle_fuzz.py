@@ -77,6 +77,7 @@ FUZZABLE = [
     "corpus_curate_pipeline", "events_asof_join_salted",
     "vocab_bpe_tokenize_scale", "corpus_pack_sequences_bpe",
     "corpus_token_budget_sample_bpe", "corpus_domain_mix_bpe",
+    "corpus_mix_upsample_bpe",
 ]
 
 # kg_* queries read the deterministic transcripts generator (plus the
