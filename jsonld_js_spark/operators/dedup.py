@@ -1479,3 +1479,140 @@ ORACLE_DEDUP_KEEP_BEST = _oracle_dedup_keep_best()
 
 QUERIES["dedup_keep_best"] = q_dedup_keep_best
 ORACLES["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup SCRUB (CCNet / RefinedWeb boilerplate removal) —
+# the excision sibling of q_corpus_boilerplate_stats above: where the
+# stats op only COUNTS frequent lines, this one actually REMOVES them
+# and emits the reconstructed document (as its 60-bit hash, so the
+# gate compare stays cheap) plus exact token accounting. Same
+# relationship as dedup_substring -> dedup_substring_scrub.
+#
+# The op itself consumes any (doc_id, text) frame whose text carries
+# real newlines. The gated corpus is line-structured
+# deterministically from `documents` (which has none): each doc's
+# normalized text folded into LINE_TOKENS-token lines, a planted
+# header line on every doc and a footer line on every 5th doc — so
+# removal is non-trivial and the oracle reproduces it byte-for-byte.
+#
+# Scale shape (100 TB): explode to lines (one scan), shuffle ONCE on
+# the 60-bit line hash for the distinct-doc count (partial map-side
+# combine; the duplicated-line table is tiny relative to the corpus),
+# hash-join the flags back, shuffle ONCE on doc_id to reassemble.
+# Never all-pairs, no skew: line hashes are uniform, and the one hot
+# key class (the ubiquitous boilerplate line itself) collapses
+# map-side in the partial aggregate.
+
+LINE_MIN_DOCS = 3
+LINE_HEADER = "subscribe to our newsletter for daily updates and offers"
+LINE_FOOTER = "all rights reserved contact the site administrator today"
+
+
+def line_corpus_df(spark, sf_dir):
+    """documents -> line-structured corpus (doc_id, text-with-\\n)."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", F.split(_norm(F.col("text")), " ")
+                 .alias("toks")))
+    body = F.expr(
+        "concat_ws('\\n', transform(sequence(0, "
+        f"(size(toks) + {LINE_TOKENS - 1}) div {LINE_TOKENS} - 1), "
+        f"i -> concat_ws(' ', slice(toks, cast(i * {LINE_TOKENS} + 1 "
+        f"as int), {LINE_TOKENS}))))")
+    txt = F.concat_ws(
+        "\n", F.lit(LINE_HEADER), body,
+        F.when(F.col("doc_id") % 5 == 0, F.lit(LINE_FOOTER)))
+    return d.select("doc_id", txt.alias("text"))
+
+
+LINE_CORPUS_SQL = f"""
+line_toks AS (
+  SELECT doc_id, string_split({_SUB_NORM}, ' ') AS toks FROM documents
+),
+line_corpus AS (
+  SELECT doc_id,
+    '{LINE_HEADER}' || chr(10) ||
+    array_to_string(list_transform(
+      range(0, (len(toks) + {LINE_TOKENS - 1}) // {LINE_TOKENS}),
+      i -> array_to_string(
+        toks[i * {LINE_TOKENS} + 1 : i * {LINE_TOKENS} + {LINE_TOKENS}],
+        ' ')), chr(10)) ||
+    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{LINE_FOOTER}'
+         ELSE '' END AS text
+  FROM line_toks
+)"""
+
+
+def line_dedup_stats(docs, min_docs: int = LINE_MIN_DOCS):
+    """(doc_id, text) with newline-separated lines -> per-doc line
+    dedup accounting: (doc_id, n_lines, n_removed, tokens_removed,
+    kept_hash) where kept_hash is the 60-bit hash of the document
+    with every corpus-frequent line (>= min_docs distinct docs)
+    excised, remaining lines rejoined by newline in original order.
+
+    Join is on (hash, line) — exact, hash-collision-proof, same
+    contract as duplicated_spans above."""
+    g = (docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("line_idx", "line"))
+         .withColumn("lhash", hash60(F.col("line")))
+         .withColumn("ln", F.size(F.split("line", " "))))
+    dup = (g.groupBy("lhash", "line")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("lhash", "line", F.lit(1).alias("is_dup")))
+    flagged = (g.join(dup, ["lhash", "line"], "left")
+               .na.fill({"is_dup": 0}))
+    arr = F.array_sort(
+        F.collect_list(F.struct("line_idx", "line", "is_dup")))
+    kept_txt = F.concat_ws(
+        "\n", F.transform(
+            F.filter(arr, lambda x: x["is_dup"] == F.lit(0)),
+            lambda x: x["line"]))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum("is_dup").alias("n_removed"),
+                 F.sum(F.when(F.col("is_dup") == 1, F.col("ln"))
+                       .otherwise(0)).alias("tokens_removed"),
+                 hash60(kept_txt).alias("kept_hash")))
+
+
+def q_corpus_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal over the line-structured
+    corpus (gate entry for line_dedup_stats)."""
+    return (line_dedup_stats(line_corpus_df(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+ORACLE_CORPUS_LINE_DEDUP = f"""
+WITH {LINE_CORPUS_SQL},
+lns AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM line_corpus
+),
+g AS (
+  SELECT doc_id, i AS line_idx, lines[i + 1] AS line,
+         len(string_split(lines[i + 1], ' ')) AS ln,
+         {hash60_sql('lines[i + 1]')} AS lhash
+  FROM lns, unnest(range(0, len(lines))) u(i)
+),
+dup AS (
+  SELECT lhash, line FROM g GROUP BY 1, 2
+  HAVING count(distinct doc_id) >= {LINE_MIN_DOCS}
+),
+flagged AS (
+  SELECT g.doc_id, g.line_idx, g.line, g.ln,
+         CASE WHEN d.lhash IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM g LEFT JOIN dup d ON g.lhash = d.lhash AND g.line = d.line
+)
+SELECT doc_id,
+  cast(count(*) as bigint) AS n_lines,
+  cast(sum(is_dup) as bigint) AS n_removed,
+  cast(sum(CASE WHEN is_dup = 1 THEN ln ELSE 0 END) as bigint)
+    AS tokens_removed,
+  {hash60_sql("coalesce(array_to_string(list(line ORDER BY line_idx) "
+              "FILTER (WHERE is_dup = 0), chr(10)), '')")} AS kept_hash
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["corpus_line_dedup"] = q_corpus_line_dedup
+ORACLES["corpus_line_dedup"] = ORACLE_CORPUS_LINE_DEDUP

@@ -599,3 +599,51 @@ def test_multimodal_neardup_gated_planted_truth(spark):
                spark, "/root/testdata/sf0.001").collect()}
     assert got and all(b == a + 500000 for a, b in got)
     assert all(a % 10 == 0 for a, _ in got)
+
+
+def test_line_dedup_scrub_exact_planted(spark):
+    """Hand-built corpus with a known boilerplate line: exact removal
+    accounting and byte-exact kept-text hash (the excision contract,
+    not just counts)."""
+    from jsonld_js_spark.operators.dedup import (
+        hash60, line_dedup_stats)
+
+    boiler = "cookie notice accept all"
+    docs = spark.createDataFrame(
+        [(1, f"{boiler}\nalpha beta\ngamma delta"),
+         (2, f"{boiler}\nepsilon zeta"),
+         (3, f"eta theta\n{boiler}"),
+         (4, "iota kappa\nlambda mu")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in line_dedup_stats(docs).collect()}
+    # boiler appears in 3 docs -> removed from each; unique lines stay
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_removed"] == 1
+    assert rows[1]["tokens_removed"] == 4
+    assert rows[2]["n_removed"] == 1 and rows[3]["n_removed"] == 1
+    assert rows[4]["n_removed"] == 0 and rows[4]["tokens_removed"] == 0
+    # kept text is the original minus the boiler line, order preserved
+    expect = {1: "alpha beta\ngamma delta", 2: "epsilon zeta",
+              3: "eta theta", 4: "iota kappa\nlambda mu"}
+    got_hash = {d: rows[d]["kept_hash"] for d in expect}
+    want = spark.createDataFrame(
+        [(d, t) for d, t in expect.items()], "doc_id long, t string") \
+        .select("doc_id", hash60(F.col("t")).alias("h")).collect()
+    assert got_hash == {r["doc_id"]: r["h"] for r in want}
+
+
+def test_line_dedup_threshold_boundary(spark):
+    """A line in exactly LINE_MIN_DOCS-1 docs survives; at
+    LINE_MIN_DOCS it is removed (>= semantics)."""
+    from jsonld_js_spark.operators.dedup import (
+        LINE_MIN_DOCS, line_dedup_stats)
+
+    below = "seen twice only"
+    at = "seen exactly thrice"
+    rows = [(i, f"{below}\nuniq{i}") for i in range(LINE_MIN_DOCS - 1)]
+    rows += [(100 + i, f"{at}\nuniq{100 + i}")
+             for i in range(LINE_MIN_DOCS)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_removed"]
+           for r in line_dedup_stats(docs).collect()}
+    assert all(out[i] == 0 for i in range(LINE_MIN_DOCS - 1))
+    assert all(out[100 + i] == 1 for i in range(LINE_MIN_DOCS))

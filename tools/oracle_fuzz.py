@@ -60,6 +60,7 @@ FUZZABLE = [
     "text_repetition", "text_classifier_score", "text_lm_score",
     "corpus_quality_filter", "corpus_ngram_topk", "corpus_split",
     "corpus_sample_stratified", "corpus_boilerplate_stats",
+    "corpus_line_dedup",
     "corpus_contamination", "corpus_decontaminate",
     "corpus_length_percentiles", "corpus_domain_mix",
     "corpus_mix_upsample", "corpus_pack_sequences",
