@@ -1551,12 +1551,20 @@ def line_dedup_stats(docs, min_docs: int = LINE_MIN_DOCS):
     excised, remaining lines rejoined by newline in original order.
 
     Join is on (hash, line) — exact, hash-collision-proof, same
-    contract as duplicated_spans above."""
+    contract as duplicated_spans above.
+
+    The exploded line frame feeds BOTH the dup-count agg and the
+    join-back; Catalyst does not dedupe the shared subtree (see
+    CLAUDE.md), so it is cached here like corpus_boilerplate_stats's
+    line table. At cluster scale, where caching the corpus is not an
+    option, drop the cache and accept the second columnar scan — the
+    shuffle shapes are unchanged."""
     g = (docs.select(
             "doc_id",
             F.posexplode(F.split("text", "\n")).alias("line_idx", "line"))
          .withColumn("lhash", hash60(F.col("line")))
-         .withColumn("ln", F.size(F.split("line", " "))))
+         .withColumn("ln", F.size(F.split("line", " ")))
+         .cache())
     dup = (g.groupBy("lhash", "line")
            .agg(F.countDistinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= min_docs)
