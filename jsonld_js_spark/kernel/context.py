@@ -67,6 +67,7 @@ def _clone_active_context(active_ctx: dict) -> dict:
     child.pop("_iri_memo", None)
     child.pop("_ci_memo", None)
     child.pop("_val_memo", None)
+    child.pop("_obj_memo", None)
     # the processed-context cache is keyed per active-ctx IDENTITY
     # (the reference's getProcessed(activeCtx)) — a clone is a new
     # identity, so it starts empty

@@ -300,28 +300,91 @@ def _expand_object(active_ctx, active_property, element, rval, options,
             active_ctx, tv0, vocab=True, options=options,
             type_expansion=True) == "@json"
 
+    # per-key property plan memo on the (immutable-after-processing)
+    # active context — a PURE optimization (memo-purity rule, CLAUDE.md):
+    # the plan (expanded property + dispatch kind) is a function of the
+    # active context and the key alone; dropped on context clone
+    # (context.py _clone_active_context) and bypassed under an
+    # expansionMap, whose unmappedProperty/expandIri events are part of
+    # the observable callback stream. Kinds: 0 = key drops (no absolute
+    # IRI/keyword expansion), 1 = keyword (re-runs the chain below —
+    # keywords are ~2 keys/node and exit it in <=2 compares), 2 =
+    # simple regular property (no property-scoped context, no
+    # @container, no @type:@json coercion, not a reverse term — the
+    # whole prelude + tail collapse to one add_value), 3 = complex
+    # regular property (skips only the expandIri + validity recheck).
+    _plan_memo = None
+    if options is None or options.get("expansionMap") is None:
+        _plan_memo = active_ctx.get("_obj_memo")
+        if _plan_memo is None:
+            _plan_memo = active_ctx["_obj_memo"] = {}
+
     for key in sorted(element.keys()):
         if key == "@context":
             continue
         value = element[key]
-        expanded_property = expand_iri(active_ctx, key, vocab=True,
-                                       options=options)
-
-        if expanded_property is None or not (
-                isinstance(expanded_property, str) and
-                (is_absolute_iri(expanded_property) or
-                 is_keyword(expanded_property))):
-            # drop keys that don't expand to an ABSOLUTE IRI or keyword
-            # unless custom mapped (ref lib/expand.js:448-465 — a
-            # vocab-prepended IRI with whitespace fails isAbsoluteIri
-            # and is dropped)
-            expanded_property = _emap(options, {
-                "unmappedProperty": key, "activeCtx": active_ctx,
-                "activeProperty": active_property, "parent": element,
-                "options": options, "insideList": inside_list,
-                "value": value, "expandedParent": rval})
-            if expanded_property is None:
+        kind = -1
+        plan = _plan_memo.get(key) if _plan_memo is not None else None
+        if plan is not None:
+            expanded_property, kind = plan
+            if kind == 0:
                 continue
+        else:
+            expanded_property = expand_iri(active_ctx, key, vocab=True,
+                                           options=options)
+
+            if expanded_property is None or not (
+                    isinstance(expanded_property, str) and
+                    (is_absolute_iri(expanded_property) or
+                     is_keyword(expanded_property))):
+                # drop keys that don't expand to an ABSOLUTE IRI or keyword
+                # unless custom mapped (ref lib/expand.js:448-465 — a
+                # vocab-prepended IRI with whitespace fails isAbsoluteIri
+                # and is dropped)
+                expanded_property = _emap(options, {
+                    "unmappedProperty": key, "activeCtx": active_ctx,
+                    "activeProperty": active_property, "parent": element,
+                    "options": options, "insideList": inside_list,
+                    "value": value, "expandedParent": rval})
+                if expanded_property is None:
+                    if _plan_memo is not None:
+                        _plan_memo[key] = (None, 0)
+                    continue
+
+            if _plan_memo is not None:
+                if is_keyword(expanded_property):
+                    kind = 1
+                elif get_scoped_context(active_ctx, key) is not _CTX_MISS:
+                    kind = 3
+                else:
+                    _c = get_context_value(active_ctx, key,
+                                           "@container") or []
+                    _m = active_ctx["mappings"].get(key)
+                    if not _c and not (_m and _m.get("reverse")) and \
+                            get_context_value(active_ctx, key,
+                                              "@type") != "@json":
+                        kind = 2
+                    else:
+                        kind = 3
+                _plan_memo[key] = (expanded_property, kind)
+
+        if kind == 2:
+            # simple regular property: with no scoped context the
+            # dispatch below reduces to the scalar fast path / generic
+            # recursion, no @list coercion (@container empty), no
+            # @graph wrap, no reverse merge, and use_array is True for
+            # a non-keyword property — one add_value
+            if value is not None and not isinstance(value, (dict, list)):
+                expanded_value = _expand_value(active_ctx, key, value,
+                                               options)
+            else:
+                expanded_value = expand(active_ctx, value, key, options,
+                                        inside_list=False)
+            if expanded_value is None:
+                continue
+            add_value(rval, expanded_property, expanded_value,
+                      property_is_array=True)
+            continue
 
         if is_keyword(expanded_property):
             if expanded_parent_property == "@reverse":

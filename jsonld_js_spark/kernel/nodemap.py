@@ -15,8 +15,8 @@ from __future__ import annotations
 import copy
 
 from .util import (
-    JsonLdError, IdentifierIssuer, add_value, has_value, is_keyword,
-    is_value, is_list, is_subject_reference, is_blank_node_id,
+    JsonLdError, IdentifierIssuer, add_value, compare_values, has_value,
+    is_keyword, is_value, is_list, is_subject_reference, is_blank_node_id,
 )
 
 
@@ -270,8 +270,25 @@ def create_node_map(input_, graphs: dict, graph: str,
                         add_value(subject, prop_out, o,
                                   property_is_array=True)
                 else:
-                    add_value(subject, prop_out, o, property_is_array=True,
-                              allow_duplicate=False)
+                    # inlined add_value(subject, prop_out, o,
+                    # property_is_array=True, allow_duplicate=False):
+                    # every non-keyword property on a subject is list-
+                    # valued (all inserts above use property_is_array),
+                    # so the set-semantics insert is a scan + append —
+                    # value objects are the bulk of node-map inserts
+                    ex = subject.get(prop_out)
+                    if ex is None:
+                        subject[prop_out] = [o]
+                    elif isinstance(ex, list):
+                        for e in ex:
+                            if compare_values(o, e):
+                                break
+                        else:
+                            ex.append(o)
+                    else:
+                        add_value(subject, prop_out, o,
+                                  property_is_array=True,
+                                  allow_duplicate=False)
 
 
 def merge_node_maps(graphs: dict) -> dict:

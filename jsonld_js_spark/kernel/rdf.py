@@ -110,7 +110,9 @@ def _graph_to_rdf(dataset, graph: dict, graph_term: str, issuer, options):
                                          options)
                 if obj is None:
                     continue  # relative-IRI object (ref lib/toRdf.js:137-140)
-                dataset.append((id_, property_out) + obj + (graph_term,))
+                # direct 7-tuple (no intermediate concat allocations)
+                dataset.append((id_, property_out, obj[0], obj[1], obj[2],
+                                obj[3], graph_term))
 
 
 def _list_to_rdf(dataset, list_items, graph_term, issuer, options):
@@ -151,6 +153,24 @@ def _object_to_rdf(item, dataset, graph_term, issuer, options):
         language = item.get("@language")
         direction = item.get("@direction")
         rdf_direction = options.get("rdfDirection")
+
+        # plain-string fast path: a str value is never a bool/double/
+        # integer (is_double/is_integer_number both reject str before
+        # any numeric work), so with no double coercion the chain
+        # below reduces to the language/direction tail — hot: string
+        # literals dominate transcript corpora
+        if value.__class__ is str and datatype != "@json" and \
+                datatype != XSD_DOUBLE:
+            if language is not None:
+                if direction is not None and \
+                        rdf_direction == "i18n-datatype":
+                    return (value, "Literal",
+                            f"{I18N_NS}{language}_{direction}", None)
+                return (value, "Literal", datatype or RDF_LANGSTRING,
+                        language)
+            if direction is not None and rdf_direction == "i18n-datatype":
+                return (value, "Literal", f"{I18N_NS}_{direction}", None)
+            return (value, "Literal", datatype or XSD_STRING, None)
 
         if datatype == "@json":
             return (jcs_canonicalize(value), "Literal", RDF_JSON_LITERAL,
