@@ -48,6 +48,17 @@ def _q_triples_kernel(spark, sf_dir):
     return kernel_transcript_triples(_transcripts(spark, sf_dir))
 
 
+def _q_triples_grouped(spark, sf_dir):
+    """Layout-aware kernel path: the generator (like an Iceberg table
+    bucketed/sorted by conv_id, turn_idx) emits conversation-contiguous
+    partitions, so the co-locating shuffle is skipped entirely and the
+    whole plan is narrow (one scan, zero Exchange) — the production
+    shape when the table layout is guaranteed."""
+    from jsonld_js_spark.pipeline import kernel_transcript_triples
+    return kernel_transcript_triples(_transcripts(spark, sf_dir),
+                                     assume_grouped=True)
+
+
 def _q_entity_map(spark, sf_dir):
     from jsonld_js_spark.pipeline import entity_canonical_map
     return entity_canonical_map(_transcripts(spark, sf_dir))
@@ -86,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "kg_transcript_triples": _q_triples,
         "kg_transcript_triples_kernel": _q_triples_kernel,
+        "kg_transcript_triples_grouped": _q_triples_grouped,
         "kg_entity_canonical_map": _q_entity_map,
         "kg_predicate_stats": _q_predicate_stats,
         "kg_conv_sizes": _q_conv_sizes,

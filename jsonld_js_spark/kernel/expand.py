@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from .context import (
     _MISS as _CTX_MISS, expand_iri, get_context_value, get_scoped_context,
+    revert_to_previous_context,
     process_context,
 )
 from .util import (
@@ -44,7 +45,6 @@ def _get_type_scoped_context(active_ctx, options):
     The reference reverts BY CLONING, and its clone drops @direction
     AND processingMode (lib/context.js:1364-1385 quirk — see
     revert_to_previous_context)."""
-    from .context import revert_to_previous_context
     return revert_to_previous_context(active_ctx)
 
 
@@ -178,11 +178,20 @@ def expand(active_ctx, element, active_property=None, options=None,
     type_scoped_context = active_ctx
 
     # look for @type entries and apply type-scoped contexts, keys sorted
-    # (ref lib/expand.js:226-248)
+    # (ref lib/expand.js:226-248). The per-key property plan memo
+    # (_expand_object) caches exactly this vocab expansion per key on
+    # the same ctx object — consult it to skip the expand_iri call
+    # (bypassed under an expansionMap: the events are observable)
     type_key = None
+    _no_emap = options.get("expansionMap") is None
     for key in keys_sorted:
-        if expand_iri(active_ctx, key, vocab=True,
-                      options=options) == "@type":
+        # re-read per iteration: applying a type-scoped context below
+        # REASSIGNS active_ctx, and later keys must consult that ctx
+        _pm = active_ctx.get("_obj_memo") if _no_emap else None
+        _plan = _pm.get(key) if _pm is not None else None
+        _ep = _plan[0] if _plan is not None else \
+            expand_iri(active_ctx, key, vocab=True, options=options)
+        if _ep == "@type":
             if type_key is None:
                 type_key = key
             types = element[key]
@@ -582,7 +591,6 @@ def _expand_object(active_ctx, active_property, element, rval, options,
             # @type containers revert the type-scoped context before
             # expanding the map (ref lib/expand.js:768-779) — a CLONING
             # revert, so @direction/processingMode drop here too
-            from .context import revert_to_previous_context
             reverted = revert_to_previous_context(term_ctx)
             expanded_value = _expand_index_map(reverted, key, value, "@type",
                                                False, options)

@@ -204,8 +204,9 @@ def create_node_map(input_, graphs: dict, graph: str,
             continue
 
         # bnode property (generalized RDF); relabel (ref lib/nodeMap.js:170-178)
+        # (dict keys are always str — startswith IS is_blank_node_id here)
         prop_out = property_
-        if is_blank_node_id(property_):
+        if property_.startswith("_:"):
             prop_out = issuer.get_id(property_)
 
         # ensure property is added for empty arrays (ref :176-180)
@@ -223,7 +224,10 @@ def create_node_map(input_, graphs: dict, graph: str,
             objects = [objects]
 
         for o in objects:
-            if isinstance(o, dict) and not is_value(o) and not is_list(o):
+            # inlined is_value/is_list (one isinstance + key probes —
+            # this loop dominates node-map CPU on flat corpora)
+            _is_dict = isinstance(o, dict)
+            if _is_dict and "@value" not in o and "@list" not in o:
                 # node or subject reference (ref lib/nodeMap.js:182-205)
                 if "@id" in o and not o["@id"]:
                     continue  # skip null/empty @id (JS falsy, ref :190-192)
@@ -244,7 +248,7 @@ def create_node_map(input_, graphs: dict, graph: str,
                         subjects[id_] = {"@id": id_}
                     continue
                 create_node_map(o, graphs, graph, issuer, id_, None, _memo)
-            elif is_list(o):
+            elif _is_dict and "@list" in o:
                 result = {"@list": []}
                 create_node_map(o["@list"], graphs, graph, issuer, name,
                                 result, _memo)
@@ -256,11 +260,11 @@ def create_node_map(input_, graphs: dict, graph: str,
                 # returns — inlined (value objects are the bulk of
                 # create_node_map calls on flat corpora; ~1/3 of
                 # node-map CPU)
-                if isinstance(o, dict):
+                if _is_dict:
                     t = o.get("@type")
                     if t.__class__ is str and t.startswith("_:"):
                         o["@type"] = issuer.get_id(t)
-                if isinstance(o, dict) and "@id" in o:
+                if _is_dict and "@id" in o:
                     # GIGO value object carrying @id: it participates
                     # in reference equality via the @id fallback, so
                     # keep the ref-memo coherent (add its id only when

@@ -101,7 +101,8 @@ def _graph_to_rdf(dataset, graph: dict, graph_term: str, issuer, options):
                 continue
 
             for item in items_iter:
-                if is_list(item):
+                # inlined is_list (hot loop: one isinstance + key probe)
+                if isinstance(item, dict) and "@list" in item:
                     first = _list_to_rdf(dataset, item["@list"], graph_term,
                                          issuer, options)
                     obj = first
@@ -147,7 +148,8 @@ def _object_to_rdf(item, dataset, graph_term, issuer, options):
     """Value object → typed literal; node/ref → term
     (ref lib/toRdf.js:217-280). Returns (value, termtype, datatype, lang)
     or None for skipped relative IRIs."""
-    if is_value(item):
+    _is_dict = isinstance(item, dict)
+    if _is_dict and "@value" in item:  # inlined is_value (hot)
         value = item["@value"]
         datatype = item.get("@type")
         language = item.get("@language")
@@ -197,7 +199,7 @@ def _object_to_rdf(item, dataset, graph_term, issuer, options):
             return (str(value), "Literal", f"{I18N_NS}_{direction}", None)
         return (str(value), "Literal", datatype or XSD_STRING, None)
 
-    if is_list(item):
+    if _is_dict and "@list" in item:  # inlined is_list
         return _list_to_rdf(dataset, item["@list"], graph_term, issuer,
                             options)
 

@@ -90,6 +90,7 @@ def kg_oracles(n_conv: int) -> dict[str, str]:
     return {
         "kg_transcript_triples": triples,
         "kg_transcript_triples_kernel": triples,
+        "kg_transcript_triples_grouped": triples,
         "kg_entity_canonical_map":
             _mentions_cte(n_conv) + "SELECT * FROM entity_map",
         "kg_predicate_stats": f"""

@@ -301,3 +301,19 @@ def test_flagship_plan_is_shuffle_free(spark):
         assert plan.count("FileScan") == 1
         assert "Generate" in plan  # the one explode
         assert "Union" not in plan
+
+
+def test_grouped_kernel_plan_is_shuffle_free(spark):
+    """The layout-aware kernel path (assume_grouped=True, the registry's
+    kg_transcript_triples_grouped) must plan ZERO Exchange: one scan
+    straight into the Arrow-batched kernel stage — the production plan
+    over an Iceberg table bucketed/sorted by (conv_id, turn_idx)."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        transcripts_df(spark, n_conv=20).write \
+            .mode("overwrite").parquet(f"{d}/t.parquet")
+        src = spark.read.parquet(f"{d}/t.parquet")
+        plan = kernel_transcript_triples(src, assume_grouped=True) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert plan.count("FileScan") == 1
