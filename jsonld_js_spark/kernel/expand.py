@@ -391,8 +391,16 @@ def _expand_object(active_ctx, active_property, element, rval, options,
                                         inside_list=False)
             if expanded_value is None:
                 continue
-            add_value(rval, expanded_property, expanded_value,
-                      property_is_array=True)
+            # inlined add_value(rval, ep, ev, property_is_array=True):
+            # the property is absent unless two distinct KEYS expand to
+            # the same IRI (rare) — then fall back to the general insert
+            if expanded_property not in rval:
+                rval[expanded_property] = expanded_value \
+                    if isinstance(expanded_value, list) \
+                    else [expanded_value]
+            else:
+                add_value(rval, expanded_property, expanded_value,
+                          property_is_array=True)
             continue
 
         if is_keyword(expanded_property):
@@ -804,16 +812,59 @@ def _expand_value(active_ctx, active_property, value, options):
             memo = active_ctx["_val_memo"] = {}
         plan = memo.get(active_property)
         if plan is None:
+            ep = expand_iri(active_ctx, active_property, vocab=True,
+                            options=options)
+            type_ = get_context_value(active_ctx, active_property, "@type")
+            # precompiled dispatch (same precedence as the chain below):
+            # code 1/2 = bare-IRI expansion for @id/@type, 3/4 = @id/
+            # @vocab coercion, 0 = none of those; is_kw_ep covers the
+            # "other keyword values pass through" rule; typed is the
+            # literal @type to stamp (None for @id/@vocab/@none)
+            if ep == "@id":
+                code = 1
+            elif ep == "@type":
+                code = 2
+            elif type_ == "@id" or ep == "@graph":
+                code = 3
+            elif type_ == "@vocab":
+                code = 4
+            else:
+                code = 0
+            typed = type_ if type_ is not None and \
+                type_ not in ("@id", "@vocab", "@none") else None
             plan = memo[active_property] = (
-                expand_iri(active_ctx, active_property, vocab=True,
-                           options=options),
-                get_context_value(active_ctx, active_property, "@type"),
+                ep, type_,
                 get_context_value(active_ctx, active_property,
                                   "@language"),
                 get_context_value(active_ctx, active_property,
-                                  "@direction"))
+                                  "@direction"),
+                code, is_keyword(ep), typed)
     if plan is not None:
-        expanded_property, type_, language, direction = plan
+        expanded_property, type_, language, direction, code, is_kw_ep, \
+            typed = plan
+        if code and isinstance(value, str):
+            if code == 1:
+                return expand_iri(active_ctx, value, base=True,
+                                  options=options)
+            if code == 2:
+                return expand_iri(active_ctx, value, vocab=True, base=True,
+                                  options=options, type_expansion=True)
+            if code == 3:
+                return {"@id": expand_iri(active_ctx, value, base=True,
+                                          options=options)}
+            return {"@id": expand_iri(active_ctx, value, vocab=True,
+                                      base=True, options=options)}
+        if is_kw_ep:
+            return value
+        rval = {"@value": value}
+        if typed is not None:
+            rval["@type"] = typed
+        elif isinstance(value, str):
+            if language is not None:
+                rval["@language"] = language
+            if direction is not None:
+                rval["@direction"] = direction
+        return rval
     else:
         # @id / @type active properties expand to bare IRIs
         # (ref lib/expand.js:936-944)

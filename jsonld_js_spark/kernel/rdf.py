@@ -74,10 +74,21 @@ def _graph_to_rdf(dataset, graph: dict, graph_term: str, issuer, options):
             if property_ == "@id":
                 continue
             if property_ == "@type":
-                property_out = RDF_TYPE
-                items_iter = [{"@id": t} for t in items] \
-                    if isinstance(items, list) else [{"@id": items}]
-            elif property_ in KEYWORDS:
+                # direct rdf:type emission — the generic path would
+                # allocate a {'@id': t} wrapper per type value just to
+                # have _object_to_rdf unwrap it; this mirrors its
+                # node-reference branch exactly (ref lib/toRdf.js:274)
+                for t in (items if isinstance(items, list) else [items]):
+                    if t is None:
+                        continue
+                    if is_blank_node_id(t):
+                        dataset.append((id_, RDF_TYPE, t, "BlankNode",
+                                        None, None, graph_term))
+                    elif is_absolute_iri(t):
+                        dataset.append((id_, RDF_TYPE, t, "NamedNode",
+                                        None, None, graph_term))
+                continue
+            if property_ in KEYWORDS:
                 continue  # other keywords skipped (ref lib/toRdf.js:97-99)
             else:
                 property_out = property_
