@@ -296,9 +296,136 @@ FROM documents d ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# tokenizer-true chunking — text_chunks under the LEARNED vocabulary:
+# every document explodes into overlapping windows of BPE tokens (the
+# unit a training/RAG pipeline actually slices on), completing the
+# tokenizer-true family (pack/budget/mix/upsample already count in BPE
+# tokens). Narrow plan: one scan + one mapInPandas with the broadcast
+# rule list, no shuffle — chunk rows are emitted per input row.
+#
+# Whole-document merge application equals per-word application: merge
+# rules are learned from WITHIN-word pairs only, so no rule's left
+# symbol is </w>-terminated and no ' L R ' pattern can ever match
+# across a ' </w> ' word boundary — the concatenated symbol string
+# evolves exactly as the concatenation of its per-word evolutions
+# (the per-worker word memo below exploits precisely this).
+
+def bpe_chunk_rows_scale(docs, merges: list[tuple],
+                         chunk_tokens: int, chunk_stride: int):
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_hash) — overlapping
+    BPE-token windows at `chunk_stride`, final window clamped; docs
+    with no [a-z]+ words emit no chunks. chunk_hash is the portable
+    60-bit hash of the space-joined token window."""
+    spark = docs.sparkSession
+    rules = [(f" {a} {b} ", f" {a}{b} ") for _, a, b, _c in merges]
+    bc = spark.sparkContext.broadcast(rules)
+
+    def chunk_batches(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+        rls = bc.value
+        word_re = re.compile("[a-z]+")
+        memo: dict = {}
+
+        def toks_word(w):
+            t = memo.get(w)
+            if t is None:
+                s = " " + " ".join(w) + " </w> "
+                for pat, rep in rls:
+                    s = s.replace(pat, rep).replace(pat, rep)
+                t = memo[w] = s.strip().split(" ")
+            return t
+
+        for pdf in batches:
+            out_doc, out_idx, out_n, out_h = [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(t, str):
+                    continue
+                words = word_re.findall(t.lower())
+                if not words:
+                    continue
+                toks: list = []
+                for w in words:
+                    toks.extend(toks_word(w))
+                n = len(toks)
+                for i in range((n - 1) // chunk_stride + 1):
+                    seg = toks[i * chunk_stride:
+                               i * chunk_stride + chunk_tokens]
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_n.append(len(seg))
+                    out_h.append(int(hashlib.md5(
+                        " ".join(seg).encode()).hexdigest()[:15], 16))
+            yield pd.DataFrame({"doc_id": out_doc, "chunk_idx": out_idx,
+                                "n_chunk_tokens": out_n,
+                                "chunk_hash": out_h})
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(chunk_batches,
+                         "doc_id long, chunk_idx int, "
+                         "n_chunk_tokens long, chunk_hash long")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def q_text_chunks_bpe(spark, sf_dir):
+    from .textstats import CHUNK_STRIDE, CHUNK_TOKENS
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = [tuple(r) for r in bpe_merges(docs).collect()]
+    return bpe_chunk_rows_scale(docs, rules, CHUNK_TOKENS, CHUNK_STRIDE)
+
+
+def oracle_text_chunks_bpe(n_merges: int = N_MERGES) -> str:
+    """Self-contained: re-learns the merge chain (shared CTE builder),
+    symbolizes each document WHOLE (per-word spaced chars + ' </w> '
+    separators — equal to per-word application, see module note),
+    applies the K rules, then slices token windows."""
+    from .textstats import CHUNK_STRIDE, CHUNK_TOKENS, hash60_sql
+    learn = oracle_vocab_bpe_merges(n_merges)
+    ctes = learn[: learn.rindex("SELECT * FROM")].rstrip() + ","
+    apply_expr = "s"
+    for i in range(1, n_merges + 1):
+        pat = (f"' ' || (SELECT a FROM m{i}) || ' ' || "
+               f"(SELECT b FROM m{i}) || ' '")
+        rep = f"' ' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ' '"
+        apply_expr = (f"replace(replace({apply_expr}, {pat}, {rep}), "
+                      f"{pat}, {rep})")
+    seg = (f"list_slice(tk, chunk_idx*{CHUNK_STRIDE}+1, "
+           f"least(chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}, len(tk)))")
+    return f"""{ctes}
+sym AS (
+  SELECT doc_id,
+         ' ' || replace(
+             regexp_replace(
+               array_to_string(regexp_extract_all(lower(text), '[a-z]+'),
+                               ' '),
+               '(.)', '\\1 ', 'g'),
+             '   ', ' </w> ') || '</w> ' AS s
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+),
+merged AS (SELECT doc_id, {apply_expr} AS s FROM sym),
+tox AS (SELECT doc_id, string_split(trim(s), ' ') AS tk FROM merged),
+chunks AS (
+  SELECT doc_id, tk,
+         unnest(range(((len(tk) - 1) // {CHUNK_STRIDE}) + 1)) AS chunk_idx
+  FROM tox
+)
+SELECT doc_id,
+       cast(chunk_idx AS int) AS chunk_idx,
+       cast(len({seg}) AS bigint) AS n_chunk_tokens,
+       {hash60_sql(f"array_to_string({seg}, ' ')")} AS chunk_hash
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {"vocab_bpe_merges": q_vocab_bpe_merges,
            "vocab_bpe_tokenize": q_vocab_bpe_tokenize,
-           "vocab_bpe_tokenize_scale": q_vocab_bpe_tokenize_scale}
+           "vocab_bpe_tokenize_scale": q_vocab_bpe_tokenize_scale,
+           "text_chunks_bpe": q_text_chunks_bpe}
 ORACLES = {"vocab_bpe_merges": oracle_vocab_bpe_merges(),
            "vocab_bpe_tokenize": oracle_vocab_bpe_tokenize(),
-           "vocab_bpe_tokenize_scale": oracle_vocab_bpe_tokenize()}
+           "vocab_bpe_tokenize_scale": oracle_vocab_bpe_tokenize(),
+           "text_chunks_bpe": oracle_text_chunks_bpe()}

@@ -231,3 +231,58 @@ def test_bpe_tokenize_scale_null_and_empty_text(spark):
     # 'e</w>' symbol, absent) -> rule3 -> ' th e</w> ' = 2 tokens
     # "cat": no rule applies -> c a t </w> = 4
     assert rows == {0: 6, 1: 0, 2: 0, 3: 2}
+
+
+def ref_tokens(texts, merges):
+    """Per-doc BPE token sequences under the learned rules (pure
+    Python, the two-pass-replace contract)."""
+    out = {}
+    for doc_id, t in enumerate(texts):
+        toks = []
+        for w in re.findall("[a-z]+", t.lower()):
+            s = " " + " ".join(w) + " </w> "
+            for _, a, b, _c in merges:
+                pat, rep = f" {a} {b} ", f" {a}{b} "
+                s = s.replace(pat, rep).replace(pat, rep)
+            toks.extend(s.strip().split(" "))
+        out[doc_id] = toks
+    return out
+
+
+def test_bpe_chunks_match_reference(spark):
+    """Chunk rows equal the pure-Python reference: window extents,
+    clamped tails, and the portable 60-bit hash of each window."""
+    import hashlib
+
+    from jsonld_js_spark.operators.bpe import bpe_chunk_rows_scale
+
+    rng = random.Random(515)
+    texts = []
+    for _ in range(40):
+        words = ["".join(rng.choice("aabbcde")
+                         for _ in range(rng.randint(1, 7)))
+                 for _ in range(rng.randint(0, 30))]
+        texts.append(" ".join(words))
+    texts += ["", "12345 !!", "a", "aaaa " * 50]
+    d = _docs(spark, texts)
+    merges = [tuple(r) for r in bpe_merges(d).collect()]
+    C, S = 7, 5  # small windows so multi-chunk docs are common
+    got = {(r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_hash)
+           for r in bpe_chunk_rows_scale(d, merges, C, S).collect()}
+    want = {}
+    for doc_id, toks in ref_tokens(texts, merges).items():
+        if not toks:
+            continue
+        for i in range((len(toks) - 1) // S + 1):
+            seg = toks[i * S: i * S + C]
+            want[(doc_id, i)] = (
+                len(seg),
+                int(hashlib.md5(" ".join(seg).encode())
+                    .hexdigest()[:15], 16))
+    assert got == want
+    # every document with tokens is fully tiled: chunk 0 starts at
+    # token 0 and consecutive starts advance by exactly the stride
+    n_chunks = Counter(k[0] for k in got)
+    for doc_id, toks in ref_tokens(texts, merges).items():
+        expect = 0 if not toks else (len(toks) - 1) // S + 1
+        assert n_chunks.get(doc_id, 0) == expect
