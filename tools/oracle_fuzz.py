@@ -78,7 +78,7 @@ FUZZABLE = [
     "corpus_curate_pipeline", "events_asof_join_salted",
     "vocab_bpe_tokenize_scale", "corpus_pack_sequences_bpe",
     "corpus_token_budget_sample_bpe", "corpus_domain_mix_bpe",
-    "corpus_mix_upsample_bpe",
+    "corpus_mix_upsample_bpe", "text_chunks_bpe",
 ]
 
 # kg_* queries read the deterministic transcripts generator (plus the
@@ -91,6 +91,7 @@ FUZZABLE = [
 # negative balances).
 KG_FUZZABLE = [
     "kg_transcript_triples", "kg_transcript_triples_kernel",
+    "kg_transcript_triples_grouped",
     "kg_entity_canonical_map", "kg_predicate_stats", "kg_conv_sizes",
     "kg_conv_window", "kg_mentions_topk", "kg_customer_graph",
     "kg_events_graph", "kg_merge_sources", "kg_flatten_nodes",
