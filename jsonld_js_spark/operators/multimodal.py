@@ -302,14 +302,207 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL decode — stdlib decoders over real container formats. The
+# container has no PIL/soundfile/av, but Python's stdlib genuinely
+# decodes RIFF/WAVE (wave + struct) and binary PPM needs only its
+# 4-token header — so this path synthesizes REAL media files (a valid
+# 16-bit mono PCM WAV; a valid P6 PPM) as binary columns and runs a
+# real decoder per Arrow batch: container parse, dimension/rate
+# extraction, full sample/pixel decode, and exact integer features
+# (per-channel pixel sums; sum of |PCM samples|). Compressed formats
+# (PNG/JPEG/FLAC) remain honestly stubbed in q_multimodal_decode.
+# The DuckDB oracle re-derives every feature from (doc_id, text) —
+# it never parses the container, so the gate cross-checks the REAL
+# decoder against an independent derivation.
+
+WAV_RATE = 8000
+
+
+def _le_sql(e: str, nbytes: int) -> str:
+    """Little-endian hex of integer expr `e` (Spark SQL), nbytes wide."""
+    h = f"lpad(hex({e}), {2 * nbytes}, '0')"
+    pairs = ", ".join(f"substr({h}, {2 * i - 1}, 2)"
+                      for i in range(nbytes, 0, -1))
+    return f"concat({pairs})"
+
+
+def media_real_df(spark, sf_dir):
+    """documents → (doc_id, payload binary): even doc_ids get a valid
+    P6 PPM (w,h in 3..9, pixels = repeated md5 bytes), odd doc_ids a
+    valid WAV (mono 16-bit {rate} Hz, 4..16 samples = md5 bytes)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # PPM: 'P6\n' w ' ' h '\n' '255\n' + 3*w*h pixel bytes
+    ppm = ("concat('50360A', hex(cast(48 + w as tinyint)), '20', "
+           "hex(cast(48 + h as tinyint)), '0A', '3235350A', "
+           "substr(repeat(md5(text), 16), 1, 6 * w * h))")
+    # WAV: RIFF header + fmt + data chunks, then n 16-bit LE samples
+    data_sz = "(2 * n)"
+    wav = ("concat('52494646', "                       # 'RIFF'
+           f"{_le_sql(f'36 + {data_sz}', 4)}, "
+           "'57415645', "                              # 'WAVE'
+           "'666D7420', " + _le_sql("16", 4) + ", "    # 'fmt ', size 16
+           + _le_sql("1", 2) + ", "                    # PCM
+           + _le_sql("1", 2) + ", "                    # mono
+           + _le_sql(str(WAV_RATE), 4) + ", "          # sample rate
+           + _le_sql(str(WAV_RATE * 2), 4) + ", "      # byte rate
+           + _le_sql("2", 2) + ", "                    # block align
+           + _le_sql("16", 2) + ", "                   # bits/sample
+           "'64617461', "                              # 'data'
+           f"{_le_sql(data_sz, 4)}, "
+           "substr(concat(md5(text), md5(concat(text, '2'))), 1, 4 * n))")
+    return (d.selectExpr(
+        "doc_id", "text",
+        "cast(3 + pmod(doc_id, 7) as int) AS w",
+        "cast(3 + pmod(doc_id * 5, 7) as int) AS h",
+        "cast(4 + pmod(doc_id, 13) as int) AS n")
+        .selectExpr("doc_id",
+                    f"unhex(case when doc_id % 2 = 0 then {ppm} "
+                    f"else {wav} end) AS payload"))
+
+
+REAL_DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("sum_r", LongType()),
+    StructField("sum_g", LongType()),
+    StructField("sum_b", LongType()),
+    StructField("n_samples", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_us", LongType()),
+    StructField("sum_abs", LongType()),
+])
+
+
+def _decode_ppm(b: bytes):
+    """Real P6 parse: header tokens, then raw RGB triples."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = b[i:i + 3 * w * h]
+    if len(px) != 3 * w * h:
+        raise ValueError("truncated pixel data")
+    return w, h, sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
+
+
+def _decode_wav(b: bytes):
+    """Real RIFF/WAVE decode via the stdlib wave module."""
+    import io
+    import struct
+    import wave
+    with wave.open(io.BytesIO(b)) as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("only mono 16-bit PCM supported")
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        samples = struct.unpack(f"<{n}h", wf.readframes(n))
+    return n, rate, n * 1_000_000 // rate, sum(abs(s) for s in samples)
+
+
+def _real_decode_batch(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:2] == b"P6":
+                w, h, sr, sg, sb = _decode_ppm(b)
+                out.append((doc_id, "image/x-portable-pixmap", len(b),
+                            w, h, sr, sg, sb,
+                            None, None, None, None))
+            elif b[:4] == b"RIFF":
+                n, rate, dur, sa = _decode_wav(b)
+                out.append((doc_id, "audio/wav", len(b),
+                            None, None, None, None, None,
+                            n, rate, dur, sa))
+            else:
+                raise ValueError(f"unknown container for doc {doc_id}")
+        yield pd.DataFrame(out, columns=REAL_DECODE_SCHEMA.fieldNames())
+
+
+def q_multimodal_decode_real(spark, sf_dir):
+    """Real stdlib decode of real media bytes inside mapInPandas; the
+    oracle cross-checks against an independent (doc_id, text)
+    derivation that never touches the container bytes."""
+    return (media_real_df(spark, sf_dir)
+            .mapInPandas(_real_decode_batch, schema=REAL_DECODE_SCHEMA)
+            .orderBy("doc_id"))
+
+
+def _px_sum_sql(offset: int) -> str:
+    """Sum of pixel channel `offset` (0=R,1=G,2=B) from the repeated-
+    md5 hex string, 1-based hex positions 6k+2*offset+1 (list_sum →
+    HUGEINT, hence the bigint cast per the portability rules)."""
+    return (f"cast(list_sum(list_transform(range(0, w * h), "
+            f"k -> cast(('0x' || substr(px_hex, 6 * k + {2 * offset + 1}, "
+            f"2)) as bigint))) as bigint)")
+
+
+# signed little-endian int16 at sample k: MSB hex pair || LSB hex pair
+_S16 = ("cast(('0x' || substr(smp_hex, k * 4 + 3, 2) "
+        "|| substr(smp_hex, k * 4 + 1, 2)) as bigint)")
+_SAMPLE_ABS_SQL = (
+    f"cast(list_sum(list_transform(range(0, n), "
+    f"k -> abs(case when {_S16} >= 32768 then {_S16} - 65536 "
+    f"else {_S16} end))) as bigint)")
+
+ORACLE_MULTIMODAL_DECODE_REAL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         cast(3 + (doc_id % 7) as int) AS w,
+         cast(3 + ((doc_id * 5) % 7) as int) AS h,
+         cast(4 + (doc_id % 13) as int) AS n,
+         substr(repeat(md5(text), 16), 1, 6 * (3 + (doc_id % 7))
+                * (3 + ((doc_id * 5) % 7))) AS px_hex,
+         substr(md5(text) || md5(text || '2'), 1,
+                4 * (4 + (doc_id % 13))) AS smp_hex
+  FROM documents
+)
+SELECT doc_id,
+       case when doc_id % 2 = 0 then 'image/x-portable-pixmap'
+            else 'audio/wav' end AS media_type,
+       cast(case when doc_id % 2 = 0 then 11 + 3 * w * h
+            else 44 + 2 * n end as int) AS n_bytes,
+       case when doc_id % 2 = 0 then w end AS width,
+       case when doc_id % 2 = 0 then h end AS height,
+       case when doc_id % 2 = 0 then {_px_sum_sql(0)} end AS sum_r,
+       case when doc_id % 2 = 0 then {_px_sum_sql(1)} end AS sum_g,
+       case when doc_id % 2 = 0 then {_px_sum_sql(2)} end AS sum_b,
+       case when doc_id % 2 = 1 then n end AS n_samples,
+       case when doc_id % 2 = 1 then {WAV_RATE} end AS sample_rate,
+       case when doc_id % 2 = 1
+            then cast(n * 1000000 // {WAV_RATE} as bigint)
+       end AS duration_us,
+       case when doc_id % 2 = 1 then {_SAMPLE_ABS_SQL} end AS sum_abs
+FROM dims ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_dedup": q_multimodal_dedup,
     "multimodal_neardup": q_multimodal_neardup,
 }
 ORACLES = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "multimodal_decode_real": ORACLE_MULTIMODAL_DECODE_REAL,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_dedup": ORACLE_MULTIMODAL_DEDUP,
     "multimodal_neardup": _oracle_multimodal_neardup(),

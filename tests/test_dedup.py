@@ -647,3 +647,67 @@ def test_line_dedup_threshold_boundary(spark):
            for r in line_dedup_stats(docs).collect()}
     assert all(out[i] == 0 for i in range(LINE_MIN_DOCS - 1))
     assert all(out[100 + i] == 1 for i in range(LINE_MIN_DOCS))
+
+
+def test_multimodal_real_decode_roundtrip(spark):
+    """The REAL stdlib decoders verified against stdlib-WRITTEN media:
+    a WAV authored by wave.Wave_write round-trips through _decode_wav
+    with exact sample features; a hand-built P6 PPM with known pixels
+    round-trips through _decode_ppm; truncated containers raise."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from jsonld_js_spark.operators.multimodal import (
+        _decode_ppm, _decode_wav,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    n, rate, dur, sum_abs = _decode_wav(buf.getvalue())
+    assert (n, rate) == (len(samples), 8000)
+    assert dur == len(samples) * 1_000_000 // 8000
+    assert sum_abs == sum(abs(s) for s in samples)
+
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    ppm = b"P6\n2 2\n255\n" + px
+    w, h, sr, sg, sb = _decode_ppm(ppm)
+    assert (w, h) == (2, 2)
+    assert (sr, sg, sb) == (sum(px[0::3]), sum(px[1::3]), sum(px[2::3]))
+
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n2 2\n255\n" + px[:-1])  # truncated pixels
+    with pytest.raises(Exception):
+        _decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")  # bad chunks
+
+
+def test_multimodal_real_media_df_is_decodable(spark):
+    """Every synthesized payload is a VALID container: the real
+    decoders parse all of them and dimensions match the generators'
+    arithmetic."""
+    from jsonld_js_spark.operators.multimodal import (
+        _decode_ppm, _decode_wav, media_real_df,
+    )
+    import duckdb
+    import os
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        import pytest
+        pytest.skip("testdata missing")
+    rows = media_real_df(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = bytes(r.payload)
+        if r.doc_id % 2 == 0:
+            w, h, *_ = _decode_ppm(b)
+            assert w == 3 + r.doc_id % 7 and h == 3 + (r.doc_id * 5) % 7
+        else:
+            n, rate, _, _ = _decode_wav(b)
+            assert n == 4 + r.doc_id % 13 and rate == 8000

@@ -69,7 +69,8 @@ FUZZABLE = [
     "sketch_hll_postings", "sketch_hll_by_source",
     "sketch_countmin_tokens", "sketch_quantile_doclen",
     "sketch_bloom_fingerprints",
-    "multimodal_decode", "multimodal_frame_sample", "multimodal_dedup",
+    "multimodal_decode", "multimodal_decode_real",
+    "multimodal_frame_sample", "multimodal_dedup",
     "multimodal_neardup",
     "events_sessionize", "events_funnel", "events_retention",
     "events_asof_join", "events_anomaly",
