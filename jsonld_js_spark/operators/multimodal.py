@@ -379,24 +379,7 @@ REAL_DECODE_SCHEMA = StructType([
 
 def _decode_ppm(b: bytes):
     """Real P6 parse: header tokens, then raw RGB triples."""
-    if not b.startswith(b"P6"):
-        raise ValueError("not a P6 PPM")
-    tokens, i = [], 2
-    while len(tokens) < 3:
-        while i < len(b) and b[i:i + 1].isspace():
-            i += 1
-        j = i
-        while j < len(b) and not b[j:j + 1].isspace():
-            j += 1
-        tokens.append(int(b[i:j]))
-        i = j
-    i += 1  # single whitespace after maxval
-    w, h, maxval = tokens
-    if maxval != 255:
-        raise ValueError("only 8-bit PPM supported")
-    px = b[i:i + 3 * w * h]
-    if len(px) != 3 * w * h:
-        raise ValueError("truncated pixel data")
+    w, h, px = _parse_ppm(b)
     return w, h, sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
 
 
@@ -493,9 +476,130 @@ FROM dims ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL resize — the remaining slot of the multimodal quartet
+# (decode / feature-extract / resize / frame-sample): genuine
+# nearest-neighbor downsampling over genuinely decoded PPM pixels
+# (numpy fancy-indexing per Arrow batch — vectorized, no per-pixel
+# Python), emitting the full resized pixel buffer as lowercase hex
+# plus exact per-channel sums. The DuckDB oracle re-derives the
+# resized buffer from (doc_id, text) in closed form — source pixel of
+# out (y, x) is ((y*h)//OUT, (x*w)//OUT), all operands non-negative so
+# Spark/numpy floor-div and DuckDB `//` agree — and never touches the
+# container bytes, so the gate cross-checks the real decoder+resizer
+# against an independent derivation. Scale story: payload bytes never
+# leave their scan partition (one scan, one mapInPandas, no Exchange
+# before the write); output is a fixed 3*OUT*OUT bytes per image.
+
+RESIZE_OUT = 4  # output is RESIZE_OUT x RESIZE_OUT RGB
+
+
+def _parse_ppm(b: bytes):
+    """P6 header parse returning (w, h, pixel_bytes)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(b[i:j]))
+        i = j
+    i += 1
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = b[i:i + 3 * w * h]
+    if len(px) != 3 * w * h:
+        raise ValueError("truncated pixel data")
+    return w, h, px
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("src_w", IntegerType()),
+    StructField("src_h", IntegerType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("resized_hex", StringType()),
+    StructField("sum_r", LongType()),
+    StructField("sum_g", LongType()),
+    StructField("sum_b", LongType()),
+])
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+    out_n = RESIZE_OUT
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = _parse_ppm(bytes(payload))
+            img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+            rows = (np.arange(out_n) * h) // out_n
+            cols = (np.arange(out_n) * w) // out_n
+            r = img[rows][:, cols]
+            out.append((doc_id, w, h, out_n, out_n,
+                        r.tobytes().hex(),
+                        int(r[:, :, 0].sum()), int(r[:, :, 1].sum()),
+                        int(r[:, :, 2].sum())))
+        yield pd.DataFrame(out, columns=RESIZE_SCHEMA.fieldNames())
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Real decode + nearest-neighbor resize of the PPM images (even
+    doc_ids of the real-media corpus) inside one mapInPandas stage."""
+    media = media_real_df(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    return media.mapInPandas(_resize_batch, schema=RESIZE_SCHEMA) \
+                .orderBy("doc_id")
+
+
+def _resize_chunk_sql() -> str:
+    """Hex chunk (6 chars) of the source pixel feeding out-pixel j."""
+    o = RESIZE_OUT
+    src_k = f"((((j // {o}) * h) // {o}) * w + (((j % {o}) * w) // {o}))"
+    return f"substr(px_hex, 6 * {src_k} + 1, 6)"
+
+
+def _resize_ch_sum_sql(offset: int) -> str:
+    return (f"cast(list_sum(list_transform(chunks, c -> "
+            f"cast(('0x' || substr(c, {2 * offset + 1}, 2)) as bigint))) "
+            f"as bigint)")
+
+
+ORACLE_MULTIMODAL_RESIZE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         cast(3 + (doc_id % 7) as int) AS w,
+         cast(3 + ((doc_id * 5) % 7) as int) AS h,
+         substr(repeat(md5(text), 16), 1, 6 * (3 + (doc_id % 7))
+                * (3 + ((doc_id * 5) % 7))) AS px_hex
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, {RESIZE_OUT * RESIZE_OUT}),
+                        j -> {_resize_chunk_sql()}) AS chunks
+  FROM dims
+)
+SELECT doc_id,
+       w AS src_w, h AS src_h,
+       cast({RESIZE_OUT} as int) AS out_w,
+       cast({RESIZE_OUT} as int) AS out_h,
+       list_aggregate(chunks, 'string_agg', '') AS resized_hex,
+       {_resize_ch_sum_sql(0)} AS sum_r,
+       {_resize_ch_sum_sql(1)} AS sum_g,
+       {_resize_ch_sum_sql(2)} AS sum_b
+FROM px ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_dedup": q_multimodal_dedup,
     "multimodal_neardup": q_multimodal_neardup,
@@ -503,6 +607,7 @@ QUERIES = {
 ORACLES = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_decode_real": ORACLE_MULTIMODAL_DECODE_REAL,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_dedup": ORACLE_MULTIMODAL_DEDUP,
     "multimodal_neardup": _oracle_multimodal_neardup(),

@@ -711,3 +711,37 @@ def test_multimodal_real_media_df_is_decodable(spark):
         else:
             n, rate, _, _ = _decode_wav(b)
             assert n == 4 + r.doc_id % 13 and rate == 8000
+
+
+def test_multimodal_resize_nearest_neighbor_exact(spark):
+    """The numpy resize path equals a per-pixel pure-Python nearest-
+    neighbor reference on the real gated corpus, and the emitted hex
+    buffer is the exact resized image (sums re-derivable from it)."""
+    import os
+
+    import pytest
+
+    from jsonld_js_spark.operators.multimodal import (
+        RESIZE_OUT, _parse_ppm, media_real_df, q_multimodal_resize,
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip("testdata missing")
+    payloads = {r.doc_id: bytes(r.payload)
+                for r in media_real_df(spark, sf_dir)
+                .filter("doc_id % 2 = 0").collect()}
+    out = q_multimodal_resize(spark, sf_dir).collect()
+    assert {r.doc_id for r in out} == set(payloads)
+    for r in out:
+        w, h, px = _parse_ppm(payloads[r.doc_id])
+        assert (r.src_w, r.src_h) == (w, h)
+        assert (r.out_w, r.out_h) == (RESIZE_OUT, RESIZE_OUT)
+        ref = bytearray()
+        for y in range(RESIZE_OUT):
+            for x in range(RESIZE_OUT):
+                k = ((y * h) // RESIZE_OUT) * w + (x * w) // RESIZE_OUT
+                ref += px[3 * k:3 * k + 3]
+        assert r.resized_hex == bytes(ref).hex()
+        assert r.sum_r == sum(ref[0::3])
+        assert r.sum_g == sum(ref[1::3])
+        assert r.sum_b == sum(ref[2::3])

@@ -19,8 +19,11 @@ noise, case-only variants, heavy token repetition, tiny corpora
 tie-break pressure), negative props values.
 
 Usage: python tools/oracle_fuzz.py [n_seeds=5] [seed0=1] [--subset K]
+[--only name,name,...]
 (--subset runs K randomly chosen queries per seed instead of all —
-more input diversity per unit time). Exit 1 on any mismatch.
+more input diversity per unit time; --only restricts to the named
+queries, for targeted fuzzing after a single-operator change).
+Exit 1 on any mismatch.
 """
 from __future__ import annotations
 
@@ -70,6 +73,7 @@ FUZZABLE = [
     "sketch_countmin_tokens", "sketch_quantile_doclen",
     "sketch_bloom_fingerprints",
     "multimodal_decode", "multimodal_decode_real",
+    "multimodal_resize",
     "multimodal_frame_sample", "multimodal_dedup",
     "multimodal_neardup",
     "events_sessionize", "events_funnel", "events_retention",
@@ -352,6 +356,9 @@ def main(argv):
     subset = 0
     if "--subset" in argv:
         subset = int(argv[argv.index("--subset") + 1])
+    only = None
+    if "--only" in argv:
+        only = argv[argv.index("--only") + 1].split(",")
 
     from pyspark.sql import SparkSession
     import __spark_entry__ as entry
@@ -364,6 +371,10 @@ def main(argv):
     qs = entry.queries()
     bad = []
     pool = FUZZABLE + KG_FUZZABLE
+    if only:
+        unknown = [n for n in only if n not in pool]
+        assert not unknown, f"not fuzzable: {unknown}"
+        pool = only
     for s in range(seed0, seed0 + n_seeds):
         rng = random.Random(s)
         # corpus size is a fuzz axis for the transcripts-backed kg
