@@ -2,13 +2,19 @@
 columns with typed metadata, decoded/feature-extracted inside
 Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the actual
-decode step is STUBBED (`_try_real_decode` raises NotImplementedError
-and the pipeline falls back to a deterministic header-parse fake) —
-but everything Spark-side is real and tested: the binary column
-synthesis, the BinaryType schema, Arrow transfer of bytes into pandas,
-batch-shaped decode UDF, and the partitioning story (payloads stay in
-the executor; only small typed metadata rows shuffle).
+The container has no image/audio libraries (PIL/soundfile/av), so
+COMPRESSED-format decode (PNG/JPEG/FLAC) is STUBBED in
+`q_multimodal_decode` (`_try_real_decode` raises NotImplementedError
+and the pipeline falls back to a deterministic header-parse fake).
+Everything the stdlib CAN genuinely decode is real further down:
+RIFF/WAVE PCM and binary P6 PPM decode (`q_multimodal_decode_real`),
+nearest-neighbor resize (`q_multimodal_resize`), exact-integer audio
+DSP features (`q_multimodal_audio_features`), and perceptual-hash
+near-dup (`q_multimodal_phash[_neardup]`) — plus the Spark-side
+plumbing throughout: binary column synthesis, BinaryType schema,
+Arrow transfer of bytes into pandas, batch-shaped decode UDFs, and
+the partitioning story (payloads stay in the executor; only small
+typed metadata/hash rows shuffle).
 
 The synthetic payload is header(4B magic) + md5(text) + md5(text||'2')
 (36 bytes), so the DuckDB oracle can re-derive every extracted value
@@ -596,6 +602,305 @@ FROM px ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL audio feature extraction — genuine DSP features over genuinely
+# decoded PCM samples (the odd doc_ids of the real-media corpus):
+# energy (sum of squared samples), zero-crossing count, and peak
+# amplitude, all exact integers so the cross-engine gate is bit-exact
+# (no float sums, per the portability rules). The DuckDB oracle
+# re-derives every feature from the sample hex stream without ever
+# parsing the RIFF container, so the gate cross-checks the real
+# stdlib decoder + numpy feature kernel against an independent
+# derivation. Scale story: payload bytes never leave their scan
+# partition (one scan, one mapInPandas); output is 6 small columns.
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("sum_sq", LongType()),
+    StructField("zero_crossings", LongType()),
+    StructField("peak_abs", LongType()),
+])
+
+
+def _audio_features_batch(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    import io
+    import wave
+
+    import numpy as np
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload))) as wf:
+                rate = wf.getframerate()
+                n = wf.getnframes()
+                raw = wf.readframes(n)
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            nonneg = s >= 0
+            out.append((doc_id, n, rate,
+                        int((s * s).sum()),
+                        int((nonneg[:-1] != nonneg[1:]).sum()),
+                        int(np.abs(s).max())))
+        yield pd.DataFrame(out, columns=AUDIO_FEATURES_SCHEMA.fieldNames())
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    """Real decode + exact-integer DSP features (energy / zero
+    crossings / peak) over the WAV half of the real-media corpus,
+    inside one mapInPandas stage."""
+    media = media_real_df(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    return media.mapInPandas(_audio_features_batch,
+                             schema=AUDIO_FEATURES_SCHEMA) \
+                .orderBy("doc_id")
+
+
+def _s16_at(var: str) -> str:
+    """Signed little-endian int16 at sample index `var` (DuckDB)."""
+    u = (f"cast(('0x' || substr(smp_hex, ({var}) * 4 + 3, 2) "
+         f"|| substr(smp_hex, ({var}) * 4 + 1, 2)) as bigint)")
+    return f"(case when {u} >= 32768 then {u} - 65536 else {u} end)"
+
+
+ORACLE_MULTIMODAL_AUDIO_FEATURES = f"""
+WITH dims AS (
+  SELECT doc_id,
+         cast(4 + (doc_id % 13) as int) AS n,
+         substr(md5(text) || md5(text || '2'), 1,
+                4 * (4 + (doc_id % 13))) AS smp_hex
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id,
+       n AS n_samples,
+       cast({WAV_RATE} as int) AS sample_rate,
+       cast(list_sum(list_transform(range(0, n),
+            k -> {_s16_at('k')} * {_s16_at('k')})) as bigint) AS sum_sq,
+       cast(list_sum(list_transform(range(0, n - 1),
+            k -> case when ({_s16_at('k')} >= 0)
+                      != ({_s16_at('k + 1')} >= 0)
+                 then 1 else 0 end)) as bigint) AS zero_crossings,
+       cast(list_max(list_transform(range(0, n),
+            k -> abs({_s16_at('k')}))) as bigint) AS peak_abs
+FROM dims ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL perceptual hash (dHash) + Hamming near-dup — the image-side
+# scale path for visual near-duplicate detection. A dedicated corpus
+# plants genuine near-duplicates: groups of {PHASH_GROUP}/2 even
+# doc_ids share one anchor image (pixels from a non-periodic chained-
+# md5 stream keyed by the anchor, dims 8..15 keyed by the anchor so
+# group members are the SAME image), and each member differs by one
+# perturbed pixel — a true pixel-level near-duplicate, which dHash
+# (8x9 nearest-neighbor resize -> row-gradient bits) maps to small
+# Hamming distance (measured max 4 within groups; random cross-group
+# pairs sit near 32). Candidates come from 4x16-bit band buckets
+# (LSH, the dedup.py pattern — never all-pairs), then the exact
+# 64-bit Hamming filter. The operator contract IS band-match AND
+# d <= {PHASH_HAM_T}, identically on both engines, so the gate is
+# exact. The DuckDB oracle re-derives hash and pairs in closed form
+# from doc_id alone and never parses the container. Scale story:
+# pixels never shuffle — only (doc_id, 16-hex-char hash) rows reach
+# the band exchange; candidate volume grows linearly with corpus
+# size (planted groups are constant-size) — see SOAK_PHASH_r5.
+# Integer-only throughout (NN index math is floor-div on non-negative
+# operands; gray = r+g+b sum, no /3).
+
+PHASH_GROUP = 20          # even doc_ids per anchor group = 10
+PHASH_BASE_CHUNKS = 43    # 43 * 32 hex chars >= 6 * 15 * 15
+PHASH_HAM_T = 10          # exact Hamming cutoff (planted max = 4)
+PHASH_MIX = 2654435761    # Knuth multiplicative hash (public domain)
+
+
+def media_phash_df(spark, sf_dir):
+    """documents (even doc_ids) → (doc_id, payload binary): valid P6
+    PPMs where anchor groups of 10 share dims + base pixels and each
+    member perturbs one pixel (position doc_id % (w*h), bytes from a
+    doc_id mix) — planted visual near-duplicates."""
+    base = "concat(" + ", ".join(
+        f"md5(concat(cast(anchor as string), '|', '{i}'))"
+        for i in range(PHASH_BASE_CHUNKS)) + ")"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (d.filter(F.col("doc_id") % 2 == 0)
+            .selectExpr("doc_id",
+                        f"doc_id - (doc_id % {PHASH_GROUP}) AS anchor")
+            .selectExpr("doc_id",
+                        "cast(8 + anchor % 8 as int) AS w",
+                        "cast(8 + (anchor * 3) % 8 as int) AS h",
+                        f"{base} AS chain")
+            .selectExpr("doc_id", "w", "h",
+                        "substr(chain, 1, 6 * w * h) AS base_hex",
+                        "cast(doc_id % (w * h) as int) AS k0",
+                        f"format_string('%06x', (doc_id * {PHASH_MIX}) "
+                        f"% 16777216) AS pert")
+            .selectExpr("doc_id", "w", "h",
+                        "concat(substr(base_hex, 1, 6 * k0), pert, "
+                        "substr(base_hex, 6 * k0 + 7)) AS px_hex")
+            .selectExpr("doc_id",
+                        "unhex(concat('50360A', hex(cast(w as string)), "
+                        "'20', hex(cast(h as string)), '0A3235350A', "
+                        "px_hex)) AS payload"))
+
+
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("phash_hex", StringType()),
+])
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = _parse_ppm(bytes(payload))
+            img = (np.frombuffer(px, dtype=np.uint8)
+                   .reshape(h, w, 3).astype(np.int32))
+            g = img[(np.arange(8) * h) // 8][:, (np.arange(9) * w) // 9] \
+                .sum(axis=2)
+            bits = (g[:, :8] > g[:, 1:9]).astype(int).ravel()
+            hexs = "".join(
+                format(bits[4 * j] * 8 + bits[4 * j + 1] * 4
+                       + bits[4 * j + 2] * 2 + bits[4 * j + 3], "x")
+                for j in range(16))
+            out.append((doc_id, w, h, hexs))
+        yield pd.DataFrame(out, columns=PHASH_SCHEMA.fieldNames())
+
+
+def phash_frame(spark, sf_dir):
+    """(doc_id, width, height, phash_hex) via real decode + dHash."""
+    return media_phash_df(spark, sf_dir) \
+        .mapInPandas(_phash_batch, schema=PHASH_SCHEMA)
+
+
+def q_multimodal_phash(spark, sf_dir):
+    """Real decode + 64-bit dHash of the planted-near-dup corpus."""
+    return phash_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def _ham_sql(a: str, b: str, engine: str) -> str:
+    """Exact 64-bit Hamming distance between two 16-hex-char hashes,
+    as 4 band-wise bit_count(xor) terms (no per-nibble lambda)."""
+    terms = []
+    for i in range(4):
+        if engine == "spark":
+            terms.append(
+                f"bit_count(cast(conv(substr({a}, {4 * i + 1}, 4), 16, 10)"
+                f" as int) ^ cast(conv(substr({b}, {4 * i + 1}, 4), 16, 10)"
+                f" as int))")
+        else:
+            terms.append(
+                f"bit_count(xor(cast(('0x' || substr({a}, {4 * i + 1}, 4))"
+                f" as bigint), cast(('0x' || substr({b}, {4 * i + 1}, 4))"
+                f" as bigint)))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_multimodal_phash_neardup(spark, sf_dir):
+    """Visual near-dup pairs: 4x16-bit band buckets propose candidates
+    (only tiny hash rows shuffle — pixels stay in their scan
+    partition), exact Hamming <= PHASH_HAM_T keeps them. The hash
+    frame feeds both self-join sides, so it is cached (Catalyst does
+    not dedupe a doubly-referenced corpus-scale subtree — CLAUDE.md)."""
+    ph = phash_frame(spark, sf_dir).cache()
+    bands = ph.select(
+        "doc_id", "phash_hex",
+        F.posexplode(F.array(*[
+            F.expr(f"substr(phash_hex, {4 * i + 1}, 4)")
+            for i in range(4)])).alias("band_idx", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = _ham_sql("ha", "hb", "spark")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.phash_hex").alias("ha"),
+                    F.col("b.phash_hex").alias("hb"))
+            .distinct()
+            .selectExpr("doc_a", "doc_b",
+                        f"cast({ham} as int) AS hamming")
+            .filter(F.col("hamming") <= PHASH_HAM_T)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _phash_cte() -> str:
+    """DuckDB CTE chain deriving (doc_id, width, height, phash_hex)
+    in closed form from doc_id alone — never parses the container, so
+    the gate cross-checks the real decoder + numpy dHash kernel
+    against an independent derivation."""
+    base = " || ".join(
+        f"md5(anchor_s || '|' || '{i}')" for i in range(PHASH_BASE_CHUNKS))
+    src = "((((i // 9) * h) // 8) * w + (((i % 9) * w) // 9))"
+    gray = " + ".join(
+        f"cast(('0x' || substr(px_hex, 6 * {src} + {2 * c + 1}, 2)) "
+        f"as bigint)" for c in range(3))
+
+    def bit(r: int) -> str:
+        pos = f"(((4 * j + {r}) // 8) * 9 + ((4 * j + {r}) % 8))"
+        return f"(case when g[{pos} + 1] > g[{pos} + 2] then 1 else 0 end)"
+
+    nib = (f"(8 * {bit(0)} + 4 * {bit(1)} + 2 * {bit(2)} + {bit(3)})")
+    return f"""
+dims AS (
+  SELECT doc_id,
+         cast(doc_id - (doc_id % {PHASH_GROUP}) as varchar) AS anchor_s,
+         (doc_id - (doc_id % {PHASH_GROUP})) AS anchor
+  FROM documents WHERE doc_id % 2 = 0
+), geom AS (
+  SELECT doc_id, anchor_s,
+         cast(8 + anchor % 8 as int) AS w,
+         cast(8 + (anchor * 3) % 8 as int) AS h
+  FROM dims
+), raw AS (
+  SELECT doc_id, w, h,
+         substr({base}, 1, 6 * w * h) AS base_hex,
+         cast(doc_id % (w * h) as int) AS k0,
+         printf('%06x', (doc_id * {PHASH_MIX}) % 16777216) AS pert
+  FROM geom
+), px AS (
+  SELECT doc_id, w, h,
+         concat(substr(base_hex, 1, 6 * k0), pert,
+                substr(base_hex, 6 * k0 + 7)) AS px_hex
+  FROM raw
+), gr AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, 72), i -> {gray}) AS g
+  FROM px
+), ph AS (
+  SELECT doc_id, w AS width, h AS height,
+         list_aggregate(list_transform(range(0, 16),
+             j -> substr('0123456789abcdef', 1 + {nib}, 1)),
+             'string_agg', '') AS phash_hex
+  FROM gr
+)"""
+
+
+ORACLE_MULTIMODAL_PHASH = f"""
+WITH {_phash_cte()}
+SELECT doc_id, width, height, phash_hex FROM ph ORDER BY doc_id
+"""
+
+_PHASH_BAND_MATCH = " OR ".join(
+    f"substr(a.phash_hex, {4 * i + 1}, 4) = substr(b.phash_hex, "
+    f"{4 * i + 1}, 4)" for i in range(4))
+
+ORACLE_MULTIMODAL_PHASH_NEARDUP = f"""
+WITH {_phash_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast({_ham_sql('a.phash_hex', 'b.phash_hex', 'duckdb')} as int)
+           AS hamming
+FROM ph a JOIN ph b
+  ON a.doc_id < b.doc_id AND ({_PHASH_BAND_MATCH})
+WHERE {_ham_sql('a.phash_hex', 'b.phash_hex', 'duckdb')} <= {PHASH_HAM_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
@@ -603,6 +908,9 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_dedup": q_multimodal_dedup,
     "multimodal_neardup": q_multimodal_neardup,
+    "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_phash": q_multimodal_phash,
+    "multimodal_phash_neardup": q_multimodal_phash_neardup,
 }
 ORACLES = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
@@ -611,4 +919,7 @@ ORACLES = {
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_dedup": ORACLE_MULTIMODAL_DEDUP,
     "multimodal_neardup": _oracle_multimodal_neardup(),
+    "multimodal_audio_features": ORACLE_MULTIMODAL_AUDIO_FEATURES,
+    "multimodal_phash": ORACLE_MULTIMODAL_PHASH,
+    "multimodal_phash_neardup": ORACLE_MULTIMODAL_PHASH_NEARDUP,
 }

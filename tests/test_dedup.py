@@ -745,3 +745,118 @@ def test_multimodal_resize_nearest_neighbor_exact(spark):
         assert r.sum_r == sum(ref[0::3])
         assert r.sum_g == sum(ref[1::3])
         assert r.sum_b == sum(ref[2::3])
+
+
+def test_multimodal_audio_features_hand_truth(spark):
+    """Gated audio features vs a pure-Python recompute from the
+    decoded samples of every synthesized WAV (independent of both the
+    numpy kernel and the oracle hex arithmetic)."""
+    import io
+    import os
+    import struct
+    import wave
+
+    import pytest
+
+    from jsonld_js_spark.operators.multimodal import (
+        media_real_df, q_multimodal_audio_features,
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip("testdata missing")
+    payloads = {r.doc_id: bytes(r.payload)
+                for r in media_real_df(spark, sf_dir)
+                .filter("doc_id % 2 = 1").collect()}
+    out = q_multimodal_audio_features(spark, sf_dir).collect()
+    assert {r.doc_id for r in out} == set(payloads)
+    for r in out:
+        with wave.open(io.BytesIO(payloads[r.doc_id])) as wf:
+            n = wf.getnframes()
+            s = struct.unpack(f"<{n}h", wf.readframes(n))
+        assert r.n_samples == n and r.sample_rate == 8000
+        assert r.sum_sq == sum(v * v for v in s)
+        assert r.zero_crossings == sum(
+            1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0))
+        assert r.peak_abs == max(abs(v) for v in s)
+
+
+def _dhash_py(w, h, px):
+    """Independent pure-Python dHash (no numpy) for planted truths."""
+    def gray(y, x):
+        k = ((y * h) // 8) * w + (x * w) // 9
+        return px[3 * k] + px[3 * k + 1] + px[3 * k + 2]
+    bits = [1 if gray(y, x) > gray(y, x + 1) else 0
+            for y in range(8) for x in range(8)]
+    return "".join(format(bits[4 * j] * 8 + bits[4 * j + 1] * 4
+                          + bits[4 * j + 2] * 2 + bits[4 * j + 3], "x")
+                   for j in range(16))
+
+
+def test_multimodal_phash_matches_pure_python(spark):
+    """The numpy dHash kernel over really-decoded PPMs equals an
+    independent loop-and-index reference on the gated corpus."""
+    import os
+
+    import pytest
+
+    from jsonld_js_spark.operators.multimodal import (
+        _parse_ppm, media_phash_df, q_multimodal_phash,
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip("testdata missing")
+    payloads = {r.doc_id: bytes(r.payload)
+                for r in media_phash_df(spark, sf_dir).collect()}
+    out = q_multimodal_phash(spark, sf_dir).collect()
+    assert {r.doc_id for r in out} == set(payloads)
+    assert len(out) > 0
+    for r in out:
+        w, h, px = _parse_ppm(payloads[r.doc_id])
+        assert (r.width, r.height) == (w, h)
+        assert r.phash_hex == _dhash_py(w, h, px)
+
+
+def test_multimodal_phash_neardup_planted_truth(spark):
+    """Planted near-duplicates (one perturbed pixel per anchor-group
+    member) are all recovered at small Hamming distance; the reported
+    distances equal an independent popcount; heavy corruption (a
+    different anchor) never pairs with the group."""
+    import os
+
+    import pytest
+
+    from jsonld_js_spark.operators.multimodal import (
+        PHASH_GROUP, PHASH_HAM_T, q_multimodal_phash,
+        q_multimodal_phash_neardup,
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip("testdata missing")
+    hashes = {r.doc_id: r.phash_hex
+              for r in q_multimodal_phash(spark, sf_dir).collect()}
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in q_multimodal_phash_neardup(spark, sf_dir).collect()}
+    ids = sorted(hashes)
+
+    def ham(a, b):
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1")
+                   for x, y in zip(hashes[a], hashes[b]))
+
+    # every within-group pair whose distance clears the contract must
+    # be reported, and with the exact popcount distance
+    n_within = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            same_group = a - (a % PHASH_GROUP) == b - (b % PHASH_GROUP)
+            d = ham(a, b)
+            bands_a = [hashes[a][4 * i:4 * i + 4] for i in range(4)]
+            bands_b = [hashes[b][4 * i:4 * i + 4] for i in range(4)]
+            contract = d <= PHASH_HAM_T and any(
+                x == y for x, y in zip(bands_a, bands_b))
+            assert ((a, b) in pairs) == contract
+            if (a, b) in pairs:
+                assert pairs[(a, b)] == d
+            if same_group:
+                n_within += 1
+                assert d <= PHASH_HAM_T  # planted perturbation is small
+    assert n_within > 0 and len(pairs) >= n_within

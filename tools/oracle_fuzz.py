@@ -75,7 +75,8 @@ FUZZABLE = [
     "multimodal_decode", "multimodal_decode_real",
     "multimodal_resize",
     "multimodal_frame_sample", "multimodal_dedup",
-    "multimodal_neardup",
+    "multimodal_neardup", "multimodal_audio_features",
+    "multimodal_phash", "multimodal_phash_neardup",
     "events_sessionize", "events_funnel", "events_retention",
     "events_asof_join", "events_anomaly",
     "jsonld_props_triples", "jsonld_props_bnode_triples",
