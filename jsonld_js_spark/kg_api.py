@@ -1902,6 +1902,111 @@ ORDER BY jaccard_ppm DESC, s.x, s.y LIMIT {SIM_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative degeneracy peel) over the co-mention
+# graph — the densest-subgraph signal KG pipelines ship for entity
+# importance / community seeding (no reference analog: the reference
+# is a JSON-LD processor with no graph surface).
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 30
+
+
+def kcore_edges(edges, k: int = KCORE_K,
+                max_rounds: int = KCORE_MAX_ROUNDS):
+    """Edge set of the k-core of an undirected graph (edges carried in
+    both directions as (a, b)). Iterative peel: drop nodes of degree
+    < k, drop their edges, repeat.
+
+    Peeling is MONOTONE — once a round removes nothing, every later
+    round is a no-op — so early-exit at the edge-count fixpoint (one
+    1-row action per round, the pagerank pattern) is output-identical
+    to running all `max_rounds`. The DuckDB oracle runs exactly
+    `max_rounds` chained MATERIALIZED rounds; equality holds whether
+    or not the peel converges early, because past `max_rounds` both
+    sides stop. Per round: one degree agg + two semi-joins (keys
+    uniform after the first peel); `localCheckpoint` truncates the
+    per-round lineage (the iterative-result rule — at 100 TB swap for
+    reliable checkpoint). Driver state is a 1-row count per round."""
+    cur = edges.distinct().localCheckpoint()
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (cur.groupBy("a").agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= k)
+                .select(F.col("a").alias("node")))
+        nxt = (cur.join(keep.select(F.col("node").alias("a")),
+                        "a", "left_semi")
+               .join(keep.select(F.col("node").alias("b")),
+                     "b", "left_semi")
+               .localCheckpoint())
+        m = nxt.count()
+        if m == n_edges:
+            break
+        cur, n_edges = nxt, m
+    return cur
+
+
+def q_kg_kcore(spark, sf_dir):
+    """Gated query: the {KCORE_K}-core of the co-mention entity graph
+    (guard ON — shares `_comention_pairs`), one row per surviving
+    entity with its within-core degree."""
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    p = pairs.distinct()
+    edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
+             .unionAll(p.select(F.col("ent_b").alias("a"),
+                                F.col("ent_a").alias("b"))))
+    core = kcore_edges(edges)
+    return (core.groupBy("a").agg(F.count("*").alias("core_degree"))
+            .select(F.col("a").alias("ent"), "core_degree")
+            .orderBy(F.desc("core_degree"), "ent"))
+
+
+def oracle_kg_kcore(triples_sql: str) -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: e{i} references e{i-1} three
+        # times; inlined CTEs would re-expand the whole chain
+        # exponentially (the curate-oracle lesson)
+        rounds.append(f"""
+k{i} AS MATERIALIZED (
+  SELECT a AS node FROM {prev} GROUP BY a HAVING count(*) >= {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{i} ka ON e.a = ka.node
+  JOIN k{i} kb ON e.b = kb.node
+)""")
+        prev = f"e{i}"
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+pairs AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+),
+e0 AS MATERIALIZED (
+  SELECT ent_a AS a, ent_b AS b FROM pairs
+  UNION ALL SELECT ent_b, ent_a FROM pairs
+),{",".join(rounds)}
+SELECT a AS ent, cast(count(*) as bigint) AS core_degree
+FROM {prev} GROUP BY a
+ORDER BY core_degree DESC, ent
+"""
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -1927,6 +2032,7 @@ def queries() -> dict:
         "kg_random_walks": q_kg_random_walks,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "kg_kcore": q_kg_kcore,
     }
 
 
@@ -1971,4 +2077,5 @@ def oracles(n_conv: int) -> dict:
         "kg_random_walks": oracle_kg_random_walks(triples_sql),
         "kg_skipgram_pairs": oracle_kg_skipgram_pairs(triples_sql),
         "kg_neighbor_jaccard": oracle_kg_neighbor_jaccard(triples_sql),
+        "kg_kcore": oracle_kg_kcore(triples_sql),
     }

@@ -167,3 +167,31 @@ def test_pagerank_matches_integer_reference(spark):
                                       "subj string, dst string")
         got = {(r["node"], r["rank"]) for r in pagerank(edges).collect()}
         assert got == {(k, v) for k, v in rank.items()}
+
+
+def test_kcore_matches_bruteforce(spark):
+    """Distributed iterative peel equals a pure-Python fixpoint peel
+    on random + adversarial graphs (chain: the slow-peel worst case —
+    endpoints only, one layer per round)."""
+    from jsonld_js_spark.kg_api import KCORE_K, kcore_edges
+
+    for und in random_graphs():
+        g = adj(und)
+        alive = {n for n in g if len(g[n]) > 0}
+        while True:
+            drop = {n for n in alive
+                    if sum(1 for m in g[n] if m in alive) < KCORE_K}
+            if not drop:
+                break
+            alive -= drop
+        expected = {}
+        for n in alive:
+            d = sum(1 for m in g[n] if m in alive)
+            if d > 0:
+                expected[n] = d
+
+        edges = spark.createDataFrame(both_dirs(und), "a string, b string")
+        core = kcore_edges(edges)
+        got = {r["a"]: r["cnt"] for r in
+               core.groupBy("a").agg(F.count("*").alias("cnt")).collect()}
+        assert got == expected

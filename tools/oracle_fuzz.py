@@ -107,7 +107,7 @@ KG_FUZZABLE = [
     "kg_entity_comention", "kg_degree_stats", "kg_khop",
     "kg_triangle_count", "kg_label_propagation", "kg_neighbor_jaccard",
     "kg_sameas_closure", "kg_pagerank", "kg_random_walks",
-    "kg_skipgram_pairs",
+    "kg_skipgram_pairs", "kg_kcore",
 ]
 
 def _vocab(rng):
