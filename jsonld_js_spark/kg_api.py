@@ -2007,6 +2007,189 @@ ORDER BY core_degree DESC, ent
 """
 
 
+# ---------------------------------------------------------------------------
+# neighborhood function N(h) — exact definition + HyperANF scale path
+
+ANF_H = 3                    # hops measured / supersteps run
+ANF_P = 6                    # 2^6 = 64 registers per node (~13% err)
+_ANF_W_MOD = 1 << (60 - ANF_P)
+_ANF_RHO_MAX = (60 - ANF_P) + 1
+
+
+def _comention_edges(spark, sf_dir):
+    """Directed-both-ways edge frame of the co-mention entity graph
+    (guard ON), deduplicated — the graph all the structure queries
+    (kcore, jaccard, ANF) share."""
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    p = pairs.distinct()
+    return (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
+            .unionAll(p.select(F.col("ent_b").alias("a"),
+                               F.col("ent_a").alias("b"))))
+
+
+def neighborhood_growth(edges, h_max: int = ANF_H) -> list:
+    """EXACT neighborhood function: [(h, # ordered node pairs with
+    dist <= h)] for h = 0..h_max, by materializing the pair sets —
+    the definitional computation. This is the TEST-SCALE formulation
+    (and the oracle's): the pair frame is Theta(sum_u |ball(u, h)|),
+    which explodes on low-diameter graphs — `anf_registers` below is
+    the fixed-state path a 100 TB run uses, and pytest pins its
+    estimates to THIS exact function. Per level: one join + one
+    distinct (both keyed on node ids), `localCheckpoint` truncates the
+    per-level lineage (the iterative-result rule)."""
+    edges = edges.distinct().localCheckpoint()
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    pairs = (nodes.select(F.col("node").alias("src"),
+                          F.col("node").alias("dst"))
+             .localCheckpoint())
+    counts = [(0, pairs.count())]
+    for h in range(1, h_max + 1):
+        grown = (pairs.join(edges, F.col("dst") == F.col("a"))
+                 .select("src", F.col("b").alias("dst")))
+        pairs = pairs.unionAll(grown).distinct().localCheckpoint()
+        counts.append((h, pairs.count()))
+    return counts
+
+
+def q_kg_neighborhood_growth(spark, sf_dir):
+    """Gated query: the exact neighborhood function of the co-mention
+    entity graph — how many (u, v) pairs are within h hops, h <= 3.
+    The curve every graph-health dashboard reads (effective diameter,
+    connectivity onset); driver state is h_max+1 scalar counts (the
+    k-means pattern)."""
+    counts = neighborhood_growth(_comention_edges(spark, sf_dir))
+    return spark.createDataFrame(counts, "hops long, n_pairs long") \
+                .orderBy("hops")
+
+
+def anf_registers(edges, h_max: int = ANF_H):
+    """HyperANF (Boldi-Rosa-Vigna, WWW'11 / Palmer et al. ANF,
+    KDD'02) register state after `h_max` supersteps: for every node,
+    the HLL register table of its distance-<= h_max ball.
+
+    THE scale path for neighborhood structure: per-node state is a
+    fixed 2^p-register sketch, a superstep is one edge join + a
+    (node, bucket) max-agg (partial-combined map-side), and register
+    max is idempotent — supersteps merge duplicates for free, shards
+    merge by the same max. Nothing is ever quadratic: where the exact
+    `neighborhood_growth` materializes every (u, v) pair, this moves
+    |E| * 2^p rows per superstep, independent of ball sizes.
+
+    Bit-exactness (what the DuckDB oracle checks): max-propagation for
+    h rounds yields, at each node, EXACTLY the HLL registers of its
+    true h-ball member hashes — HLL union is lossless on registers —
+    so the oracle computes the balls definitionally (chained pair
+    CTEs) and hashes them, and the tables must match register for
+    register. The float ESTIMATOR on top is judged in pytest against
+    the exact counts."""
+    from .operators.textstats import hash60
+    edges = edges.distinct().localCheckpoint()
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    regs = (nodes.select("node", hash60(F.col("node")).alias("h"))
+            .select("node",
+                    F.expr(f"h DIV {_ANF_W_MOD}").alias("bucket"),
+                    F.when(F.col("h") % F.lit(_ANF_W_MOD) == 0,
+                           F.lit(_ANF_RHO_MAX))
+                    .otherwise(F.lit(_ANF_RHO_MAX) -
+                               F.length(F.bin(F.col("h") %
+                                              F.lit(_ANF_W_MOD))))
+                    .cast("long").alias("rho"))
+            .localCheckpoint())
+    for _ in range(h_max):
+        nbr = (edges.join(regs, F.col("b") == F.col("node"))
+               .select(F.col("a").alias("node"), "bucket", "rho"))
+        regs = (regs.unionAll(nbr)
+                .groupBy("node", "bucket").agg(F.max("rho").alias("rho"))
+                .localCheckpoint())
+    return regs
+
+
+def anf_estimates(register_rows, p: int = ANF_P) -> dict:
+    """Collected (node, bucket, rho|max_rho) rows -> {node: estimated
+    |ball(node, h)|} via the standard HLL estimator (driver-side, a
+    few float ops per node)."""
+    from .operators.sketches import hll_estimate
+    by_node: dict = {}
+    for r in register_rows:
+        key = "max_rho" if "max_rho" in r else "rho"
+        by_node.setdefault(r["node"], []).append(
+            {"bucket": r["bucket"], "max_rho": r[key]})
+    return {n: hll_estimate(rows, m=1 << p)
+            for n, rows in by_node.items()}
+
+
+def q_kg_anf_registers(spark, sf_dir):
+    """Gated query: the HyperANF register table after {ANF_H}
+    supersteps on the co-mention entity graph — the fixed-size state
+    from which every node's h-ball size (and the whole neighborhood
+    function) reads off driver-side."""
+    regs = anf_registers(_comention_edges(spark, sf_dir))
+    return (regs.select("node", "bucket",
+                        F.col("rho").alias("max_rho"))
+            .orderBy("node", "bucket"))
+
+
+def _comention_pairs_sql(triples_sql: str, h_max: int) -> str:
+    """Shared oracle prelude: co-mention e0 + chained exact
+    distance-<= h pair CTEs p0..p{h_max} (MATERIALIZED — each level
+    references the previous one twice)."""
+    levels = []
+    for h in range(1, h_max + 1):
+        levels.append(f"""
+p{h} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM p{h - 1}
+    UNION ALL
+    SELECT p.src, e.b FROM p{h - 1} p JOIN e0 e ON p.dst = e.a) u
+)""")
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+prs AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+),
+e0 AS MATERIALIZED (
+  SELECT ent_a AS a, ent_b AS b FROM prs
+  UNION ALL SELECT ent_b, ent_a FROM prs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM e0),
+p0 AS MATERIALIZED (SELECT node AS src, node AS dst FROM nodes),{",".join(levels)}"""
+
+
+def oracle_kg_neighborhood_growth(triples_sql: str) -> str:
+    counts = " UNION ALL ".join(
+        f"SELECT cast({h} as bigint) AS hops, "
+        f"cast((SELECT count(*) FROM p{h}) as bigint) AS n_pairs"
+        for h in range(ANF_H + 1))
+    return (_comention_pairs_sql(triples_sql, ANF_H) +
+            f"\nSELECT * FROM ({counts}) ORDER BY hops")
+
+
+def oracle_kg_anf_registers(triples_sql: str) -> str:
+    from .operators.textstats import hash60_sql
+    return (_comention_pairs_sql(triples_sql, ANF_H) + f""",
+hh AS (SELECT src, {hash60_sql('dst')} AS h FROM p{ANF_H})
+SELECT src AS node, h // {_ANF_W_MOD} AS bucket,
+       cast(max(CASE WHEN h % {_ANF_W_MOD} = 0 THEN {_ANF_RHO_MAX}
+                     ELSE {_ANF_RHO_MAX} -
+                          length(bin(h % {_ANF_W_MOD})) END)
+            as bigint) AS max_rho
+FROM hh GROUP BY src, h // {_ANF_W_MOD}
+ORDER BY node, bucket
+""")
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -2033,6 +2216,8 @@ def queries() -> dict:
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_kcore": q_kg_kcore,
+        "kg_neighborhood_growth": q_kg_neighborhood_growth,
+        "kg_anf_registers": q_kg_anf_registers,
     }
 
 
@@ -2078,4 +2263,7 @@ def oracles(n_conv: int) -> dict:
         "kg_skipgram_pairs": oracle_kg_skipgram_pairs(triples_sql),
         "kg_neighbor_jaccard": oracle_kg_neighbor_jaccard(triples_sql),
         "kg_kcore": oracle_kg_kcore(triples_sql),
+        "kg_neighborhood_growth":
+            oracle_kg_neighborhood_growth(triples_sql),
+        "kg_anf_registers": oracle_kg_anf_registers(triples_sql),
     }

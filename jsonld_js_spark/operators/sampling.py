@@ -460,12 +460,78 @@ ORDER BY p.domain
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic weighted priority sampling (Duffield/Lund/Thorup-style
+# priority sample, integer-portable variant): pick the K docs per
+# language with the smallest priority = hash60(salted doc_id) DIV w,
+# w = the doc's size. P(priority < t) ~= t*w / 2^60, so inclusion
+# probability scales with weight — "sample by bytes, not by docs", the
+# sample every curation dashboard and eval-slice builder actually
+# wants (uniform-by-doc oversamples tiny docs). Determinism is the
+# same 100 TB argument as corpus_split: membership is a pure function
+# of doc identity, so retries / re-ingests / incremental shards agree.
+#
+# Portability: priority is pure integer arithmetic — hash60 is
+# non-negative and w >= 1, so Spark's truncate-toward-zero DIV and
+# DuckDB's floor // agree (the CLAUDE.md bucketing rule); ties break
+# on doc_id. No float ever touches the selection boundary.
+#
+# Scale shape: one narrow scan + one window partitioned by lang (a
+# bounded, known group set). The window's per-group sort is the gate
+# formulation; at 100 TB swap the window for the two-phase top-K
+# (per-partition partial top-K, then re-agg — TakeOrderedAndProject's
+# shape) which never materializes a per-language global sort.
+
+WSAMPLE_SALT = "wsample:"
+WSAMPLE_K = 25               # survivors per language
+
+
+def q_corpus_sample_weighted(spark, sf_dir):
+    """Gated query: the K = {WSAMPLE_K} size-weighted priority
+    survivors per language, with their integer priorities."""
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    w = F.greatest(F.lit(1), F.col("n_chars"))
+    h = hash60(F.concat(F.lit(WSAMPLE_SALT),
+                        F.col("doc_id").cast("string")))
+    scored = (d.select("doc_id", "lang", w.alias("w"), h.alias("h"))
+              .select("doc_id", "lang", "w",
+                      F.expr("h DIV w").alias("priority")))
+    win = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (scored
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= WSAMPLE_K)
+            .select("doc_id", "lang", "w", "priority")
+            .orderBy("lang", "priority", "doc_id"))
+
+
+ORACLE_CORPUS_SAMPLE_WEIGHTED = f"""
+WITH scored AS (
+  SELECT doc_id, lang, greatest(1, n_chars) AS w,
+         {hash60_sql(f"'{WSAMPLE_SALT}' || cast(doc_id as varchar)")}
+           // greatest(1, n_chars) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY priority, doc_id) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, cast(w as bigint) AS w,
+       cast(priority as bigint) AS priority
+FROM ranked WHERE rn <= {WSAMPLE_K}
+ORDER BY lang, priority, doc_id
+"""
+
+
 QUERIES["corpus_split"] = q_corpus_split
 QUERIES["corpus_sample_stratified"] = q_corpus_sample_stratified
+QUERIES["corpus_sample_weighted"] = q_corpus_sample_weighted
 QUERIES["corpus_domain_mix"] = q_corpus_domain_mix
 QUERIES["corpus_domain_mix_bpe"] = q_corpus_domain_mix_bpe
 QUERIES["corpus_mix_upsample"] = q_corpus_mix_upsample
 QUERIES["corpus_mix_upsample_bpe"] = q_corpus_mix_upsample_bpe
+ORACLES["corpus_sample_weighted"] = ORACLE_CORPUS_SAMPLE_WEIGHTED
 ORACLES["corpus_split"] = ORACLE_CORPUS_SPLIT
 ORACLES["corpus_sample_stratified"] = ORACLE_CORPUS_SAMPLE
 ORACLES["corpus_domain_mix"] = ORACLE_CORPUS_DOMAIN_MIX

@@ -423,13 +423,129 @@ FROM cells GROUP BY cell ORDER BY cell
 """
 
 
+# ---------------------------------------------------------------------------
+# One-permutation-hashing MinHash (OPH, Li et al. 2012): the mergeable
+# SET-RESEMBLANCE sketch. HLL answers "how many distinct", OPH answers
+# "how SIMILAR are two corpora" (Jaccard of their token/shingle sets)
+# and doubles as a distinct estimator. dedup_cross_corpus FINDS the
+# overlapping document pairs (a join); this MEASURES overlap with O(k)
+# state per corpus and never pairs anything — the pre-flight a curation
+# run does before deciding whether decontamination is worth a join at
+# all, and the per-shard signature that detects a crawler re-ingesting
+# yesterday's partition.
+#
+# Construction: one shared portable hash, bucket = h % k (a k-way
+# partition standing in for k permutations), register = min(h) per
+# bucket. One scan, a partial-combined <= k-group agg; shard/day tables
+# merge by elementwise MIN (idempotent — duplicates and re-ingests are
+# free). Pure integer arithmetic on non-negative operands, so the
+# DuckDB oracle reproduces the register table bit-for-bit.
+#
+# Estimators (driver-side over <= k collected rows, judged in pytest
+# against exact Jaccard / distinct counts): each bucket non-empty in
+# the union holds the union's min — a uniform sample of that bucket's
+# slice of the union — so P(register_A = register_B) = J; empty-in-one
+# buckets are genuine mismatches (the union min is missing from one
+# side). No densification needed because both sides share the same
+# bucket partition.
+
+OPH_K = 256                  # Jaccard std err ~ 1/sqrt(k) = 6.25%
+_H_MAX = 1 << 60             # hash60 range, for the distinct estimator
+
+
+def oph_table(items, item_col: str = "item", k: int = OPH_K):
+    """DataFrame with a string `item_col` -> the (bucket, min_h)
+    register table (<= k rows; empty buckets absent)."""
+    h = hash60(F.col(item_col))
+    return (items.select(h.alias("h"))
+            .select((F.col("h") % F.lit(k)).alias("bucket"), "h")
+            .groupBy("bucket").agg(F.min("h").alias("min_h")))
+
+
+def oph_table_by(items, group_col: str, item_col: str = "item",
+                 k: int = OPH_K):
+    """Per-group register tables: <= |groups| * k rows, immune to a
+    group with a giant item set (same argument as hll_registers_by)."""
+    h = hash60(F.col(item_col))
+    return (items.select(F.col(group_col), h.alias("h"))
+            .select(group_col, (F.col("h") % F.lit(k)).alias("bucket"),
+                    "h")
+            .groupBy(group_col, "bucket")
+            .agg(F.min("h").alias("min_h")))
+
+
+def oph_merge(*register_dfs):
+    """Merge shard tables: elementwise min (idempotent — safe under
+    replays and overlapping shards)."""
+    out = register_dfs[0]
+    for t in register_dfs[1:]:
+        out = out.unionAll(t)
+    return out.groupBy("bucket").agg(F.min("min_h").alias("min_h"))
+
+
+def oph_jaccard(rows_a, rows_b) -> float:
+    """Collected register rows for two sets -> Jaccard estimate:
+    matching registers / buckets non-empty in the union."""
+    a = {r["bucket"]: r["min_h"] for r in rows_a}
+    b = {r["bucket"]: r["min_h"] for r in rows_b}
+    union = set(a) | set(b)
+    if not union:
+        return 0.0
+    match = sum(1 for bk in union if a.get(bk) == b.get(bk))
+    return match / len(union)
+
+
+def oph_estimate_distinct(register_rows, k: int = OPH_K) -> int:
+    """Collected (bucket, min_h) rows -> distinct-count estimate.
+    Small range (empty buckets exist): linear counting on the
+    occupancy, exactly HLL's correction. Large range: each register
+    is the min of ~n/k uniforms on [0, 2^60), E[min] = M/(u+1), so
+    n ~= k * (M/mean_min - 1)."""
+    n_filled = len(register_rows)
+    if n_filled == 0:
+        return 0
+    n_empty = k - n_filled
+    if n_empty > 0:
+        return int(k * math.log(k / n_empty))
+    mean_min = sum(r["min_h"] for r in register_rows) / n_filled
+    return int(k * (_H_MAX / (mean_min + 1.0) - 1.0))
+
+
+def q_sketch_oph_sources(spark, sf_dir):
+    """Gated query: per-source OPH MinHash registers over the token
+    vocabulary — the fixed-size signature from which any pair of
+    sources' vocabulary Jaccard (and each source's distinct count)
+    reads off driver-side, without ever joining source against
+    source. One scan, <= |sources| * k groups."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = d.select(F.col("source"),
+                     F.explode(F.split(norm, " ")).alias("item"))
+    return (oph_table_by(items, "source")
+            .orderBy("source", "bucket"))
+
+
+ORACLE_SKETCH_OPH = f"""
+WITH items AS (
+  SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS item
+  FROM documents
+),
+h AS (SELECT source, {hash60_sql('item')} AS h FROM items)
+SELECT source, h % {OPH_K} AS bucket,
+       cast(min(h) as bigint) AS min_h
+FROM h GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
 QUERIES = {"sketch_hll_postings": q_sketch_hll_postings,
            "sketch_hll_by_source": q_sketch_hll_by_source,
            "sketch_countmin_tokens": q_sketch_countmin_tokens,
            "sketch_quantile_doclen": q_sketch_quantile_doclen,
-           "sketch_bloom_fingerprints": q_sketch_bloom_fingerprints}
+           "sketch_bloom_fingerprints": q_sketch_bloom_fingerprints,
+           "sketch_oph_sources": q_sketch_oph_sources}
 ORACLES = {"sketch_hll_postings": ORACLE_SKETCH_HLL,
            "sketch_hll_by_source": ORACLE_SKETCH_HLL_BY_SOURCE,
            "sketch_countmin_tokens": ORACLE_SKETCH_COUNTMIN,
            "sketch_quantile_doclen": ORACLE_SKETCH_QUANTILE,
-           "sketch_bloom_fingerprints": ORACLE_SKETCH_BLOOM}
+           "sketch_bloom_fingerprints": ORACLE_SKETCH_BLOOM,
+           "sketch_oph_sources": ORACLE_SKETCH_OPH}

@@ -195,3 +195,84 @@ def test_kcore_matches_bruteforce(spark):
         got = {r["a"]: r["cnt"] for r in
                core.groupBy("a").agg(F.count("*").alias("cnt")).collect()}
         assert got == expected
+
+
+def test_neighborhood_growth_matches_bfs(spark):
+    """Exact neighborhood function vs an all-sources BFS reference on
+    random + adversarial graphs."""
+    from jsonld_js_spark.kg_api import ANF_H, neighborhood_growth
+    for und in random_graphs():
+        g = adj(und)
+        nodes = sorted(g)
+        expect = []
+        for h in range(ANF_H + 1):
+            total = 0
+            for s in nodes:
+                seen = {s}
+                frontier = [s]
+                for _ in range(h):
+                    frontier = [v for u in frontier for v in g[u]
+                                if v not in seen and not seen.add(v)]
+                total += len(seen)
+            expect.append((h, total))
+        edges = spark.createDataFrame(both_dirs(und), "a string, b string")
+        got = sorted((h, n) for h, n in neighborhood_growth(edges))
+        assert got == expect, (got, expect)
+
+
+def test_anf_registers_match_ball_definition(spark):
+    """HyperANF register propagation == HLL registers of the EXACT
+    h-ball, node by node, bit for bit (the lossless-union property the
+    oracle also checks, here against an independent python BFS +
+    md5)."""
+    import hashlib
+    from jsonld_js_spark.kg_api import (ANF_H, _ANF_RHO_MAX, _ANF_W_MOD,
+                                        anf_registers)
+    for und in random_graphs()[:4]:
+        g = adj(und)
+        expect = set()
+        for s in g:
+            seen = {s}
+            frontier = [s]
+            for _ in range(ANF_H):
+                frontier = [v for u in frontier for v in g[u]
+                            if v not in seen and not seen.add(v)]
+            regs = {}
+            for v in seen:
+                h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+                b, w = h // _ANF_W_MOD, h % _ANF_W_MOD
+                rho = _ANF_RHO_MAX if w == 0 else \
+                    _ANF_RHO_MAX - len(bin(w)) + 2
+                regs[b] = max(regs.get(b, 0), rho)
+            expect |= {(s, b, r) for b, r in regs.items()}
+        edges = spark.createDataFrame(both_dirs(und), "a string, b string")
+        got = {(r["node"], r["bucket"], r["rho"])
+               for r in anf_registers(edges).collect()}
+        assert got == expect
+
+
+def test_anf_estimates_track_ball_sizes(spark):
+    """The float estimator (what a 100 TB run reads off the registers)
+    tracks exact ball sizes within the 64-register noise band on a
+    sparse random graph."""
+    import random as _random
+    from jsonld_js_spark.kg_api import (ANF_H, anf_estimates,
+                                        anf_registers)
+    rng = _random.Random(20260820)
+    n = 300
+    und = {(f"v{i}", f"v{j}") for i in range(n) for j in range(i + 1, n)
+           if rng.random() < 0.008}
+    g = adj(und)
+    exact = {}
+    for s in g:
+        seen = {s}
+        frontier = [s]
+        for _ in range(ANF_H):
+            frontier = [v for u in frontier for v in g[u]
+                        if v not in seen and not seen.add(v)]
+        exact[s] = len(seen)
+    edges = spark.createDataFrame(both_dirs(und), "a string, b string")
+    est = anf_estimates(anf_registers(edges).collect())
+    assert set(est) == set(exact)
+    rel = [abs(est[v] - exact[v]) / exact[v] for v in exact]
+    assert sum(rel) / len(rel) < 0.20, sum(rel) / len(rel)

@@ -357,3 +357,99 @@ def test_hll_by_source_estimates_and_merge(spark):
                          for r in df.collect()}
     assert as_set(merged) == {(r["source"], r["bucket"], r["max_rho"])
                               for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# OPH MinHash (one-permutation hashing)
+
+def _oph_py(items, k):
+    """Independent pure-python reference: bucket -> min 60-bit hash."""
+    import hashlib
+    regs = {}
+    for it in set(items):
+        h = int(hashlib.md5(it.encode()).hexdigest()[:15], 16)
+        b = h % k
+        if b not in regs or h < regs[b]:
+            regs[b] = h
+    return regs
+
+
+def test_oph_hand_truth(spark):
+    """Register table matches plain-python bit math on a small set."""
+    from jsonld_js_spark.operators.sketches import OPH_K, oph_table
+    items = [f"tok{i}" for i in range(200)] + ["tok0", "tok1"]  # dups
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    got = {(r["bucket"], r["min_h"]) for r in oph_table(df).collect()}
+    assert got == set(_oph_py(items, OPH_K).items())
+
+
+def test_oph_merge_equals_union_sketch(spark):
+    """Shard tables merged by elementwise min == sketch of the union
+    (bit-exact), including overlapping shards (min is idempotent)."""
+    from jsonld_js_spark.operators.sketches import oph_merge, oph_table
+    a_items = [f"w{i}" for i in range(500)]
+    b_items = [f"w{i}" for i in range(300, 900)]  # overlaps a
+    mk = lambda xs: spark.createDataFrame([(x,) for x in xs],  # noqa: E731
+                                          "item string")
+    merged = {(r["bucket"], r["min_h"]) for r in
+              oph_merge(oph_table(mk(a_items)),
+                        oph_table(mk(b_items))).collect()}
+    whole = {(r["bucket"], r["min_h"]) for r in
+             oph_table(mk(a_items + b_items)).collect()}
+    assert merged == whole
+
+
+def test_oph_jaccard_accuracy(spark):
+    """Planted overlap: J(A, B) estimated within the k = 256 noise
+    band, judged against the exact Jaccard the equality gate cannot
+    grade."""
+    from jsonld_js_spark.operators.sketches import oph_table, oph_jaccard
+    a_items = [f"t{i}" for i in range(3000)]
+    b_items = [f"t{i}" for i in range(1500, 4500)]  # J = 1500/4500
+    mk = lambda xs: spark.createDataFrame([(x,) for x in xs],  # noqa: E731
+                                          "item string")
+    est = oph_jaccard(oph_table(mk(a_items)).collect(),
+                      oph_table(mk(b_items)).collect())
+    assert abs(est - 1 / 3) < 0.09, est
+    # identical sets -> exactly 1; disjoint small sets -> near 0
+    same = oph_table(mk(a_items)).collect()
+    assert oph_jaccard(same, same) == 1.0
+    dis = oph_jaccard(oph_table(mk([f"x{i}" for i in range(400)])).collect(),
+                      oph_table(mk([f"y{i}" for i in range(400)])).collect())
+    assert dis < 0.05, dis
+
+
+def test_oph_distinct_estimates(spark):
+    """Cardinality read-off: linear-counting regime (n < k) and the
+    mean-min regime (n >> k), both within tolerance of truth."""
+    from jsonld_js_spark.operators.sketches import (
+        oph_estimate_distinct, oph_table)
+    mk = lambda xs: spark.createDataFrame([(x,) for x in xs],  # noqa: E731
+                                          "item string")
+    small = oph_estimate_distinct(oph_table(mk([f"s{i}" for i in range(60)]))
+                                  .collect())
+    assert abs(small - 60) / 60 < 0.15, small
+    big_n = 20000
+    big = oph_estimate_distinct(oph_table(mk([f"b{i}" for i in range(big_n)]))
+                                .collect())
+    assert abs(big - big_n) / big_n < 0.20, big
+    assert oph_estimate_distinct([]) == 0
+
+
+def test_oph_gated_query_shape(spark):
+    """Gated per-source query: <= k rows per source, registers agree
+    with a per-source pure-python recompute."""
+    from jsonld_js_spark.operators.sketches import (
+        OPH_K, q_sketch_oph_sources)
+    rows = q_sketch_oph_sources(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["bucket"]] = r["min_h"]
+    assert all(len(v) <= OPH_K for v in by_src.values())
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    items = d.select("source", F.explode(F.split(norm, " ")).alias("item"))
+    for src in by_src:
+        toks = [r["item"] for r in
+                items.filter(F.col("source") == src).collect()]
+        assert by_src[src] == _oph_py(toks, OPH_K), src

@@ -545,3 +545,53 @@ def test_jsonl_roundtrip_escapes(spark, tmp_path):
     write_jsonl(df, path)
     got = sorted(tuple(r) for r in read_jsonl(spark, path, ddl).collect())
     assert got == sorted(rows)
+
+
+def test_corpus_sample_weighted_truth_and_determinism(spark):
+    """Weighted priority sample: exactly min(K, |lang|) survivors per
+    language, selection matches an independent pure-python recompute
+    (md5 + integer div — no Spark arithmetic shared), and re-runs
+    agree."""
+    import hashlib
+    from jsonld_js_spark.operators.sampling import (
+        WSAMPLE_K, WSAMPLE_SALT, q_corpus_sample_weighted)
+    rows = q_corpus_sample_weighted(spark, SF).collect()
+    again = q_corpus_sample_weighted(spark, SF).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_lang = {}
+    for d in docs:
+        w = max(1, d["n_chars"])
+        h = int(hashlib.md5(
+            f"{WSAMPLE_SALT}{d['doc_id']}".encode()).hexdigest()[:15], 16)
+        by_lang.setdefault(d["lang"], []).append((h // w, d["doc_id"], w))
+    expect = {}
+    for lang, cand in by_lang.items():
+        for pri, doc_id, w in sorted(cand)[:WSAMPLE_K]:
+            expect[doc_id] = (lang, w, pri)
+    got = {r["doc_id"]: (r["lang"], r["w"], r["priority"]) for r in rows}
+    assert got == expect
+    from collections import Counter
+    per_lang = Counter(r["lang"] for r in rows)
+    for lang, cand in by_lang.items():
+        assert per_lang[lang] == min(WSAMPLE_K, len(cand))
+
+
+def test_corpus_sample_weighted_is_weight_biased(spark):
+    """Inclusion tracks weight: on a synthetic corpus where 'heavy'
+    docs carry 50x the weight of 'light' ones, the K survivors skew
+    heavily to the heavy class (P(select) ~ w)."""
+    import hashlib
+    from jsonld_js_spark.operators.sampling import WSAMPLE_SALT
+    heavy = [(i, 5000) for i in range(200)]
+    light = [(i + 1000, 100) for i in range(200)]
+    k = 40
+    pris = []
+    for doc_id, w in heavy + light:
+        h = int(hashlib.md5(
+            f"{WSAMPLE_SALT}{doc_id}".encode()).hexdigest()[:15], 16)
+        pris.append((h // w, doc_id, w))
+    chosen_w = [w for _, _, w in sorted(pris)[:k]]
+    n_heavy = sum(1 for w in chosen_w if w == 5000)
+    # E[n_heavy] = k * 50/51 ~ 39.2; even 3 sigma stays > 34
+    assert n_heavy >= 34, n_heavy

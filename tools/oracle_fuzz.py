@@ -85,6 +85,7 @@ FUZZABLE = [
     "vocab_bpe_tokenize_scale", "corpus_pack_sequences_bpe",
     "corpus_token_budget_sample_bpe", "corpus_domain_mix_bpe",
     "corpus_mix_upsample_bpe", "text_chunks_bpe",
+    "sketch_oph_sources", "corpus_sample_weighted",
 ]
 
 # kg_* queries read the deterministic transcripts generator (plus the
@@ -108,6 +109,7 @@ KG_FUZZABLE = [
     "kg_triangle_count", "kg_label_propagation", "kg_neighbor_jaccard",
     "kg_sameas_closure", "kg_pagerank", "kg_random_walks",
     "kg_skipgram_pairs", "kg_kcore",
+    "kg_neighborhood_growth", "kg_anf_registers",
 ]
 
 def _vocab(rng):
