@@ -2190,6 +2190,165 @@ ORDER BY node, bucket
 """)
 
 
+# ---------------------------------------------------------------------------
+# Personalized PageRank: seed-relevance scoring over the constructed
+# KG — the ranking a RAG context builder runs to pull the subgraph
+# most relevant to a seed entity set (Page et al. 1999 §6 /
+# Jeh & Widom 2003). No reference analog (jsonld.js has no graph
+# analytics); engine-native Spark-first design.
+
+PPR_ITERS = 5
+PPR_N_SEEDS = 5
+PPR_TOTAL = 10**12  # total walk mass (picoshares): int64-safe, and
+#                     coarse enough that DIV floor noise stays ≪ rank
+
+
+def personalized_pagerank(edges, seeds: list, iters: int = PPR_ITERS):
+    """(subj, dst) distinct edge DataFrame + driver-side seed list →
+    (node, rank) after `iters` exact-int64 supersteps of PPR with
+    teleport restricted to the seed set:
+
+        rank'(v) = [v∈S]·(15% · TOTAL DIV |S|)
+                 + 85 · (inflow(v) + [v∈S]·(dangling_sum DIV |S|))
+                   DIV 100
+
+    Dangling mass returns to the SEEDS (the PPR convention — a walker
+    that falls off the graph restarts at a seed), so total mass is
+    conserved up to DIV floors and unreachable nodes stay at exactly
+    0 — the result is the seed-relevance distribution, not global
+    importance.
+
+    Scale shape = `pagerank`: per superstep one edges⋈ranks shuffle on
+    src + one partial-aggregated groupBy(dst); the dangling sum is a
+    1-row filter-agg collect (k-means-centroid pattern) and the seed
+    flag rides the rank state. `seeds` is bounded driver state
+    (PPR_N_SEEDS rows, like the centroid list). localCheckpoint
+    truncates the per-superstep plan; swap for reliable checkpoint at
+    cluster scale."""
+    if not seeds:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank long")
+    k = len(seeds)
+    teleport = (15 * PPR_TOTAL // 100) // k
+    nodes = (edges.select(F.col("subj").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    outd = edges.groupBy("subj").agg(F.count("*").alias("outd"))
+    edges_w = edges.join(outd, "subj").localCheckpoint()
+    nodes_f = (nodes.join(outd.select(F.col("subj").alias("node"),
+                                      F.lit(False).alias("dang")),
+                          "node", "left")
+               .select("node",
+                       F.coalesce("dang", F.lit(True)).alias("dang"),
+                       F.col("node").isin(list(seeds)).alias("seed"))
+               .localCheckpoint())
+    ranks = nodes_f.select(
+        "node",
+        F.when(F.col("seed"), F.lit(PPR_TOTAL // k))
+        .otherwise(F.lit(0)).cast("long").alias("rank"),
+        "dang", "seed")
+    for _ in range(iters):
+        contrib = (edges_w.join(ranks, edges_w["subj"] == ranks["node"])
+                   .select(F.col("dst").alias("node"),
+                           F.expr("rank DIV outd").alias("c")))
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        dsum = (ranks.agg(F.coalesce(
+                    F.sum(F.when(F.col("dang"), F.col("rank"))),
+                    F.lit(0)).alias("dsum"))
+                .collect()[0]["dsum"])
+        dshare = int(dsum) // k
+        ranks = (nodes_f.join(inflow, "node", "left")
+                 .select(
+                     "node",
+                     (F.when(F.col("seed"), F.lit(teleport))
+                      .otherwise(F.lit(0)) +
+                      F.expr(
+                          f"{PR_DAMP_NUM} * (coalesce(inflow, 0) + "
+                          f"(CASE WHEN seed THEN {dshare} "
+                          f"ELSE 0 END)) DIV {PR_DAMP_DEN}"))
+                     .cast("long").alias("rank"),
+                     "dang", "seed")
+                 .localCheckpoint(eager=False))
+    return ranks.select("node", "rank")
+
+
+def q_kg_ppr(spark, sf_dir):
+    """Gated query: PPR from the {PPR_N_SEEDS} highest-out-degree KG
+    nodes (deterministic seed rule both engines can derive: out-degree
+    DESC, node ASC) — top 50 touched nodes by (rank DESC, node).
+    Unreachable nodes (rank 0) are excluded: PPR's output IS the
+    relevance set."""
+    t = _triples(spark, sf_dir, cache=True)
+    edges = (t.filter(F.col("obj_termtype") == "NamedNode")
+             .select("subj", F.col("obj_value").alias("dst"))
+             .distinct().cache())
+    seeds = [r["subj"] for r in
+             (edges.groupBy("subj").agg(F.count("*").alias("d"))
+              .orderBy(F.desc("d"), "subj").limit(PPR_N_SEEDS)
+              .collect())]
+    return (personalized_pagerank(edges, seeds)
+            .filter(F.col("rank") > 0)
+            .orderBy(F.desc("rank"), "node").limit(50))
+
+
+def oracle_kg_ppr(triples_sql: str) -> str:
+    """Unrolled-CTE oracle reproducing every superstep bit-for-bit
+    (the kg_pagerank pattern). Seed count is the ACTUAL seed-CTE
+    cardinality (< PPR_N_SEEDS on tiny graphs), greatest(,1)-guarded
+    so empty graphs stay evaluable."""
+    teleport = f"(15 * {PPR_TOTAL} // 100) // (SELECT k FROM ns)"
+    prev = "pr0"
+    iters = []
+    for i in range(1, PPR_ITERS + 1):
+        iters.append(f"""
+d{i} AS (
+  SELECT coalesce(sum(p.rank), 0) // (SELECT k FROM ns) AS dshare
+  FROM {prev} p WHERE p.node NOT IN (SELECT subj FROM outd)
+),
+pr{i} AS (
+  SELECT n.node,
+         cast((CASE WHEN n.node IN (SELECT node FROM seeds)
+                    THEN {teleport} ELSE 0 END)
+              + {PR_DAMP_NUM} * (coalesce((
+                  SELECT sum(p.rank // o.outd)
+                  FROM edges e JOIN {prev} p ON e.subj = p.node
+                               JOIN outd o ON e.subj = o.subj
+                  WHERE e.dst = n.node), 0)
+                + (CASE WHEN n.node IN (SELECT node FROM seeds)
+                        THEN (SELECT dshare FROM d{i}) ELSE 0 END))
+                // {PR_DAMP_DEN} as bigint) AS rank
+  FROM nodes n
+)""")
+        prev = f"pr{i}"
+    return f"""
+WITH triples AS ({triples_sql}),
+edges AS (
+  SELECT DISTINCT subj, obj_value AS dst FROM triples
+  WHERE obj_termtype = 'NamedNode'
+),
+nodes AS (
+  SELECT subj AS node FROM edges UNION SELECT dst FROM edges
+),
+outd AS (
+  SELECT subj, cast(count(*) as bigint) AS outd FROM edges GROUP BY subj
+),
+seeds AS MATERIALIZED (
+  SELECT subj AS node FROM outd
+  ORDER BY outd DESC, subj LIMIT {PPR_N_SEEDS}
+),
+ns AS (SELECT greatest(count(*), 1) AS k FROM seeds),
+pr0 AS (
+  SELECT n.node,
+         cast(CASE WHEN n.node IN (SELECT node FROM seeds)
+                   THEN {PPR_TOTAL} // (SELECT k FROM ns)
+                   ELSE 0 END as bigint) AS rank
+  FROM nodes n
+),{",".join(iters)}
+SELECT node, rank FROM {prev} WHERE rank > 0
+ORDER BY rank DESC, node LIMIT 50
+"""
+
+
 def queries() -> dict:
     return {
         "kg_frame_turns": q_kg_frame_turns,
@@ -2218,6 +2377,7 @@ def queries() -> dict:
         "kg_kcore": q_kg_kcore,
         "kg_neighborhood_growth": q_kg_neighborhood_growth,
         "kg_anf_registers": q_kg_anf_registers,
+        "kg_ppr": q_kg_ppr,
     }
 
 
@@ -2266,4 +2426,5 @@ def oracles(n_conv: int) -> dict:
         "kg_neighborhood_growth":
             oracle_kg_neighborhood_growth(triples_sql),
         "kg_anf_registers": oracle_kg_anf_registers(triples_sql),
+        "kg_ppr": oracle_kg_ppr(triples_sql),
     }

@@ -169,6 +169,59 @@ def test_pagerank_matches_integer_reference(spark):
         assert got == {(k, v) for k, v in rank.items()}
 
 
+def test_ppr_matches_integer_reference(spark):
+    """Seed-personalized PageRank equals a pure-Python integer
+    reference (teleport and dangling mass restricted to the seed set;
+    unreachable nodes must stay EXACTLY 0) on mixed-orientation random
+    graphs — closes the shared-formula blind spot between the Spark
+    supersteps and the unrolled-CTE oracle."""
+    from jsonld_js_spark.kg_api import (PPR_ITERS, PPR_TOTAL,
+                                        personalized_pagerank)
+
+    for und in random_graphs():
+        rng = random.Random(hash(frozenset(und)) & 0xFFFF)
+        directed = set()
+        for a, b in und:
+            if rng.random() < 0.6:
+                directed.add((a, b))
+            if rng.random() < 0.6:
+                directed.add((b, a))
+        if not directed:
+            directed = {next(iter(und))}
+        nodes = sorted({x for e in directed for x in e})
+        outd = Counter(a for a, _ in directed)
+        # seed rule mirrors q_kg_ppr: top out-degree, node asc
+        seeds = sorted(nodes, key=lambda u: (-outd[u], u))[:3]
+        k = len(seeds)
+        teleport = (15 * PPR_TOTAL // 100) // k
+        rank = {u: (PPR_TOTAL // k if u in seeds else 0) for u in nodes}
+        for _ in range(PPR_ITERS):
+            dshare = sum(rank[u] for u in nodes if outd[u] == 0) // k
+            inflow = defaultdict(int)
+            for a, b in directed:
+                inflow[b] += rank[a] // outd[a]
+            rank = {u: (teleport if u in seeds else 0) +
+                    PR_DAMP_NUM *
+                    (inflow[u] + (dshare if u in seeds else 0))
+                    // PR_DAMP_DEN
+                    for u in nodes}
+        edges = spark.createDataFrame(sorted(directed),
+                                      "subj string, dst string")
+        got = {(r["node"], r["rank"])
+               for r in personalized_pagerank(edges, seeds).collect()}
+        assert got == {(u, v) for u, v in rank.items()}
+        # PPR semantics: nodes the seeds can't reach hold zero mass
+        reach = set(seeds)
+        frontier = set(seeds)
+        g = defaultdict(set)
+        for a, b in directed:
+            g[a].add(b)
+        while frontier:
+            frontier = {m for u in frontier for m in g[u]} - reach
+            reach |= frontier
+        assert all(v == 0 for u, v in rank.items() if u not in reach)
+
+
 def test_kcore_matches_bruteforce(spark):
     """Distributed iterative peel equals a pure-Python fixpoint peel
     on random + adversarial graphs (chain: the slow-peel worst case —

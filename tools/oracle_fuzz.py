@@ -109,7 +109,7 @@ KG_FUZZABLE = [
     "kg_triangle_count", "kg_label_propagation", "kg_neighbor_jaccard",
     "kg_sameas_closure", "kg_pagerank", "kg_random_walks",
     "kg_skipgram_pairs", "kg_kcore",
-    "kg_neighborhood_growth", "kg_anf_registers",
+    "kg_neighborhood_growth", "kg_anf_registers", "kg_ppr",
 ]
 
 def _vocab(rng):
