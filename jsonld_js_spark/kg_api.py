@@ -1902,6 +1902,102 @@ ORDER BY jaccard_ppm DESC, s.x, s.y LIMIT {SIM_TOPK}
 """
 
 
+def link_prediction_ra(edges, topk: int = SIM_TOPK,
+                       max_hub_degree: int | None = MAX_HUB_DEGREE):
+    """(a, b) both-direction edge rows → top-`topk` NON-adjacent
+    entity pairs by Resource Allocation index (Zhou/Lü/Zhang 2009) —
+    the degree-discounted link-prediction score that beats raw
+    common-neighbor counts because a shared hub is weak evidence:
+
+        ra_ppm(x, y) = Σ_{z ∈ N(x)∩N(y)}  1_000_000 DIV deg(z)
+
+    Exact int64 (ppm contribution per wedge center, floor division on
+    non-negative operands — bit-portable to DuckDB). Pairs already
+    connected are anti-joined away: the output IS the prediction set.
+
+    Scale shape = `neighbor_jaccard`: wedge join on the shared
+    neighbor with the same default-ON hub-degree cap (a dropped
+    10^5-degree hub would have contributed ≤ 10 ppm per pair anyway —
+    RA's own discount makes the cap's signal loss quantifiably tiny,
+    unlike raw counts), one groupBy(x, y), one anti-join, TakeOrdered.
+    The center weight rides the wedge source, so no extra join inside
+    the self-join."""
+    und = edges.distinct().cache()
+    deg = und.groupBy("a").agg(F.count("*").alias("d")) \
+        .select(F.col("a").alias("node"), "d")
+    src = deg if max_hub_degree is None else \
+        deg.filter(F.col("d") <= max_hub_degree)
+    ws = (und.join(src.select(F.col("node").alias("a"), "d"), "a")
+          .select("a", "b", F.expr("1000000 DIV d").alias("w")))
+    scored = (ws.alias("e1").join(
+        ws.alias("e2"),
+        (F.col("e1.a") == F.col("e2.a")) &
+        (F.col("e1.b") < F.col("e2.b")))
+        .groupBy(F.col("e1.b").alias("x"), F.col("e2.b").alias("y"))
+        .agg(F.count("*").alias("n_shared"),
+             F.sum("e1.w").alias("ra_ppm")))
+    existing = (und.filter(F.col("a") < F.col("b"))
+                .select(F.col("a").alias("x"), F.col("b").alias("y")))
+    return (scored.join(existing, ["x", "y"], "left_anti")
+            .select("x", "y", "n_shared",
+                    F.col("ra_ppm").cast("long").alias("ra_ppm"))
+            .orderBy(F.desc("ra_ppm"), "x", "y").limit(topk))
+
+
+def q_kg_link_prediction(spark, sf_dir):
+    """Gated query: top-50 predicted (absent) co-mention entity links
+    by Resource Allocation index (hub guard ON — shares
+    `_comention_pairs`)."""
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    p = pairs.distinct()
+    edges = (p.select(F.col("ent_a").alias("a"), F.col("ent_b").alias("b"))
+             .unionAll(p.select(F.col("ent_b").alias("a"),
+                                F.col("ent_a").alias("b"))))
+    return link_prediction_ra(edges)
+
+
+def oracle_kg_link_prediction(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+pairs AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+),
+und AS (
+  SELECT ent_a AS a, ent_b AS b FROM pairs
+  UNION ALL SELECT ent_b, ent_a FROM pairs
+),
+deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+ws AS (
+  SELECT e.a, e.b, 1000000 // g.d AS w FROM und e
+  JOIN deg g ON g.node = e.a AND g.d <= {MAX_HUB_DEGREE}
+),
+scored AS (
+  SELECT e1.b AS x, e2.b AS y,
+         cast(count(*) as bigint) AS n_shared,
+         cast(sum(e1.w) as bigint) AS ra_ppm
+  FROM ws e1 JOIN ws e2 ON e1.a = e2.a AND e1.b < e2.b
+  GROUP BY e1.b, e2.b
+)
+SELECT s.x, s.y, s.n_shared, s.ra_ppm
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                  WHERE p.ent_a = s.x AND p.ent_b = s.y)
+ORDER BY s.ra_ppm DESC, s.x, s.y LIMIT {SIM_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # k-core decomposition (iterative degeneracy peel) over the co-mention
 # graph — the densest-subgraph signal KG pipelines ship for entity
@@ -2378,6 +2474,7 @@ def queries() -> dict:
         "kg_neighborhood_growth": q_kg_neighborhood_growth,
         "kg_anf_registers": q_kg_anf_registers,
         "kg_ppr": q_kg_ppr,
+        "kg_link_prediction": q_kg_link_prediction,
     }
 
 
@@ -2427,4 +2524,5 @@ def oracles(n_conv: int) -> dict:
             oracle_kg_neighborhood_growth(triples_sql),
         "kg_anf_registers": oracle_kg_anf_registers(triples_sql),
         "kg_ppr": oracle_kg_ppr(triples_sql),
+        "kg_link_prediction": oracle_kg_link_prediction(triples_sql),
     }

@@ -222,6 +222,32 @@ def test_ppr_matches_integer_reference(spark):
         assert all(v == 0 for u, v in rank.items() if u not in reach)
 
 
+def test_link_prediction_ra_matches_bruteforce(spark):
+    """Resource Allocation link prediction equals a pure-Python
+    brute force (sum of 10^6 // deg(z) over common neighbors z,
+    adjacent pairs excluded) on random + adversarial graphs."""
+    from jsonld_js_spark.kg_api import link_prediction_ra
+
+    for und in random_graphs():
+        g = adj(und)
+        want = {}
+        nodes = sorted(g)
+        for i, x in enumerate(nodes):
+            for y in nodes[i + 1:]:
+                if y in g[x]:
+                    continue
+                common = g[x] & g[y]
+                if common:
+                    want[(x, y)] = (len(common),
+                                    sum(1000000 // len(g[z])
+                                        for z in common))
+        edges = spark.createDataFrame(
+            sorted(both_dirs(und)), "a string, b string")
+        got = {(r["x"], r["y"]): (r["n_shared"], r["ra_ppm"])
+               for r in link_prediction_ra(edges, topk=10**6).collect()}
+        assert got == want
+
+
 def test_kcore_matches_bruteforce(spark):
     """Distributed iterative peel equals a pure-Python fixpoint peel
     on random + adversarial graphs (chain: the slow-peel worst case —
