@@ -1902,6 +1902,65 @@ ORDER BY jaccard_ppm DESC, s.x, s.y LIMIT {SIM_TOPK}
 """
 
 
+def q_kg_entity_timeline(spark, sf_dir):
+    """Per-entity temporal profile over the constructed KG: first/last
+    mention timestamp, mention count, distinct-conversation count —
+    the freshness/coverage table a KG serving layer keeps per entity
+    (staleness eviction, trending detection).
+
+    Portability: the generator's xsd:dateTime literals are
+    second-granularity ISO-8601 Z strings, which sort lexicographically
+    identically to their instants — first/last seen are exact string
+    MIN/MAX, no timestamp parsing or TZ surface on either engine
+    (CLAUDE.md: never return raw timestamp columns).
+
+    Scale shape: mentions ⋈ ts on the TURN key (uniform — turn ids
+    never skew even when an entity is hot), then ONE partial-aggregated
+    groupBy(ent) for min/max/count plus a two-phase exact distinct-conv
+    count (distinct (ent, conv) dedups map-side before the count —
+    never countDistinct's expand over a celebrity entity's raw mention
+    stream). At 100 TB the distinct-conv leg can swap to the HLL
+    register path (operators/sketches.py) without touching callers."""
+    t = _triples(spark, sf_dir, cache=True)
+    m = (t.filter(F.col("pred") == TR + "mentions")
+         .select("subj", F.col("obj_value").alias("ent")))
+    ts = (t.filter(F.col("pred") == TR + "ts")
+          .select("subj", F.col("obj_value").alias("ts")))
+    rows = m.join(ts, "subj").select(
+        "ent", "ts",
+        F.regexp_replace("subj", "/turn/[0-9]+$", "").alias("conv"))
+    base = rows.groupBy("ent").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("n_mentions"))
+    nconv = (rows.select("ent", "conv").distinct()
+             .groupBy("ent").agg(F.count("*").alias("n_convs")))
+    return (base.join(nconv, "ent")
+            .select("ent", "first_seen", "last_seen",
+                    F.col("n_mentions").cast("long").alias("n_mentions"),
+                    F.col("n_convs").cast("long").alias("n_convs"))
+            .orderBy("ent"))
+
+
+def oracle_kg_entity_timeline(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+m AS (
+  SELECT subj, obj_value AS ent,
+         regexp_replace(subj, '/turn/[0-9]+$', '') AS conv
+  FROM triples WHERE pred = '{TR}mentions'
+),
+ts AS (
+  SELECT subj, obj_value AS ts FROM triples WHERE pred = '{TR}ts'
+),
+rows_ AS (SELECT m.ent, ts.ts, m.conv FROM m JOIN ts ON m.subj = ts.subj)
+SELECT ent, min(ts) AS first_seen, max(ts) AS last_seen,
+       cast(count(*) AS bigint) AS n_mentions,
+       cast(count(DISTINCT conv) AS bigint) AS n_convs
+FROM rows_ GROUP BY ent ORDER BY ent
+"""
+
+
 def link_prediction_ra(edges, topk: int = SIM_TOPK,
                        max_hub_degree: int | None = MAX_HUB_DEGREE):
     """(a, b) both-direction edge rows → top-`topk` NON-adjacent
@@ -1938,10 +1997,11 @@ def link_prediction_ra(edges, topk: int = SIM_TOPK,
              F.sum("e1.w").alias("ra_ppm")))
     existing = (und.filter(F.col("a") < F.col("b"))
                 .select(F.col("a").alias("x"), F.col("b").alias("y")))
-    return (scored.join(existing, ["x", "y"], "left_anti")
-            .select("x", "y", "n_shared",
-                    F.col("ra_ppm").cast("long").alias("ra_ppm"))
-            .orderBy(F.desc("ra_ppm"), "x", "y").limit(topk))
+    out = (scored.join(existing, ["x", "y"], "left_anti")
+           .select("x", "y", "n_shared",
+                   F.col("ra_ppm").cast("long").alias("ra_ppm"))
+           .orderBy(F.desc("ra_ppm"), "x", "y"))
+    return out if topk is None else out.limit(topk)
 
 
 def q_kg_link_prediction(spark, sf_dir):
@@ -2475,6 +2535,7 @@ def queries() -> dict:
         "kg_anf_registers": q_kg_anf_registers,
         "kg_ppr": q_kg_ppr,
         "kg_link_prediction": q_kg_link_prediction,
+        "kg_entity_timeline": q_kg_entity_timeline,
     }
 
 
@@ -2525,4 +2586,5 @@ def oracles(n_conv: int) -> dict:
         "kg_anf_registers": oracle_kg_anf_registers(triples_sql),
         "kg_ppr": oracle_kg_ppr(triples_sql),
         "kg_link_prediction": oracle_kg_link_prediction(triples_sql),
+        "kg_entity_timeline": oracle_kg_entity_timeline(triples_sql),
     }
