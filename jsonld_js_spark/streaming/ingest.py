@@ -319,6 +319,43 @@ def stream_hll_postings(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_entity_timeline(spark: SparkSession, input_dir: str,
+                           checkpoint_dir: str,
+                           available_now: bool = True,
+                           query_name: str = "entity_timeline"):
+    """Live per-entity temporal profile: first_seen / last_seen /
+    n_mentions maintained as a streaming upsert aggregate over the
+    transcript feed — the continuously-fresh sibling of the batch
+    `kg_entity_timeline` (kg_api.py). State is 3 scalars per DISTINCT
+    entity — bounded by the entity vocabulary forever, not by stream
+    length, so no watermark is needed (min/max/count are monotone
+    merges, the same never-expires argument as the HLL registers).
+    Complete mode re-emits the profile table per trigger; the
+    distinct-conversation leg of the batch query deliberately does NOT
+    stream here — exact streaming distinct state grows with
+    (entity × conv) pairs, so a deployment pairs this with
+    stream_hll_postings keyed ent:conv (fixed registers) instead."""
+    stream = read_transcript_stream(spark, input_dir)
+    mentions = stream.select(
+        "ts",
+        F.explode(F.array_distinct(F.transform(
+            F.regexp_extract_all("text", F.lit(MENTION_RE), 1),
+            lambda s: F.concat(F.lit("Entity"),
+                               F.regexp_extract(s, r"[0-9]+", 0)))))
+        .alias("entity"))
+    prof = (mentions.groupBy("entity")
+            .agg(F.min("ts").alias("first_seen"),
+                 F.max("ts").alias("last_seen"),
+                 F.count("*").alias("n_mentions")))
+    writer = (prof.writeStream.format("memory")
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("complete"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_countmin_tokens(spark: SparkSession, input_dir: str,
                            checkpoint_dir: str,
                            available_now: bool = True,

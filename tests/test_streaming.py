@@ -62,6 +62,40 @@ def test_stream_conversation_sessions(spark, transcript_files, tmp_path):
         assert r["n_mentions"] >= r["n_turns"]  # >=1 mention per turn
 
 
+def test_stream_entity_timeline_matches_batch(spark, transcript_files,
+                                              tmp_path):
+    """The streaming per-entity profile after the stream drains equals
+    the batch min/max/count over the same turns, and the state the
+    query ever held is exactly one row per distinct entity (the
+    vocabulary-bounded claim)."""
+    from jsonld_js_spark.streaming.ingest import stream_entity_timeline
+    from jsonld_js_spark.vocab import MENTION_RE
+
+    q = stream_entity_timeline(spark, transcript_files,
+                               str(tmp_path / "ckpt_tl"),
+                               query_name="entity_timeline_t")
+    q.awaitTermination(120)
+    got = {r["entity"]: (r["first_seen"], r["last_seen"],
+                         r["n_mentions"])
+           for r in spark.sql(
+               "SELECT * FROM entity_timeline_t").collect()}
+    batch = (transcripts_df(spark, n_conv=N_CONV)
+             .select("ts", F.explode(F.array_distinct(F.transform(
+                 F.regexp_extract_all("text", F.lit(MENTION_RE), 1),
+                 lambda s: F.concat(
+                     F.lit("Entity"),
+                     F.regexp_extract(s, r"[0-9]+", 0)))))
+                 .alias("entity"))
+             .groupBy("entity")
+             .agg(F.min("ts").alias("f"), F.max("ts").alias("l"),
+                  F.count("*").alias("n")))
+    want = {r["entity"]: (r["f"], r["l"], r["n"])
+            for r in batch.collect()}
+    assert got == want
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["numRowsTotal"] == len(want)
+
+
 def test_stream_dedup_documents(spark, tmp_path):
     """Duplicates across micro-batches within the watermark are
     dropped; distinct texts all survive."""
