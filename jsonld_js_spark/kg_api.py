@@ -1009,22 +1009,13 @@ def q_kg_entity_comention(spark, sf_dir,
     return out
 
 
-def _comention_pairs(spark, sf_dir,
-                     max_entities_per_conv=MAX_ENTITIES_PER_CONV):
-    """Per-conversation entity pairs (ent_a < ent_b), one row per
-    (conversation, pair); second return is the quadratic-guard stats
-    frame (or None when the guard is off). Shared by
-    q_kg_entity_comention and q_kg_triangle_count.
-
-    ONE groupBy(conv) collect_set replaces the old
-    distinct → count-join → self-join chain, which re-executed the
-    distinct-mentions subtree up to 4x (guard agg, guard join, and
-    both self-join sides) — measured 4.0 s -> ~1 s at sf0.1. The
-    sorted entity array bounds per-row size by conversation length
-    (the same bound the old plan had), the guard is a free
-    F.size filter BEFORE any pair is produced, and pair expansion
-    is an array lambda — C(m,2) rows only for kept conversations,
-    no conv-keyed self-join shuffle at all."""
+def _conv_ents(spark, sf_dir,
+               max_entities_per_conv=MAX_ENTITIES_PER_CONV):
+    """(conv, sorted distinct entity array) per conversation, with the
+    quadratic guard applied; second return is the guard stats frame
+    (or None when the guard is off). The per-conversation collect_set
+    bounds row size by conversation length, and the guard is a free
+    size filter before any pair expansion."""
     t = _triples(spark, sf_dir, cache=True)
     conv_ents = (t.filter(F.col("pred") == TR + "mentions")
                  .select(F.regexp_replace("subj", "/turn/[0-9]+$", "")
@@ -1041,6 +1032,27 @@ def _comention_pairs(spark, sf_dir,
             F.count("*").alias("total_convs"))
         conv_ents = conv_ents.filter(
             F.size("ents") <= max_entities_per_conv)
+    return conv_ents, guard_df
+
+
+def _comention_pairs(spark, sf_dir,
+                     max_entities_per_conv=MAX_ENTITIES_PER_CONV):
+    """Per-conversation entity pairs (ent_a < ent_b), one row per
+    (conversation, pair); second return is the quadratic-guard stats
+    frame (or None when the guard is off). Shared by
+    q_kg_entity_comention and q_kg_triangle_count.
+
+    ONE groupBy(conv) collect_set replaces the old
+    distinct → count-join → self-join chain, which re-executed the
+    distinct-mentions subtree up to 4x (guard agg, guard join, and
+    both self-join sides) — measured 4.0 s -> ~1 s at sf0.1. The
+    sorted entity array bounds per-row size by conversation length
+    (the same bound the old plan had), the guard is a free
+    F.size filter BEFORE any pair is produced, and pair expansion
+    is an array lambda — C(m,2) rows only for kept conversations,
+    no conv-keyed self-join shuffle at all."""
+    conv_ents, guard_df = _conv_ents(spark, sf_dir,
+                                     max_entities_per_conv)
     ents = F.col("ents")
     # (x, i) -> pairs of x with every later (= lexically greater,
     # array_sort) element: identical pair set and order semantics to
@@ -1902,6 +1914,104 @@ ORDER BY jaccard_ppm DESC, s.x, s.y LIMIT {SIM_TOPK}
 """
 
 
+LIFT_MIN_SUPPORT = 2  # pairs seen once are lift noise (a singleton
+#                       pair of two rare entities maxes the score)
+
+
+def q_kg_cooccur_lift(spark, sf_dir):
+    """Association-ranked co-mention pairs: observed/expected lift
+
+        lift(x, y) = N · c_xy / (c_x · c_y)
+
+    in exact integer ppm — the significance layer over
+    kg_entity_comention's raw counts (raw counts rank hub pairs first;
+    lift surfaces the pairs that co-occur far MORE than their
+    individual popularity predicts, the relation-discovery signal).
+
+    Exactness: ppm is computed in the documented left-to-right int64
+    order ((1_000_000 · N) DIV c_x · c_xy) DIV c_y — ent_a's count
+    divides first; c_xy ≤ c_x keeps every intermediate ≤ 10^6 · N, so
+    the arithmetic is int64-safe up to N ≈ 9·10^12 kept conversations.
+    Min support {LIFT_MIN_SUPPORT} drops singleton pairs. N is a 1-row
+    collect (driver scalar, the k-means pattern).
+
+    Scale shape: one conv-keyed collect_set (shared `_conv_ents`,
+    guard default-ON), array-lambda pair expansion (no self-join), one
+    partial-aggregated groupBy(pair), two ent-keyed joins against the
+    per-entity conv-count dim — the jaccard deg-join shape — and a
+    TakeOrdered."""
+    conv_ents, _guard = _conv_ents(spark, sf_dir)
+    return cooccur_lift(conv_ents)
+
+
+def cooccur_lift(conv_ents, min_support: int = LIFT_MIN_SUPPORT,
+                 topk: int = 50):
+    """Lift core over a (conv, ents sorted-array) frame — see
+    `q_kg_cooccur_lift` for formula/exactness/scale notes. Pinned by a
+    hand-computed tiny-corpus truth in tests/test_arithmetic_truths.py
+    (the oracle shares the formula, so the gate alone can't see a
+    synchronized defect)."""
+    conv_ents = conv_ents.localCheckpoint()  # 3 consumers below
+    n_convs_total = conv_ents.count()
+    if n_convs_total == 0:
+        n_convs_total = 1
+    kept = conv_ents.select("conv", F.explode("ents").alias("ent"))
+    cx = kept.groupBy("ent").agg(F.count("*").alias("c"))
+    ents = F.col("ents")
+    pair_structs = F.flatten(F.transform(
+        ents,
+        lambda x, i: F.transform(
+            F.slice(ents, i + F.lit(2), F.size(ents) - i - F.lit(1)),
+            lambda y: F.struct(x.alias("ent_a"), y.alias("ent_b")))))
+    cxy = (conv_ents.select(F.explode(pair_structs).alias("p"))
+           .groupBy(F.col("p.ent_a").alias("ent_a"),
+                    F.col("p.ent_b").alias("ent_b"))
+           .agg(F.count("*").alias("n_convs"))
+           .filter(F.col("n_convs") >= min_support))
+    return (cxy
+            .join(cx.select(F.col("ent").alias("ent_a"),
+                            F.col("c").alias("c_a")), "ent_a")
+            .join(cx.select(F.col("ent").alias("ent_b"),
+                            F.col("c").alias("c_b")), "ent_b")
+            .select("ent_a", "ent_b",
+                    F.col("n_convs").cast("long").alias("n_convs"),
+                    F.expr(f"(({1000000} * {n_convs_total}) DIV c_a "
+                           f"* n_convs) DIV c_b").cast("long")
+                    .alias("lift_ppm"))
+            .orderBy(F.desc("lift_ppm"), "ent_a", "ent_b").limit(topk))
+
+
+def oracle_kg_cooccur_lift(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+n AS (SELECT greatest(count(DISTINCT conv), 1) AS n FROM kept),
+cx AS (SELECT ent, cast(count(*) AS bigint) AS c FROM kept GROUP BY ent),
+cxy AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b,
+         cast(count(*) AS bigint) AS n_convs
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+  GROUP BY 1, 2
+  HAVING count(*) >= {LIFT_MIN_SUPPORT}
+)
+SELECT p.ent_a, p.ent_b, p.n_convs,
+       cast(((1000000 * (SELECT n FROM n)) // ca.c * p.n_convs) // cb.c
+            AS bigint) AS lift_ppm
+FROM cxy p JOIN cx ca ON ca.ent = p.ent_a JOIN cx cb ON cb.ent = p.ent_b
+ORDER BY lift_ppm DESC, p.ent_a, p.ent_b LIMIT 50
+"""
+
+
 def q_kg_entity_timeline(spark, sf_dir):
     """Per-entity temporal profile over the constructed KG: first/last
     mention timestamp, mention count, distinct-conversation count —
@@ -2536,6 +2646,7 @@ def queries() -> dict:
         "kg_ppr": q_kg_ppr,
         "kg_link_prediction": q_kg_link_prediction,
         "kg_entity_timeline": q_kg_entity_timeline,
+        "kg_cooccur_lift": q_kg_cooccur_lift,
     }
 
 
@@ -2587,4 +2698,5 @@ def oracles(n_conv: int) -> dict:
         "kg_ppr": oracle_kg_ppr(triples_sql),
         "kg_link_prediction": oracle_kg_link_prediction(triples_sql),
         "kg_entity_timeline": oracle_kg_entity_timeline(triples_sql),
+        "kg_cooccur_lift": oracle_kg_cooccur_lift(triples_sql),
     }

@@ -85,3 +85,20 @@ def test_minhash_signature_hand_computed():
                    (((a * (h >> 30)) & ((1 << 31) - 1)) << 30) +
                    a * (h & ((1 << 30) - 1))) % MIX_PRIME for h in hs)
         assert got == expect
+
+
+def test_cooccur_lift_hand_computed(spark):
+    """Lift ppm on a 4-conversation hand corpus, from the definition
+    lift = N·c_xy/(c_x·c_y) with the documented left-to-right int64
+    op order: N=4, c_A=3 c_B=3 c_C=2, c_AB=2 c_BC=2 (c_AC=1 falls to
+    min support):
+      AB: ((10^6·4)//3·2)//3 = 888888   (true 0.8888…)
+      BC: ((10^6·4)//3·2)//2 = 1333333  (true 1.3333…)"""
+    from jsonld_js_spark.kg_api import cooccur_lift
+    conv_ents = spark.createDataFrame(
+        [("c1", ["A", "B", "C"]), ("c2", ["A", "B"]),
+         ("c3", ["A"]), ("c4", ["B", "C"])],
+        "conv string, ents array<string>")
+    got = {(r["ent_a"], r["ent_b"]): (r["n_convs"], r["lift_ppm"])
+           for r in cooccur_lift(conv_ents).collect()}
+    assert got == {("A", "B"): (2, 888888), ("B", "C"): (2, 1333333)}

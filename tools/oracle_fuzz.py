@@ -110,7 +110,7 @@ KG_FUZZABLE = [
     "kg_sameas_closure", "kg_pagerank", "kg_random_walks",
     "kg_skipgram_pairs", "kg_kcore",
     "kg_neighborhood_growth", "kg_anf_registers", "kg_ppr",
-    "kg_link_prediction", "kg_entity_timeline",
+    "kg_link_prediction", "kg_entity_timeline", "kg_cooccur_lift",
 ]
 
 def _vocab(rng):
