@@ -1975,7 +1975,12 @@ def cooccur_lift(conv_ents, min_support: int = LIFT_MIN_SUPPORT,
                             F.col("c").alias("c_b")), "ent_b")
             .select("ent_a", "ent_b",
                     F.col("n_convs").cast("long").alias("n_convs"),
-                    F.expr(f"(({1000000} * {n_convs_total}) DIV c_a "
+                    # the 10^6·N numerator is computed driver-side as
+                    # ONE literal: two int literals would multiply in
+                    # int32 and overflow past N = 2147 (ANSI error at
+                    # sf0.1's N=10^4; a >int32 literal parses as
+                    # BIGINT, and c_a/n_convs/c_b are already bigint)
+                    F.expr(f"(({1000000 * n_convs_total}) DIV c_a "
                            f"* n_convs) DIV c_b").cast("long")
                     .alias("lift_ppm"))
             .orderBy(F.desc("lift_ppm"), "ent_a", "ent_b").limit(topk))
