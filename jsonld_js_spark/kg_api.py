@@ -2076,6 +2076,175 @@ FROM rows_ GROUP BY ent ORDER BY ent
 """
 
 
+def q_kg_tool_transitions(spark, sf_dir):
+    """Agent-trajectory mining over the constructed KG: tool-call
+    bigram transitions. For each conversation, order its tool-using
+    turns by turnIndex and count (tool_from -> tool_to) adjacencies —
+    the Markov transition table an agent-behavior dashboard keeps
+    (which tool follows which, and with what share of tool_from's
+    outgoing calls).
+
+    Exactness: share_ppm = (1_000_000 * n_trans) DIV total_from —
+    int64 floor division on non-negative operands (bit-portable to
+    DuckDB); turnIndex literals cast to int on both engines.
+
+    Scale shape: the usesTool/turnIndex triple filters join on the
+    TURN key (uniform — turn IRIs never skew), ONE conv-keyed window
+    (lead) whose partitions are bounded by conversation length (the
+    generator caps at 500 turns; a real feed bounds by session), then
+    a vocabulary-bounded groupBy(tool_from, tool_to) with map-side
+    partial combine and a tiny window over the aggregated table for
+    the per-source totals. No corpus-scale self-join anywhere."""
+    t = _triples(spark, sf_dir, cache=True)
+    tools = (t.filter(F.col("pred") == TR + "usesTool")
+             .select("subj", F.col("obj_value").alias("tool")))
+    idx = (t.filter(F.col("pred") == TR + "turnIndex")
+           .select("subj", F.col("obj_value").cast("int").alias("idx")))
+    rows = tools.join(idx, "subj").select(
+        F.regexp_replace("subj", "/turn/[0-9]+$", "").alias("conv"),
+        "idx", "tool")
+    return tool_transitions(rows)
+
+
+def tool_transitions(rows):
+    """Transition core over a (conv, idx, tool) frame — see
+    `q_kg_tool_transitions` for formula/exactness/scale notes. Pinned
+    by a hand-computed branching-corpus truth in
+    tests/test_arithmetic_truths.py (the generator's fixed tool cycle
+    gives every tool exactly one successor, so the gate alone cannot
+    exercise branching shares)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("conv").orderBy("idx")
+    trans = (rows.withColumn("tool_to", F.lead("tool").over(w))
+             .filter(F.col("tool_to").isNotNull())
+             .groupBy(F.col("tool").alias("tool_from"), "tool_to")
+             .agg(F.count(F.lit(1)).alias("n_trans")))
+    wt = Window.partitionBy("tool_from")
+    return (trans
+            .withColumn("total_from", F.sum("n_trans").over(wt))
+            .select("tool_from", "tool_to",
+                    F.col("n_trans").cast("long").alias("n_trans"),
+                    F.expr("(1000000 * n_trans) DIV total_from")
+                    .cast("long").alias("share_ppm"))
+            .orderBy("tool_from", "tool_to"))
+
+
+def oracle_kg_tool_transitions(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+tools AS (
+  SELECT subj, obj_value AS tool FROM triples
+  WHERE pred = '{TR}usesTool'
+),
+idx AS (
+  SELECT subj, cast(obj_value AS int) AS idx FROM triples
+  WHERE pred = '{TR}turnIndex'
+),
+rows_ AS (
+  SELECT regexp_replace(tools.subj, '/turn/[0-9]+$', '') AS conv,
+         idx.idx, tools.tool
+  FROM tools JOIN idx ON tools.subj = idx.subj
+),
+trans AS (
+  SELECT tool AS tool_from,
+         lead(tool) OVER (PARTITION BY conv ORDER BY idx) AS tool_to
+  FROM rows_
+),
+agg AS (
+  SELECT tool_from, tool_to, cast(count(*) AS bigint) AS n_trans
+  FROM trans WHERE tool_to IS NOT NULL GROUP BY 1, 2
+)
+SELECT tool_from, tool_to, n_trans,
+       cast((1000000 * n_trans) //
+            sum(n_trans) OVER (PARTITION BY tool_from) AS bigint)
+         AS share_ppm
+FROM agg ORDER BY tool_from, tool_to
+"""
+
+
+def q_kg_relation_timeline(spark, sf_dir):
+    """Temporal co-mention edges: for every entity pair co-mentioned
+    in >= {LIFT_MIN_SUPPORT} conversations, the first/last time the
+    relation was observed plus its support — the time-stamped edge
+    table a temporal KG materializes (relation freshness, emerging /
+    dormant association detection), the timeline sibling of
+    kg_entity_comention.
+
+    A pair's observation time in a conversation is the conversation's
+    FIRST turn timestamp (min of the second-granularity ISO-8601 Z
+    literals — lexicographic min/max equal instant order, zero
+    timestamp parsing on either engine, the kg_entity_timeline rule).
+
+    Scale shape: the shared guarded `_conv_ents` collect_set frame
+    (hub conversations dropped BEFORE any pair expansion), one
+    conv-keyed min-agg for the conversation timestamp, one uniform
+    conv-keyed join, array-lambda pair expansion (no self-join), ONE
+    partial-aggregated groupBy(pair). Support filter bounds output to
+    recurring relations."""
+    conv_ents, _guard = _conv_ents(spark, sf_dir)
+    t = _triples(spark, sf_dir, cache=True)
+    conv_ts = (t.filter(F.col("pred") == TR + "ts")
+               .groupBy(F.regexp_replace("subj", "/turn/[0-9]+$", "")
+                        .alias("conv"))
+               .agg(F.min(F.col("obj_value")).alias("conv_ts")))
+    return relation_timeline(conv_ents, conv_ts)
+
+
+def relation_timeline(conv_ents, conv_ts,
+                      min_support: int = LIFT_MIN_SUPPORT):
+    """Temporal-edge core over (conv, ents sorted-array) and
+    (conv, conv_ts) frames — see `q_kg_relation_timeline` for
+    contract/scale notes. Pinned by a hand corpus in
+    tests/test_arithmetic_truths.py."""
+    ents = F.col("ents")
+    pair_structs = F.flatten(F.transform(
+        ents,
+        lambda x, i: F.transform(
+            F.slice(ents, i + F.lit(2), F.size(ents) - i - F.lit(1)),
+            lambda y: F.struct(x.alias("ent_a"), y.alias("ent_b")))))
+    return (conv_ents.join(conv_ts, "conv")
+            .select(F.explode(pair_structs).alias("p"), "conv_ts")
+            .groupBy(F.col("p.ent_a").alias("ent_a"),
+                     F.col("p.ent_b").alias("ent_b"))
+            .agg(F.min("conv_ts").alias("first_seen"),
+                 F.max("conv_ts").alias("last_seen"),
+                 F.count(F.lit(1)).alias("n_convs"))
+            .filter(F.col("n_convs") >= min_support)
+            .select("ent_a", "ent_b", "first_seen", "last_seen",
+                    F.col("n_convs").cast("long").alias("n_convs"))
+            .orderBy("ent_a", "ent_b"))
+
+
+def oracle_kg_relation_timeline(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+cts AS (
+  SELECT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         min(obj_value) AS conv_ts
+  FROM triples WHERE pred = '{TR}ts' GROUP BY 1
+)
+SELECT a.ent AS ent_a, b.ent AS ent_b,
+       min(cts.conv_ts) AS first_seen, max(cts.conv_ts) AS last_seen,
+       cast(count(*) AS bigint) AS n_convs
+FROM kept a
+JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+JOIN cts ON cts.conv = a.conv
+GROUP BY 1, 2 HAVING count(*) >= {LIFT_MIN_SUPPORT}
+ORDER BY ent_a, ent_b
+"""
+
+
 def link_prediction_ra(edges, topk: int = SIM_TOPK,
                        max_hub_degree: int | None = MAX_HUB_DEGREE):
     """(a, b) both-direction edge rows → top-`topk` NON-adjacent
@@ -2652,6 +2821,8 @@ def queries() -> dict:
         "kg_link_prediction": q_kg_link_prediction,
         "kg_entity_timeline": q_kg_entity_timeline,
         "kg_cooccur_lift": q_kg_cooccur_lift,
+        "kg_tool_transitions": q_kg_tool_transitions,
+        "kg_relation_timeline": q_kg_relation_timeline,
     }
 
 
@@ -2704,4 +2875,7 @@ def oracles(n_conv: int) -> dict:
         "kg_link_prediction": oracle_kg_link_prediction(triples_sql),
         "kg_entity_timeline": oracle_kg_entity_timeline(triples_sql),
         "kg_cooccur_lift": oracle_kg_cooccur_lift(triples_sql),
+        "kg_tool_transitions": oracle_kg_tool_transitions(triples_sql),
+        "kg_relation_timeline":
+            oracle_kg_relation_timeline(triples_sql),
     }

@@ -102,3 +102,42 @@ def test_cooccur_lift_hand_computed(spark):
     got = {(r["ent_a"], r["ent_b"]): (r["n_convs"], r["lift_ppm"])
            for r in cooccur_lift(conv_ents).collect()}
     assert got == {("A", "B"): (2, 888888), ("B", "C"): (2, 1333333)}
+
+
+def test_tool_transitions_hand_computed(spark):
+    """Branching transition shares on a hand trajectory corpus (the
+    generator's fixed tool cycle gives every tool ONE successor, so
+    the oracle gate never sees a split). Two conversations:
+      c1: search(1) -> code(3) -> search(5) -> web(7)
+      c2: search(2) -> code(4)
+    Adjacent tool-turn bigrams: search->code x2, code->search x1,
+    search->web x1. Out of 'search': 3 total -> code 666666 ppm,
+    web 333333 ppm (floor); out of 'code': 1 -> 1000000."""
+    from jsonld_js_spark.kg_api import tool_transitions
+    rows = spark.createDataFrame(
+        [("c1", 1, "search"), ("c1", 3, "code"), ("c1", 5, "search"),
+         ("c1", 7, "web"), ("c2", 2, "search"), ("c2", 4, "code")],
+        "conv string, idx int, tool string")
+    got = {(r["tool_from"], r["tool_to"]): (r["n_trans"], r["share_ppm"])
+           for r in tool_transitions(rows).collect()}
+    assert got == {("search", "code"): (2, 666666),
+                   ("search", "web"): (1, 333333),
+                   ("code", "search"): (1, 1000000)}
+
+
+def test_relation_timeline_hand_computed(spark):
+    """Temporal-edge contract on a hand corpus: pair (A,B) seen in c1
+    (ts 2024-01-01T00:00:00Z) and c3 (2024-03-01T00:00:00Z) ->
+    first/last straddle; (A,C) only in c2 falls to min support 2."""
+    from jsonld_js_spark.kg_api import relation_timeline
+    conv_ents = spark.createDataFrame(
+        [("c1", ["A", "B"]), ("c2", ["A", "C"]), ("c3", ["A", "B"])],
+        "conv string, ents array<string>")
+    conv_ts = spark.createDataFrame(
+        [("c1", "2024-01-01T00:00:00Z"), ("c2", "2024-02-01T00:00:00Z"),
+         ("c3", "2024-03-01T00:00:00Z")],
+        "conv string, conv_ts string")
+    got = [tuple(r) for r in
+           relation_timeline(conv_ents, conv_ts).collect()]
+    assert got == [("A", "B", "2024-01-01T00:00:00Z",
+                    "2024-03-01T00:00:00Z", 2)]

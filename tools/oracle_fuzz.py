@@ -111,6 +111,7 @@ KG_FUZZABLE = [
     "kg_skipgram_pairs", "kg_kcore",
     "kg_neighborhood_growth", "kg_anf_registers", "kg_ppr",
     "kg_link_prediction", "kg_entity_timeline", "kg_cooccur_lift",
+    "kg_tool_transitions", "kg_relation_timeline",
 ]
 
 def _vocab(rng):
