@@ -588,6 +588,138 @@ ORACLES["text_tfidf_topk"] = ORACLE_TEXT_TFIDF
 
 
 # ---------------------------------------------------------------------------
+# BM25-flavor retrieval ranking: top-k documents for a fixed query
+# term set under an ALL-INTEGER scoring contract (the tfidf precedent,
+# one level up):
+#
+#   avgdl    = total_tokens DIV n_docs          (>= 1)
+#   denom_m  = 300 + (900 * dl) DIV avgdl       (k1=1.2, b=0.75,
+#                                                milli-units of
+#                                                k1*(1-b+b*dl/avgdl))
+#   tf_pm    = (tf * 2_200_000) DIV (tf * 1000 + denom_m)
+#                                               (permille of the
+#                                                (k1+1)-saturating tf
+#                                                term, cap 2200)
+#   idf_pm   = (1000 * (n_docs - df)) DIV df    (linear idf permille —
+#                                                ln() differs in the
+#                                                last ulp across libm
+#                                                builds and a flipped
+#                                                tie fails the hash
+#                                                gate)
+#   score    = sum over matched terms of idf_pm * tf_pm
+#
+# Every DIV sits on non-negative int64 operands (portable floor);
+# intermediates stay < 2^63 up to ~10^12 documents (idf_pm <= 10^3 *
+# n_docs, tf_pm <= 2200). Scale shape: ONE corpus scan — a staged
+# projection tokenizes once per row (CollapseProject keeps the stage,
+# the ngram_topk precedent) and computes dl + per-query-term tf as
+# array sizes (JVM-side, no explode, no (doc,token) shuffle at all);
+# the corpus-level stats (n_docs, total_tokens, per-term df) are ONE
+# 1-row aggregation broadcast back over the cached narrow base (the
+# k-means-scalar pattern — Catalyst would otherwise re-scan the
+# corpus per derived frame), and scoring is a pure projection into a
+# TakeOrdered. Zero wide shuffles for any corpus size; the per-term
+# columns bound the query to explicit term sets (retrieval queries
+# are short — a scored term set beyond ~32 terms should explode to
+# postings instead).
+BM25_QUERY_TERMS = ("hash", "join", "vector")
+BM25_TOP_K = 20
+
+
+def bm25_topk(docs, terms=BM25_QUERY_TERMS, k=BM25_TOP_K):
+    """Integer-BM25 core over a (doc_id, text) frame — contract above;
+    pinned by a hand-computed truth in tests/test_arithmetic_truths.py
+    (oracle shares the formula, so the gate proves agreement only)."""
+    toks = docs.select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("t"))
+    t = F.col("t")
+
+    # closure factory, NOT a defaulted second lambda param — a 2-arg
+    # lambda is PySpark's (element, index) form and would bind the
+    # term to the array index
+    def _eq(trm):
+        return lambda x: x == F.lit(trm)
+
+    base = toks.select(
+        "doc_id", F.size(t).cast("long").alias("dl"),
+        *[F.size(F.filter(t, _eq(trm))).cast("long").alias(f"tf{i}")
+          for i, trm in enumerate(terms)]).cache()
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(terms))])
+    # greatest(df,1): a term absent from the whole corpus has tf=0 in
+    # every row, so its zero contribution never reads the guarded DIV
+    score_terms = " + ".join(
+        f"(if(tf{i} = 0, 0, "
+        f"(1000 * (n_docs - df{i})) DIV greatest(df{i}, 1)) "
+        f"* ((tf{i} * 2200000) DIV (tf{i} * 1000 + 300 + "
+        f"(900 * dl) DIV greatest(total_tokens DIV n_docs, 1))))"
+        for i in range(len(terms)))
+    n_matched = " + ".join(f"if(tf{i} > 0, 1, 0)"
+                           for i in range(len(terms)))
+    return (base.crossJoin(F.broadcast(stats))
+            .select("doc_id",
+                    F.expr(score_terms).cast("long").alias("score"),
+                    F.expr(n_matched).cast("long").alias("n_terms"))
+            .filter(F.col("n_terms") > 0)
+            .orderBy(F.desc("score"), "doc_id").limit(k))
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """Top-{BM25_TOP_K} documents for the fixed query
+    {BM25_QUERY_TERMS} under the integer-BM25 contract above — the
+    retrieval primitive behind contamination probes and
+    quality-by-retrievability curation."""
+    return bm25_topk(_docs(spark, sf_dir))
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+ORACLE_TEXT_BM25 = f"""
+WITH lens AS (
+  SELECT doc_id,
+         cast(len(string_split({_NORM_SQL}, ' ')) as bigint) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT cast(count(*) as bigint) AS n_docs,
+         cast(sum(dl) as bigint) AS total_tokens
+  FROM lens
+),
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, cast(count(*) as bigint) AS tf
+  FROM toks WHERE token IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, cast(count(*) as bigint) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id,
+         (1000 * (s.n_docs - d.df)) // d.df AS idf_pm,
+         (tf.tf * 2200000) // (tf.tf * 1000 + 300 +
+             (900 * l.dl) // greatest(s.total_tokens // s.n_docs, 1))
+           AS tf_pm
+  FROM tf JOIN dfreq d USING (token)
+          JOIN lens l USING (doc_id), stats s
+)
+SELECT doc_id, cast(sum(idf_pm * tf_pm) as bigint) AS score,
+       cast(count(*) as bigint) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+"""
+
+QUERIES["text_bm25_topk"] = q_text_bm25_topk
+ORACLES["text_bm25_topk"] = ORACLE_TEXT_BM25
+
+
+# ---------------------------------------------------------------------------
 # Corpus-level top-k bigrams by DOCUMENT frequency. Scale shape: one
 # scan → per-doc distinct bigram list (bounded by doc length, built
 # JVM-side) → explode → count. The bigram-key aggregation gets

@@ -141,3 +141,20 @@ def test_relation_timeline_hand_computed(spark):
            relation_timeline(conv_ents, conv_ts).collect()]
     assert got == [("A", "B", "2024-01-01T00:00:00Z",
                     "2024-03-01T00:00:00Z", 2)]
+
+
+def test_bm25_score_hand_computed(spark):
+    """Integer-BM25 contract on a 3-doc hand corpus, from the
+    definitions: d0='hash join hash', d1='vector scan scan scan',
+    d2='the quick fox'; n_docs=3, total_tokens=10, avgdl=10//3=3,
+    df=1 for all three query terms -> idf_pm=2000 each.
+      d0: denom=300+(900*3)//3=1200; tf_pm(hash)=(2*2.2e6)//3200=1375,
+          tf_pm(join)=2.2e6//2200=1000 -> score=2000*(1375+1000)=4750000
+      d1: denom=300+(900*4)//3=1500; tf_pm(vector)=2.2e6//2500=880
+          -> score=1760000; d2 matches nothing."""
+    from jsonld_js_spark.operators.textstats import bm25_topk
+    docs = spark.createDataFrame(
+        [(0, "hash join hash"), (1, "vector scan scan scan"),
+         (2, "the quick fox")], "doc_id long, text string")
+    got = [tuple(r) for r in bm25_topk(docs).collect()]
+    assert got == [(0, 4750000, 2), (1, 1760000, 1)]

@@ -60,6 +60,7 @@ FUZZABLE = [
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_chunks", "text_pii_scrub", "text_tfidf_topk",
+    "text_bm25_topk",
     "text_repetition", "text_classifier_score", "text_lm_score",
     "corpus_quality_filter", "corpus_ngram_topk", "corpus_split",
     "corpus_sample_stratified", "corpus_boilerplate_stats",
@@ -115,9 +116,13 @@ KG_FUZZABLE = [
 ]
 
 def _vocab(rng):
-    return ["".join(rng.choice(string.ascii_lowercase)
-                    for _ in range(rng.randint(1, 9)))
-            for _ in range(rng.randint(30, 300))]
+    # the BM25 query terms ride every vocab so text_bm25_topk fuzzes
+    # non-vacuously (the events_retention 'signup' lesson — a fixed
+    # query term set never appears in purely random words)
+    return (["hash", "join", "vector"] +
+            ["".join(rng.choice(string.ascii_lowercase)
+                     for _ in range(rng.randint(1, 9)))
+             for _ in range(rng.randint(30, 300))])
 
 
 def synth_documents(rng):
