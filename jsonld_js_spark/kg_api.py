@@ -2245,6 +2245,130 @@ ORDER BY ent_a, ent_b
 """
 
 
+def q_kg_conv_profile(spark, sf_dir):
+    """Per-conversation curation feature table over the constructed
+    KG: turn count, tool-turn count, distinct entities, distinct
+    tools, first/last timestamp — the conversation-shape features an
+    SFT-data curation pass filters on (too short, tool-free,
+    entity-sparse, stale) before any text-level scoring.
+
+    Exactness: counts are exact int64 conditional aggregates;
+    first/last are lexicographic MIN/MAX of the second-granularity
+    ISO-8601 Z literals (the kg_entity_timeline rule — zero timestamp
+    parsing on either engine). The two conditional DISTINCT counts are
+    bounded per group by conversation length, so the aggregate expand
+    never touches corpus-scale cardinality (unlike a global
+    countDistinct).
+
+    Scale shape: ONE conv-keyed groupBy over a single triple-table
+    projection — partial-combined, no joins, no windows; conv keys are
+    bounded by max conversation length so no salting is needed."""
+    t = _triples(spark, sf_dir, cache=True)
+    p = F.col("pred")
+    rows = t.select(
+        F.regexp_replace("subj", "/turn/[0-9]+$", "").alias("conv"),
+        "pred", "obj_value")
+    return (rows.groupBy("conv").agg(
+        F.sum((p == TR + "turnIndex").cast("long")).alias("n_turns"),
+        F.sum((p == TR + "usesTool").cast("long")).alias("n_tool_turns"),
+        F.count_distinct(
+            F.when(p == TR + "mentions", F.col("obj_value")))
+        .cast("long").alias("n_entities"),
+        F.count_distinct(
+            F.when(p == TR + "usesTool", F.col("obj_value")))
+        .cast("long").alias("n_tools"),
+        F.min(F.when(p == TR + "ts", F.col("obj_value")))
+        .alias("first_ts"),
+        F.max(F.when(p == TR + "ts", F.col("obj_value")))
+        .alias("last_ts"))
+        .orderBy("conv"))
+
+
+def oracle_kg_conv_profile(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+rows_ AS (
+  SELECT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         pred, obj_value
+  FROM triples
+)
+SELECT conv,
+       cast(sum(CASE WHEN pred = '{TR}turnIndex' THEN 1 ELSE 0 END)
+            AS bigint) AS n_turns,
+       cast(sum(CASE WHEN pred = '{TR}usesTool' THEN 1 ELSE 0 END)
+            AS bigint) AS n_tool_turns,
+       cast(count(DISTINCT CASE WHEN pred = '{TR}mentions'
+                                THEN obj_value END) AS bigint)
+         AS n_entities,
+       cast(count(DISTINCT CASE WHEN pred = '{TR}usesTool'
+                                THEN obj_value END) AS bigint)
+         AS n_tools,
+       min(CASE WHEN pred = '{TR}ts' THEN obj_value END) AS first_ts,
+       max(CASE WHEN pred = '{TR}ts' THEN obj_value END) AS last_ts
+FROM rows_ GROUP BY conv ORDER BY conv
+"""
+
+
+def q_kg_components(spark, sf_dir):
+    """Weakly-connected components over the co-mention graph — the
+    entity-side sibling of dedup_clusters (same tested
+    `connected_components` min-label machinery, string labels):
+    component id = lexicographic-min entity IRI. The component table
+    partitions the KG into independent subgraphs — the unit of
+    per-tenant extraction, graph-partitioned storage, and
+    "is this entity connected to that one at all" triage.
+
+    Scale shape: guarded `_comention_pairs` edge frame (hub
+    conversations dropped before pair expansion), then diameter-bounded
+    min-label rounds (one edges⋈labels shuffle + grouped min per
+    round; RAISES past CC_MAX_ITERS rather than returning wrong
+    labels). Co-mention graphs are dense — diameter stays small; an
+    adversarial-chain corpus swaps algorithm='star' (O(log n) rounds)
+    without touching callers."""
+    from .operators.dedup import connected_components
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("ent_a").alias("src"),
+                          F.col("ent_b").alias("dst"))
+             .unionAll(pairs.select(F.col("ent_b").alias("src"),
+                                    F.col("ent_a").alias("dst"))))
+    return (connected_components(edges.distinct())
+            .select(F.col("doc_id").alias("ent"),
+                    F.col("cluster_id").alias("component"))
+            .orderBy("ent"))
+
+
+def oracle_kg_components(triples_sql: str) -> str:
+    return f"""
+WITH RECURSIVE triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+pairs AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+),
+edges AS (
+  SELECT ent_a AS src, ent_b AS dst FROM pairs
+  UNION ALL SELECT ent_b, ent_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS ent, min(r) AS component
+FROM reach GROUP BY node ORDER BY ent
+"""
+
+
 def link_prediction_ra(edges, topk: int = SIM_TOPK,
                        max_hub_degree: int | None = MAX_HUB_DEGREE):
     """(a, b) both-direction edge rows → top-`topk` NON-adjacent
@@ -2823,6 +2947,8 @@ def queries() -> dict:
         "kg_cooccur_lift": q_kg_cooccur_lift,
         "kg_tool_transitions": q_kg_tool_transitions,
         "kg_relation_timeline": q_kg_relation_timeline,
+        "kg_conv_profile": q_kg_conv_profile,
+        "kg_components": q_kg_components,
     }
 
 
@@ -2878,4 +3004,6 @@ def oracles(n_conv: int) -> dict:
         "kg_tool_transitions": oracle_kg_tool_transitions(triples_sql),
         "kg_relation_timeline":
             oracle_kg_relation_timeline(triples_sql),
+        "kg_conv_profile": oracle_kg_conv_profile(triples_sql),
+        "kg_components": oracle_kg_components(triples_sql),
     }

@@ -113,6 +113,7 @@ KG_FUZZABLE = [
     "kg_neighborhood_growth", "kg_anf_registers", "kg_ppr",
     "kg_link_prediction", "kg_entity_timeline", "kg_cooccur_lift",
     "kg_tool_transitions", "kg_relation_timeline",
+    "kg_conv_profile", "kg_components",
 ]
 
 def _vocab(rng):
