@@ -512,3 +512,112 @@ def stream_asof_attach(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_tool_transitions(spark: SparkSession, input_dir: str,
+                            checkpoint_dir: str,
+                            watermark: str = "10 minutes",
+                            gap_us: int | None = 6 * 3600 * 1_000_000,
+                            query_name: str = "tool_trans",
+                            available_now: bool = True,
+                            max_files_per_trigger: int = 1,
+                            output_dir: str | None = None):
+    """Streaming agent-trajectory transition feed — the live
+    counterpart of kg_api.tool_transitions' pre-aggregation: emits one
+    (conv_id, idx_from, idx_to, tool_from, tool_to) row per adjacent
+    pair of tool-using turns in turn_idx order, exactly once, as the
+    event-time watermark finalizes the LATER turn. Downstream, the
+    vocabulary-bounded (tool_from, tool_to) count/share table is the
+    batch aggregation (or a trivial streaming agg over this feed).
+
+    Ordering contract: within a conversation, ts is monotone
+    non-decreasing in turn_idx (true of transcript feeds — turns are
+    appended as they happen); rows buffer in per-conv state until the
+    watermark STRICTLY passes them (the us == wm_us boundary rule,
+    ADVICE r4), then replay in turn_idx order, and the last finalized
+    tool turn rides state as 3 scalars so transitions span
+    micro-batches. Defensively, finalization stops at the first held
+    row in idx order, so a contract-violating feed can delay but
+    never reorder or double-emit a transition.
+
+    State per conversation = the watermark-window buffer + 3 scalars,
+    and an event-time timeout clears conversations idle past gap_us —
+    bounded on both axes for an unbounded feed (the
+    applyInPandasWithState shape of stream_asof_attach)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    stream = (read_transcript_stream(spark, input_dir,
+                                     max_files_per_trigger)
+              .filter(F.col("tool").isNotNull())
+              .withWatermark("ts", watermark)
+              .select("conv_id", "turn_idx", "tool", "ts"))
+
+    output_schema = ("conv_id string, idx_from int, idx_to int, "
+                     "tool_from string, tool_to string")
+    state_schema = ("pend_idx array<int>, pend_us array<long>, "
+                    "pend_tool array<string>, "
+                    "last_idx int, last_tool string, last_us long")
+
+    def attach(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        pend = []
+        last_idx = last_tool = last_us = None
+        if state.exists:
+            (pend_idx, pend_us, pend_tool,
+             last_idx, last_tool, last_us) = state.get
+            pend = list(zip(pend_idx, pend_us, pend_tool))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ti, tool, ts in zip(pdf["turn_idx"], pdf["tool"],
+                                        pdf["ts"]):
+                    pend.append((int(ti), int(ts.value) // 1000, tool))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pend.sort()  # turn_idx order; ts monotone per the contract
+        out, keep = [], []
+        for ti, us, tool in pend:
+            if keep or us >= wm_us:
+                keep.append((ti, us, tool))
+                continue
+            if last_tool is not None:
+                out.append((conv_id, last_idx, ti, last_tool, tool))
+            last_idx, last_tool, last_us = ti, tool, us
+        if keep:
+            state.update(([r[0] for r in keep], [r[1] for r in keep],
+                          [r[2] for r in keep],
+                          last_idx, last_tool, last_us))
+            state.setTimeoutTimestamp(keep[0][1] // 1000 + 1)
+        elif last_tool is not None and (
+                gap_us is None or wm_us <= last_us + gap_us):
+            state.update(([], [], [], last_idx, last_tool, last_us))
+            if gap_us is not None:
+                state.setTimeoutTimestamp(
+                    max((last_us + gap_us) // 1000 + 1,
+                        wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "conv_id", "idx_from", "idx_to",
+                "tool_from", "tool_to"])
+
+    trans = (stream.groupBy("conv_id").applyInPandasWithState(
+        attach, output_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout))
+    if output_dir is not None:
+        writer = (trans.writeStream
+                  .format("parquet")
+                  .option("path", output_dir)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+    else:
+        writer = (trans.writeStream
+                  .format("memory")
+                  .queryName(query_name)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

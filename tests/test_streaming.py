@@ -398,3 +398,68 @@ def test_stream_countmin_matches_batch_and_bounded(spark, tmp_path):
     prog = q.lastProgress
     ops = prog["stateOperators"]
     assert ops and all(op["numRowsTotal"] <= CM_D * CM_W for op in ops)
+
+
+def test_stream_tool_transitions_matches_batch(spark, tmp_path):
+    """Streaming transition feed == the batch pre-aggregation on the
+    same turns, covering: out-of-order rows inside a micro-batch,
+    non-tool turns filtered, a conversation split across micro-batch
+    files (the carried last-tool state), and the strict-watermark
+    boundary. A far-future dummy conversation advances the watermark
+    so every real transition emits."""
+    from datetime import datetime, timedelta
+    import time as _t
+
+    from jsonld_js_spark.kg_api import tool_transitions
+    from jsonld_js_spark.streaming import stream_tool_transitions
+
+    t0 = datetime(2026, 1, 1, 0, 0)
+    m = timedelta(minutes=1)
+    rows1 = [
+        ("cA", 2, "tool", "t", "code", t0 + 2 * m),
+        ("cA", 0, "tool", "t", "search", t0),       # out of order
+        ("cA", 1, "assistant", "t", None, t0 + m),  # non-tool: skipped
+        ("cB", 0, "tool", "t", "web", t0 + m),
+    ]
+    rows2 = [  # later file: event times at/after file 1's watermark
+        ("cA", 4, "tool", "t", "files", t0 + 3 * m),
+        ("cB", 3, "tool", "t", "search", t0 + 3 * m),
+    ]
+    flush = [("zz", 0, "tool", "t", "noop", t0 + timedelta(hours=3))]
+    schema = ("conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+    in_dir = str(tmp_path / "tt_in")
+    for part in (rows1, rows2, flush):
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    q = stream_tool_transitions(
+        spark, in_dir, str(tmp_path / "tt_ckpt"),
+        watermark="1 minute", query_name="tool_trans_t")
+    q.awaitTermination(180)
+
+    want_rows = {("cA", 0, 2, "search", "code"),
+                 ("cA", 2, 4, "code", "files"),
+                 ("cB", 0, 3, "web", "search")}
+    got = set()
+    for _ in range(30):
+        got = {tuple(r) for r in
+               spark.sql("SELECT * FROM tool_trans_t").collect()}
+        if len(got) >= len(want_rows):
+            break
+        _t.sleep(0.5)
+    assert got == want_rows
+
+    # aggregated feed == the batch transition table on the real convs
+    agg = {}
+    for a, b in ((r[3], r[4]) for r in got):
+        agg[(a, b)] = agg.get((a, b), 0) + 1
+    batch_in = spark.createDataFrame(
+        [(c, i, tool) for c, i, _r, _t2, tool, _ts in rows1 + rows2
+         if tool is not None],
+        "conv string, idx int, tool string")
+    batch = {(r["tool_from"], r["tool_to"]): r["n_trans"]
+             for r in tool_transitions(batch_in).collect()}
+    assert agg == batch
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["numRowsTotal"] <= 3  # bounded per-conv state
