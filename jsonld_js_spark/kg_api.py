@@ -2369,6 +2369,105 @@ FROM reach GROUP BY node ORDER BY ent
 """
 
 
+def q_kg_literal_stats(spark, sf_dir):
+    """KG quality-monitoring table: per (pred, termtype, datatype)
+    value statistics — triple count, distinct-value count, min/max
+    value length, lexicographic min/max value. The dashboard a KG
+    ingest pipeline watches for schema drift (a new datatype under a
+    known predicate, value-length blowups, literal/IRI kind flips).
+
+    Exactness: counts/lengths are exact int64; min/max values compare
+    as strings on both engines (ASCII predicate vocabulary). Nullable
+    datatype is coalesced to '' so the group key has no cross-engine
+    null surface.
+
+    Scale shape: ONE groupBy over a single triple-table projection.
+    The distinct-value count is two-phase (distinct on the full group
+    key + value dedups map-side before the count — never a
+    countDistinct expand over a hot predicate's raw stream); group
+    count is vocabulary-bounded (predicates × kinds)."""
+    t = _triples(spark, sf_dir, cache=True)
+    rows = t.select(
+        "pred", F.col("obj_termtype").alias("termtype"),
+        F.coalesce("obj_datatype", F.lit("")).alias("datatype"),
+        "obj_value")
+    base = rows.groupBy("pred", "termtype", "datatype").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.length("obj_value")).cast("long").alias("min_len"),
+        F.max(F.length("obj_value")).cast("long").alias("max_len"),
+        F.min("obj_value").alias("min_value"),
+        F.max("obj_value").alias("max_value"))
+    nd = (rows.distinct()
+          .groupBy("pred", "termtype", "datatype")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_distinct")))
+    return (base.join(nd, ["pred", "termtype", "datatype"])
+            .select("pred", "termtype", "datatype", "n", "n_distinct",
+                    "min_len", "max_len", "min_value", "max_value")
+            .orderBy("pred", "termtype", "datatype"))
+
+
+def oracle_kg_literal_stats(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+rows_ AS (
+  SELECT pred, obj_termtype AS termtype,
+         coalesce(obj_datatype, '') AS datatype, obj_value
+  FROM triples
+)
+SELECT pred, termtype, datatype,
+       cast(count(*) AS bigint) AS n,
+       cast(count(DISTINCT obj_value) AS bigint) AS n_distinct,
+       cast(min(length(obj_value)) AS bigint) AS min_len,
+       cast(max(length(obj_value)) AS bigint) AS max_len,
+       min(obj_value) AS min_value,
+       max(obj_value) AS max_value
+FROM rows_ GROUP BY pred, termtype, datatype
+ORDER BY pred, termtype, datatype
+"""
+
+
+def q_kg_predicate_cooccur(spark, sf_dir):
+    """Schema induction over the constructed KG: which predicate
+    pairs co-occur on the same subject, and on how many subjects —
+    the signal that discovers implicit node types (Turn subjects
+    carry role+text+turnIndex together; Conversation subjects carry
+    hasTurn+type) and flags schema violations (a predicate pair that
+    should never share a subject).
+
+    Scale shape: ONE subject-keyed collect_set (per-subject predicate
+    count is bounded by the vocabulary, so rows are tiny), array_sort
+    + array-lambda pair expansion (the `_conv_ents` pattern — no
+    subject self-join), ONE partial-aggregated groupBy(pair) whose
+    key space is <= |vocabulary|² — vocabulary-bounded output no
+    matter the corpus size."""
+    t = _triples(spark, sf_dir, cache=True)
+    sp = (t.select("subj", "pred").distinct()
+          .groupBy("subj")
+          .agg(F.array_sort(F.collect_set("pred")).alias("preds")))
+    preds = F.col("preds")
+    pair_structs = F.flatten(F.transform(
+        preds,
+        lambda x, i: F.transform(
+            F.slice(preds, i + F.lit(2), F.size(preds) - i - F.lit(1)),
+            lambda y: F.struct(x.alias("pred_a"), y.alias("pred_b")))))
+    return (sp.select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.pred_a").alias("pred_a"),
+                     F.col("p.pred_b").alias("pred_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_subjects"))
+            .orderBy("pred_a", "pred_b"))
+
+
+def oracle_kg_predicate_cooccur(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+sp AS (SELECT DISTINCT subj, pred FROM triples)
+SELECT a.pred AS pred_a, b.pred AS pred_b,
+       cast(count(*) AS bigint) AS n_subjects
+FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+GROUP BY 1, 2 ORDER BY pred_a, pred_b
+"""
+
+
 def link_prediction_ra(edges, topk: int = SIM_TOPK,
                        max_hub_degree: int | None = MAX_HUB_DEGREE):
     """(a, b) both-direction edge rows → top-`topk` NON-adjacent
@@ -2949,6 +3048,8 @@ def queries() -> dict:
         "kg_relation_timeline": q_kg_relation_timeline,
         "kg_conv_profile": q_kg_conv_profile,
         "kg_components": q_kg_components,
+        "kg_literal_stats": q_kg_literal_stats,
+        "kg_predicate_cooccur": q_kg_predicate_cooccur,
     }
 
 
@@ -3006,4 +3107,7 @@ def oracles(n_conv: int) -> dict:
             oracle_kg_relation_timeline(triples_sql),
         "kg_conv_profile": oracle_kg_conv_profile(triples_sql),
         "kg_components": oracle_kg_components(triples_sql),
+        "kg_literal_stats": oracle_kg_literal_stats(triples_sql),
+        "kg_predicate_cooccur":
+            oracle_kg_predicate_cooccur(triples_sql),
     }

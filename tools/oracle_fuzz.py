@@ -114,6 +114,7 @@ KG_FUZZABLE = [
     "kg_link_prediction", "kg_entity_timeline", "kg_cooccur_lift",
     "kg_tool_transitions", "kg_relation_timeline",
     "kg_conv_profile", "kg_components",
+    "kg_literal_stats", "kg_predicate_cooccur",
 ]
 
 def _vocab(rng):
