@@ -2385,7 +2385,11 @@ def q_kg_literal_stats(spark, sf_dir):
     The distinct-value count is two-phase (distinct on the full group
     key + value dedups map-side before the count — never a
     countDistinct expand over a hot predicate's raw stream); group
-    count is vocabulary-bounded (predicates × kinds)."""
+    count is vocabulary-bounded (predicates × kinds). At 100 TB the
+    exact-distinct leg shuffles ~corpus-size (text literals are
+    mostly unique) — swap it for the HLL register path
+    (operators/sketches.py) without touching callers, the
+    kg_entity_timeline rule."""
     t = _triples(spark, sf_dir, cache=True)
     rows = t.select(
         "pred", F.col("obj_termtype").alias("termtype"),
