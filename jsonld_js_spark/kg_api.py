@@ -2472,6 +2472,170 @@ GROUP BY 1, 2 ORDER BY pred_a, pred_b
 """
 
 
+MENTION_CTX_CHARS = 30
+
+
+def q_kg_mention_contexts(spark, sf_dir):
+    """Mention-context extraction — the entity-linking training-data
+    table: for every (turn, distinct surface form) mention, a
+    +-{MENTION_CTX_CHARS}-char snippet around the FIRST occurrence of
+    the bracketed mention in the turn text. This is the supervised
+    example a linker/NER trainer consumes (surface + local context →
+    entity id), extracted at corpus scale.
+
+    Contract: repeated identical surfaces in one turn share the first
+    occurrence's snippet (dedup semantics — one training row per
+    (turn, surface)); positions via 1-based locate/strpos and
+    substr, identical semantics on both engines; snippet length =
+    {MENTION_CTX_CHARS} + len('[[surface]]') + {MENTION_CTX_CHARS}.
+
+    Scale shape: ONE transcripts scan → regexp_extract_all +
+    array_distinct + explode (rows bounded by mentions per turn) →
+    pure string projection. No shuffle at all before the output sort;
+    at 100 TB this is scan-bandwidth-bound exactly like the flagship."""
+    t = transcripts_df(spark, sf_dir=sf_dir)
+    rows = t.select(
+        "conv_id", "turn_idx", "text",
+        F.explode(F.array_distinct(
+            F.regexp_extract_all("text", F.lit(MENTION_RE), 1)))
+        .alias("surface"))
+    c = MENTION_CTX_CHARS
+    return (rows.select(
+        "conv_id", "turn_idx", "surface",
+        F.expr(
+            f"substr(text, greatest(1, "
+            f"locate(concat('[[', surface, ']]'), text) - {c}), "
+            f"{2 * c + 4} + length(surface))").alias("snippet"))
+        .orderBy("conv_id", "turn_idx", "surface"))
+
+
+def oracle_kg_mention_contexts(transcripts_sql: str) -> str:
+    c = MENTION_CTX_CHARS
+    return f"""
+WITH transcripts AS ({transcripts_sql}),
+m AS (
+  SELECT conv_id, turn_idx, text,
+         unnest(list_distinct(
+             regexp_extract_all(text, '{MENTION_RE}', 1))) AS surface
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, surface,
+       substr(text,
+              greatest(1, strpos(text, '[[' || surface || ']]') - {c}),
+              {2 * c + 4} + length(surface)) AS snippet
+FROM m ORDER BY conv_id, turn_idx, surface
+"""
+
+
+def q_kg_degree_distribution(spark, sf_dir):
+    """Power-law audit of the co-mention graph: node count per log2
+    degree bucket (bucket = floor(log2(deg)) + 1 = the bit length of
+    the degree, computed as the length of the base-2 string — exact
+    integer on both engines, no float log), with min/max degree per
+    bucket. The capacity-planning histogram behind every hub-cap
+    parameter in this repo (MAX_HUB_DEGREE, comention guard).
+
+    Scale shape: guarded pair frame → degree agg (partial-combined)
+    → vocabulary-bounded bucket agg (≤ 63 buckets). Nothing after
+    the degree agg touches corpus scale."""
+    pairs, _guard = _comention_pairs(spark, sf_dir)
+    und = (pairs.select(F.col("ent_a").alias("a"),
+                        F.col("ent_b").alias("b"))
+           .unionAll(pairs.select(F.col("ent_b").alias("a"),
+                                  F.col("ent_a").alias("b"))))
+    deg = (und.distinct().groupBy("a")
+           .agg(F.count(F.lit(1)).cast("long").alias("d")))
+    return (deg.select(
+        F.length(F.conv(F.col("d").cast("string"), 10, 2))
+        .cast("long").alias("bucket"), "d")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+             F.min("d").alias("min_deg"), F.max("d").alias("max_deg"))
+        .orderBy("bucket"))
+
+
+def oracle_kg_degree_distribution(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+me AS (
+  SELECT DISTINCT regexp_replace(subj, '/turn/[0-9]+$', '') AS conv,
+         obj_value AS ent
+  FROM triples WHERE pred = '{TR}mentions'
+),
+kept AS (
+  SELECT me.conv, me.ent FROM me
+  JOIN (SELECT conv FROM me GROUP BY conv
+        HAVING count(*) <= {MAX_ENTITIES_PER_CONV}) k
+    ON me.conv = k.conv
+),
+pairs AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM kept a JOIN kept b ON a.conv = b.conv AND a.ent < b.ent
+),
+und AS (
+  SELECT ent_a AS a, ent_b AS b FROM pairs
+  UNION SELECT ent_b, ent_a FROM pairs
+),
+deg AS (SELECT a, cast(count(*) AS bigint) AS d FROM und GROUP BY a)
+SELECT cast(length(bin(d)) AS bigint) AS bucket,
+       cast(count(*) AS bigint) AS n_nodes,
+       min(d) AS min_deg, max(d) AS max_deg
+FROM deg GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_kg_entity_role_affinity(spark, sf_dir):
+    """Which roles talk about which entities: per (entity, role)
+    mention counts with the entity's per-role share in exact ppm —
+    separates user-driven entities from assistant-introduced ones and
+    tool-referenced ones (the provenance signal an entity-linking
+    curation pass weighs).
+
+    Scale shape: mentions ⋈ role on the TURN key (uniform), ONE
+    partial-combined groupBy(ent, role), and the per-entity total is
+    a window over the aggregated table (≤ |entities|·|roles| rows —
+    never a second corpus agg, the no-subplan-dedupe rule)."""
+    from pyspark.sql.window import Window
+    t = _triples(spark, sf_dir, cache=True)
+    m = (t.filter(F.col("pred") == TR + "mentions")
+         .select("subj", F.col("obj_value").alias("ent")))
+    r = (t.filter(F.col("pred") == TR + "role")
+         .select("subj", F.col("obj_value").alias("role")))
+    base = (m.join(r, "subj")
+            .groupBy("ent", "role")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_mentions")))
+    w = Window.partitionBy("ent")
+    return (base
+            .withColumn("total", F.sum("n_mentions").over(w))
+            .select("ent", "role", "n_mentions",
+                    F.expr("(1000000 * n_mentions) DIV total")
+                    .cast("long").alias("share_ppm"))
+            .orderBy("ent", "role"))
+
+
+def oracle_kg_entity_role_affinity(triples_sql: str) -> str:
+    return f"""
+WITH triples AS ({triples_sql}),
+m AS (
+  SELECT subj, obj_value AS ent FROM triples
+  WHERE pred = '{TR}mentions'
+),
+r AS (
+  SELECT subj, obj_value AS role FROM triples
+  WHERE pred = '{TR}role'
+),
+base AS (
+  SELECT m.ent, r.role, cast(count(*) AS bigint) AS n_mentions
+  FROM m JOIN r ON m.subj = r.subj GROUP BY 1, 2
+)
+SELECT ent, role, n_mentions,
+       cast((1000000 * n_mentions) //
+            sum(n_mentions) OVER (PARTITION BY ent) AS bigint)
+         AS share_ppm
+FROM base ORDER BY ent, role
+"""
+
+
 def link_prediction_ra(edges, topk: int = SIM_TOPK,
                        max_hub_degree: int | None = MAX_HUB_DEGREE):
     """(a, b) both-direction edge rows → top-`topk` NON-adjacent
@@ -3054,6 +3218,9 @@ def queries() -> dict:
         "kg_components": q_kg_components,
         "kg_literal_stats": q_kg_literal_stats,
         "kg_predicate_cooccur": q_kg_predicate_cooccur,
+        "kg_mention_contexts": q_kg_mention_contexts,
+        "kg_degree_distribution": q_kg_degree_distribution,
+        "kg_entity_role_affinity": q_kg_entity_role_affinity,
     }
 
 
@@ -3114,4 +3281,10 @@ def oracles(n_conv: int) -> dict:
         "kg_literal_stats": oracle_kg_literal_stats(triples_sql),
         "kg_predicate_cooccur":
             oracle_kg_predicate_cooccur(triples_sql),
+        "kg_mention_contexts": oracle_kg_mention_contexts(
+            transcripts_sql(n_conv, "duckdb")),
+        "kg_degree_distribution":
+            oracle_kg_degree_distribution(triples_sql),
+        "kg_entity_role_affinity":
+            oracle_kg_entity_role_affinity(triples_sql),
     }

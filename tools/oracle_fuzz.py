@@ -115,6 +115,8 @@ KG_FUZZABLE = [
     "kg_tool_transitions", "kg_relation_timeline",
     "kg_conv_profile", "kg_components",
     "kg_literal_stats", "kg_predicate_cooccur",
+    "kg_mention_contexts", "kg_degree_distribution",
+    "kg_entity_role_affinity",
 ]
 
 def _vocab(rng):
