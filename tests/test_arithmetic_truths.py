@@ -158,3 +158,52 @@ def test_bm25_score_hand_computed(spark):
          (2, "the quick fox")], "doc_id long, text string")
     got = [tuple(r) for r in bm25_topk(docs).collect()]
     assert got == [(0, 4750000, 2), (1, 1760000, 1)]
+
+
+def test_mention_context_snippet_hand_computed(spark):
+    """Snippet extents by hand: text = 'x'*40 + '[[Alpha7]]' + 'y'*40.
+    First occurrence at 1-based pos 41; start = 41-30 = 11; length =
+    30 + len('[[Alpha7]]') + 30 = 70 -> 30 x's, the mention, 30 y's.
+    A leading mention clamps start to 1. Repeated surface shares the
+    first occurrence's snippet (one row, distinct semantics).
+    q_kg_mention_contexts reads the transcripts generator by sf_dir,
+    so this drives the same projection expression directly."""
+    from pyspark.sql import functions as F
+    from jsonld_js_spark.vocab import MENTION_RE
+
+    rows = [("c1", 0, "user", "x" * 40 + "[[Alpha7]]" + "y" * 40,
+             None, "2024-01-01 00:00:00"),
+            ("c1", 1, "user", "[[Beta3]] tail [[Beta3]]",
+             None, "2024-01-01 00:01:00")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts string")
+    got = (df.select(
+        "conv_id", "turn_idx", "text",
+        F.explode(F.array_distinct(
+            F.regexp_extract_all("text", F.lit(MENTION_RE), 1)))
+        .alias("surface"))
+        .select("conv_id", "turn_idx", "surface", F.expr(
+            "substr(text, greatest(1, "
+            "locate(concat('[[', surface, ']]'), text) - 30), "
+            "64 + length(surface))").alias("snippet"))
+        .orderBy("turn_idx").collect())
+    assert len(got) == 2
+    assert got[0]["snippet"] == "x" * 30 + "[[Alpha7]]" + "y" * 30
+    assert got[1]["snippet"] == "[[Beta3]] tail [[Beta3]]"
+
+
+def test_role_affinity_share_hand_computed(spark):
+    """share_ppm by hand: entity E mentioned 2x by user, 1x by
+    assistant -> user 666666, assistant 333333 (floor)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    base = spark.createDataFrame(
+        [("E", "user", 2), ("E", "assistant", 1)],
+        "ent string, role string, n_mentions long")
+    w = Window.partitionBy("ent")
+    got = {r["role"]: r["share"] for r in base.withColumn(
+        "total", F.sum("n_mentions").over(w)).select(
+        "role", F.expr("(1000000 * n_mentions) DIV total")
+        .alias("share")).collect()}
+    assert got == {"user": 666666, "assistant": 333333}
