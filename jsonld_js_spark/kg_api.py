@@ -2543,6 +2543,13 @@ def q_kg_degree_distribution(spark, sf_dir):
                         F.col("ent_b").alias("b"))
            .unionAll(pairs.select(F.col("ent_b").alias("a"),
                                   F.col("ent_a").alias("b"))))
+    return degree_distribution(und)
+
+
+def degree_distribution(und):
+    """Bucket-histogram core over a both-direction (a, b) edge frame —
+    see `q_kg_degree_distribution` for contract/scale notes. Pinned
+    by a random-graph brute force in tests/test_graph_random_truth.py."""
     deg = (und.distinct().groupBy("a")
            .agg(F.count(F.lit(1)).cast("long").alias("d")))
     return (deg.select(

@@ -355,3 +355,18 @@ def test_anf_estimates_track_ball_sizes(spark):
     assert set(est) == set(exact)
     rel = [abs(est[v] - exact[v]) / exact[v] for v in exact]
     assert sum(rel) / len(rel) < 0.20, sum(rel) / len(rel)
+
+
+def test_degree_distribution_matches_bruteforce(spark):
+    for und in random_graphs():
+        g = adj(und)
+        buckets = defaultdict(list)
+        for node, nbrs in g.items():
+            d = len(nbrs)
+            buckets[len(bin(d)) - 2].append(d)  # bit length = log2+1
+        want = sorted((b, len(ds), min(ds), max(ds))
+                      for b, ds in buckets.items())
+        from jsonld_js_spark.kg_api import degree_distribution
+        df = spark.createDataFrame(both_dirs(und), "a string, b string")
+        got = [tuple(r) for r in degree_distribution(df).collect()]
+        assert got == want, (got, want)
