@@ -2643,6 +2643,57 @@ FROM base ORDER BY ent, role
 """
 
 
+def q_kg_entity_aliases(spark, sf_dir):
+    """Alias dictionary per canonical entity — the lookup table an
+    entity-linking system ships: every distinct surface form observed
+    for the entity (joined '|'-sorted for a stable scalar column),
+    alias count, and total mention mass. The inverse of
+    entity_canonical_map's (surface -> canonical) resolution, and the
+    QA view that catches both under-merging (one entity, surfaces
+    split across two canonicals) and over-merging (alias lists that
+    suddenly jump).
+
+    Scale shape: ONE aggregation over the already-aggregated
+    canonical map (one row per distinct surface — vocabulary-scale,
+    not corpus-scale; the map itself uses the salted two-phase count
+    under it). collect_set is bounded by aliases-per-entity."""
+    from .pipeline.vectorized import entity_canonical_map
+    m = entity_canonical_map(transcripts_df(spark, sf_dir=sf_dir))
+    return (m.groupBy("canonical_iri")
+            .agg(F.array_join(F.array_sort(F.collect_set("surface")),
+                              "|").alias("aliases"),
+                 F.count(F.lit(1)).cast("long").alias("n_surfaces"),
+                 F.sum("n_mentions").cast("long").alias("n_mentions"))
+            .orderBy("canonical_iri"))
+
+
+def oracle_kg_entity_aliases(transcripts_sql: str) -> str:
+    return f"""
+WITH transcripts AS ({transcripts_sql}),
+surfaces AS (
+  SELECT unnest(regexp_extract_all(text, '{MENTION_RE}', 1))
+           AS surface
+  FROM transcripts
+),
+counts AS (
+  SELECT surface, cast(count(*) AS bigint) AS n_mentions
+  FROM surfaces GROUP BY surface
+),
+mapped AS (
+  SELECT surface,
+         '{ENT_NS}' || 'Entity' || regexp_extract(surface, '[0-9]+', 0)
+           AS canonical_iri,
+         n_mentions
+  FROM counts
+)
+SELECT canonical_iri,
+       array_to_string(list_sort(list(surface)), '|') AS aliases,
+       cast(count(*) AS bigint) AS n_surfaces,
+       cast(sum(n_mentions) AS bigint) AS n_mentions
+FROM mapped GROUP BY canonical_iri ORDER BY canonical_iri
+"""
+
+
 def link_prediction_ra(edges, topk: int = SIM_TOPK,
                        max_hub_degree: int | None = MAX_HUB_DEGREE):
     """(a, b) both-direction edge rows → top-`topk` NON-adjacent
@@ -3228,6 +3279,7 @@ def queries() -> dict:
         "kg_mention_contexts": q_kg_mention_contexts,
         "kg_degree_distribution": q_kg_degree_distribution,
         "kg_entity_role_affinity": q_kg_entity_role_affinity,
+        "kg_entity_aliases": q_kg_entity_aliases,
     }
 
 
@@ -3294,4 +3346,6 @@ def oracles(n_conv: int) -> dict:
             oracle_kg_degree_distribution(triples_sql),
         "kg_entity_role_affinity":
             oracle_kg_entity_role_affinity(triples_sql),
+        "kg_entity_aliases": oracle_kg_entity_aliases(
+            transcripts_sql(n_conv, "duckdb")),
     }

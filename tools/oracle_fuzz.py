@@ -116,7 +116,7 @@ KG_FUZZABLE = [
     "kg_conv_profile", "kg_components",
     "kg_literal_stats", "kg_predicate_cooccur",
     "kg_mention_contexts", "kg_degree_distribution",
-    "kg_entity_role_affinity",
+    "kg_entity_role_affinity", "kg_entity_aliases",
 ]
 
 def _vocab(rng):
