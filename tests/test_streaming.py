@@ -463,3 +463,44 @@ def test_stream_tool_transitions_matches_batch(spark, tmp_path):
     assert agg == batch
     ops = q.lastProgress["stateOperators"]
     assert ops and ops[0]["numRowsTotal"] <= 3  # bounded per-conv state
+
+
+def test_stream_tool_transitions_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume: drain the transition stream once (the later
+    tool turn still unfinalized), append the continuation plus the
+    watermark flush, and restart from the SAME checkpoint — the
+    carried last-tool scalar state must survive the restart so the
+    cross-restart transition emits exactly once."""
+    from datetime import datetime, timedelta
+
+    from jsonld_js_spark.streaming import stream_tool_transitions
+
+    t0 = datetime(2026, 1, 1, 0, 0)
+    m = timedelta(minutes=1)
+    schema = ("conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+    rows1 = [("cA", 0, "tool", "t", "search", t0),
+             ("cA", 2, "tool", "t", "code", t0 + 2 * m)]
+    rows2 = [("cA", 4, "tool", "t", "web", t0 + 4 * m)]
+    flush = [("zz", 0, "tool", "t", "noop", t0 + timedelta(hours=2))]
+    in_dir = str(tmp_path / "ttr_in")
+    ckpt = str(tmp_path / "ttr_ckpt")
+    out_dir = str(tmp_path / "ttr_out")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    q = stream_tool_transitions(spark, in_dir, ckpt,
+                                watermark="1 minute", output_dir=out_dir)
+    q.awaitTermination(120)
+
+    for part in (rows2, flush):
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+    q2 = stream_tool_transitions(spark, in_dir, ckpt,
+                                 watermark="1 minute",
+                                 output_dir=out_dir)
+    q2.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert got == [("cA", 0, 2, "search", "code"),
+                   ("cA", 2, 4, "code", "web")]
