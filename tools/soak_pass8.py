@@ -233,6 +233,85 @@ def soak_components(spark, n_ent, rng):
     return wall, n_comp
 
 
+def soak_mention_contexts(spark, n_docs, rng):
+    """Tenth-pass sibling: planted-mention snippet extraction — exact
+    full-table equality against a pure-Python reference implementing
+    the documented locate/substr contract on synthetic turns with
+    mentions at the start, middle, end, and repeated."""
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.vocab import MENTION_RE
+    rows = []
+    for d in range(n_docs):
+        pre = "w" * rng.randrange(0, 80)
+        post = "v" * rng.randrange(0, 80)
+        surface = f"Ent{rng.randrange(50)}"
+        text = f"{pre}[[{surface}]]{post}"
+        if rng.random() < 0.3:  # second, possibly repeated mention
+            s2 = surface if rng.random() < 0.5 else f"Ent{rng.randrange(50)}"
+            text += f" mid [[{s2}]] tail"
+        rows.append((f"c{d:07d}", d % 7, text))
+
+    import re as _re
+    expect = []
+    for conv, ti, text in rows:
+        for surface in dict.fromkeys(
+                _re.findall(r"\[\[([A-Za-z]+[0-9]+)\]\]", text)):
+            pos = text.index(f"[[{surface}]]") + 1
+            start = max(1, pos - 30)
+            expect.append((conv, ti, surface,
+                           text[start - 1:start - 1 + 64 + len(surface)]))
+    expect.sort()
+
+    df = spark.createDataFrame(rows,
+                               "conv_id string, turn_idx int, text string")
+    t0 = time.time()
+    got = sorted(tuple(r) for r in df.select(
+        "conv_id", "turn_idx", "text",
+        F.explode(F.array_distinct(
+            F.regexp_extract_all("text", F.lit(MENTION_RE), 1)))
+        .alias("surface"))
+        .select("conv_id", "turn_idx", "surface", F.expr(
+            "substr(text, greatest(1, "
+            "locate(concat('[[', surface, ']]'), text) - 30), "
+            "64 + length(surface))").alias("snippet")).collect())
+    wall = time.time() - t0
+    assert got == expect, f"snippet mismatch at n_docs={n_docs}"
+    return wall, len(got)
+
+
+def soak_role_affinity(spark, n_rows, rng):
+    """Per-(ent, role) counts + ppm shares — exact equality vs a
+    pure-Python tally over random mention rows."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    ents = [f"E{i}" for i in range(max(20, n_rows // 2000))]
+    roles = ["user", "assistant", "tool"]
+    rows = [(rng.choice(ents), rng.choice(roles)) for _ in range(n_rows)]
+    c = Counter(rows)
+    tot = Counter()
+    for (e, _r), n in c.items():
+        tot[e] += n
+    expect = sorted((e, r, n, (1_000_000 * n) // tot[e])
+                    for (e, r), n in c.items())
+
+    df = spark.createDataFrame(rows, "ent string, role string")
+    base = df.groupBy("ent", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    w = Window.partitionBy("ent")
+    t0 = time.time()
+    got = sorted(tuple(r) for r in base.withColumn(
+        "total", F.sum("n_mentions").over(w)).select(
+        "ent", "role", "n_mentions",
+        F.expr("(1000000 * n_mentions) DIV total").cast("long")
+        .alias("share_ppm")).collect())
+    wall = time.time() - t0
+    assert got == expect, f"affinity mismatch at n_rows={n_rows}"
+    return wall, len(got)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
     spark = (SparkSession.builder.master("local[8]")
@@ -246,11 +325,15 @@ def main():
         w2, r2 = soak_relation_timeline(spark, scale, rng)
         w3, r3 = soak_bm25(spark, scale, rng)
         w4, r4 = soak_components(spark, scale, rng)
+        w5, r5 = soak_mention_contexts(spark, scale, rng)
+        w6, r6 = soak_role_affinity(spark, scale, rng)
         print({"scale": scale,
                "tool_transitions": {"wall_s": round(w1, 2), "rows": r1},
                "relation_timeline": {"wall_s": round(w2, 2), "rows": r2},
                "bm25_topk": {"wall_s": round(w3, 2), "rows": r3},
                "components": {"wall_s": round(w4, 2), "comps": r4},
+               "mention_contexts": {"wall_s": round(w5, 2), "rows": r5},
+               "role_affinity": {"wall_s": round(w6, 2), "rows": r6},
                "status": "OK"}, flush=True)
     spark.stop()
 
